@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Tuned for the driver's local[32] single-JVM harness but every knob is
+  * chosen to also make sense on a 1000-executor cluster reading ~100 TB:
+  * AQE handles runtime partition coalescing and skew joins, shuffle
+  * partitions default to the local core count (a real cluster overrides
+  * via --conf), and UTC pins timestamp semantics.
+  */
+object GraftSession {
+
+  /** Number of local cores the harness gives us (driver exports
+    * SPARK_GRAFT_CPUS; default 32 per the local[32] contract). */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(master: Option[String] = Some(s"local[$cpus]")): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
+      // TimestampType, so read them as raw Long nanos and convert
+      // explicitly in Tables.events (micros = ns / 1000).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Deterministic float formatting / comparisons.
+      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    master.fold(b)(b.master)
+  }
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

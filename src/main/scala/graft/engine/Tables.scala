@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * One parquet file per table under `$dir/`. All readers return the
+  * parquet schema untouched except `events`, whose TIMESTAMP(NANOS)
+  * column is normalized to Spark's microsecond TimestampType.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer. With
+    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos;
+    * truncate to microseconds (matching DuckDB's ns->us cast) and expose
+    * a proper TimestampType column. If a future Spark reads it natively
+    * as TimestampType already, pass it through. */
+  private def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+
+  /** Register every table as a temp view (for spark.sql callers). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
