@@ -27,7 +27,7 @@ object EventOps {
     s"""SELECT event_type,
        |       count(*) AS n,
        |       ${davgSql("value")} AS avg_value,
-       |       round(CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS DOUBLE) / count(*), 4) AS avg_k,
+       |       floor(CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS DOUBLE) / count(*) * 10000 + 0.5e0) / 10000 AS avg_k,
        |       min(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS min_k,
        |       max(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS max_k
        |FROM events
@@ -40,7 +40,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("n"),
         davg(col("value")).as("avg_value"),
-        round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"),
+        cround(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy("event_type")

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Multimodal-column plumbing (builder-prompt surface): media payloads as
+  * opaque `binary` columns with typed metadata, decoded per-partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything the
+  * engine is responsible for — binary columns end-to-end, partition-wise
+  * batched decode via `mapPartitions` (the Scala analog of a pandas
+  * `mapInPandas` batch UDF), typed output schema — is real and oracled.
+  * Swapping [[decodeStub]] for a real codec is the only change needed in
+  * production.
+  */
+object Multimodal {
+
+  case class MediaMeta(doc_id: Long, source: String, n_bytes: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** STUB decoder: derives fake media dimensions from the payload size
+    * with pure arithmetic so the DuckDB oracle can reproduce it. A real
+    * deployment replaces this body with an actual codec call. */
+  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    val n = payload.length.toLong
+    (64 + n % 512, 64 + (n * 31) % 512, n / 1024 + 1)
+  }
+
+  /** Q31 — binary-column metadata extraction: text payload → binary →
+    * per-partition decode → typed metadata rows. */
+  val q31_multimodal_meta: Query = Query(
+    """SELECT doc_id, source,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       64 + octet_length(encode(text)) % 512 AS width,
+      |       64 + (octet_length(encode(text)) * 31) % 512 AS height,
+      |       octet_length(encode(text)) // 1024 + 1 AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, payload) =>
+          val (w, h, frames) = decodeStub(payload)
+          MediaMeta(id, src, payload.length.toLong, w, h, frames)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Query] = Map(
+    "q31_multimodal_meta" -> q31_multimodal_meta)
+}

@@ -275,14 +275,14 @@ object Relational {
       |       CAST(length(p_name) AS INT) AS name_len,
       |       concat_ws('-', p_brand, p_type) AS cat,
       |       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
-      |       round(p_retailprice * 1.1, 2) AS price_up,
+      |       floor((p_retailprice * 1.1) * 100 + 0.5e0) / 100 AS price_up,
       |       abs(p_size - 25) AS size_dev,
       |       CAST(floor(p_retailprice) AS BIGINT) AS price_fl,
       |       CAST(ceil(p_retailprice) AS BIGINT) AS price_ce,
-      |       round(sqrt(CAST(p_size AS DOUBLE)), 4) AS size_sqrt,
-      |       round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
-      |       round(ln(p_retailprice), 4) AS price_ln,
-      |       round(exp(CAST(p_size AS DOUBLE) / 100.0), 4) AS size_exp,
+      |       floor(sqrt(CAST(p_size AS DOUBLE)) * 10000 + 0.5e0) / 10000 AS size_sqrt,
+      |       floor(pow(CAST(p_size AS DOUBLE), 2.0) * 10 + 0.5e0) / 10 AS size_sq,
+      |       floor(ln(p_retailprice) * 10000 + 0.5e0) / 10000 AS price_ln,
+      |       floor(exp(CAST(p_size AS DOUBLE) / 100e0) * 10000 + 0.5e0) / 10000 AS size_exp,
       |       CAST(sign(p_size - 25) AS INT) AS size_sign
       |FROM part
       |ORDER BY p_partkey""") { (s, dir) =>
@@ -294,14 +294,14 @@ object Relational {
       length(col("p_name")).as("name_len"),
       concat_ws("-", col("p_brand"), col("p_type")).as("cat"),
       regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
-      round(col("p_retailprice") * 1.1, 2).as("price_up"),
+      cround(col("p_retailprice") * 1.1, 2).as("price_up"),
       abs(col("p_size") - 25).as("size_dev"),
       floor(col("p_retailprice")).cast("long").as("price_fl"),
       ceil(col("p_retailprice")).cast("long").as("price_ce"),
-      round(sqrt(col("p_size").cast("double")), 4).as("size_sqrt"),
-      round(pow(col("p_size").cast("double"), 2.0), 1).as("size_sq"),
-      round(log(col("p_retailprice")), 4).as("price_ln"),
-      round(exp(col("p_size").cast("double") / 100.0), 4).as("size_exp"),
+      cround(sqrt(col("p_size").cast("double"))).as("size_sqrt"),
+      cround(pow(col("p_size").cast("double"), 2.0), 1).as("size_sq"),
+      cround(log(col("p_retailprice"))).as("price_ln"),
+      cround(exp(col("p_size").cast("double") / 100.0)).as("size_exp"),
       signum(col("p_size") - 25).cast("int").as("size_sign"))
       .orderBy("p_partkey")
   }

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Text-analysis + deduplication surface over the `documents` table
+  * (SURVEY.md §2.10 and the training-data-pipeline operators).
+  *
+  * Normalization shared by every operator: lowercase, collapse
+  * whitespace, trim. All heuristics (language-ID markers, quality
+  * formula, fingerprint hash) are pure arithmetic over the normalized
+  * text so the DuckDB oracle can reproduce them bit-for-bit.
+  *
+  * Scale posture: the only quadratic-risk operator is the shingle
+  * self-join in q25; its 100 TB path is q26 (MinHash+LSH banding), which
+  * produces the same verified output with candidate generation bounded by
+  * band-bucket sizes instead of raw shingle frequency.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "documents")
+
+  /** lower + collapse whitespace + trim; identical to the oracle's
+    * trim(regexp_replace(lower(text), '\s+', ' ', 'g')). */
+  private val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+  private def norm: Column = expr(normExpr)
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Number of non-overlapping occurrences of `pat` in ' '||norm||' '.
+    * replace() is leftmost-non-overlapping in both engines. */
+  private def hitsExpr(pat: String): String =
+    s"CAST((length(padded) - length(replace(padded, ' $pat '))) / ${pat.length + 2} AS INT)"
+  private def hitsSql(pat: String): String =
+    s"CAST((length(padded) - length(replace(padded, ' $pat ', ''))) / ${pat.length + 2} AS INT)"
+
+  /** Q16 — exact deduplication accounting per source: total docs vs
+    * distinct normalized texts (hash-groupBy dedup; SURVEY §2.10). */
+  val q16_dedup_exact: Query = Query(
+    s"""SELECT source,
+       |       count(*) AS n_docs,
+       |       count(DISTINCT $normSql) AS n_distinct,
+       |       count(DISTINCT substring($normSql, 1, 64)) AS n_distinct_prefix
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""") { (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), norm.as("norm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct"),
+        countDistinct(substring(col("norm"), 1, 64)).as("n_distinct_prefix"))
+      .orderBy("source")
+  }
+
+  /** Q18b — top-5 terms per language by frequency (tokenize → explode →
+    * count → ranked window). */
+  val q18b_top_terms: Query = Query(
+    s"""WITH tok AS (SELECT lang, unnest(string_split($normSql, ' ')) AS w FROM documents),
+       |     cnt AS (SELECT lang, w, count(*) AS n FROM tok WHERE length(w) >= 4 GROUP BY 1, 2),
+       |     rk AS (SELECT lang, w, n,
+       |                   CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS INT) AS rn
+       |            FROM cnt)
+       |SELECT lang, rn, w, n FROM rk WHERE rn <= 5
+       |ORDER BY lang, rn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select(col("lang"), explode(split(norm, " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+    val cnt = tok.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+    cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "rn", "w", "n")
+      .orderBy("lang", "rn")
+  }
+
+  /** Marker words per language for the stopword language-ID heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  /** Q21 — stopword/marker-based language identification: score each
+    * language by marker-token hits, argmax with lexicographic tiebreak,
+    * 'und' when no marker fires. Confusion matrix vs the labeled lang. */
+  val q21_lang_id: Query = {
+    val scoreSqls = langMarkers.map { case (l, ms) =>
+      l -> ms.map(hitsSql).mkString(" + ")
+    }
+    val scoreExprs = langMarkers.map { case (l, ms) =>
+      l -> ms.map(hitsExpr).mkString(" + ")
+    }
+    def argmax(scores: Seq[(String, String)]): String = {
+      // pred = first lang (asc) whose score equals the max and > 0
+      val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, e) => s"WHEN ($e) = mx THEN '$l'" }.mkString(" ")
+      s"CASE WHEN mx <= 0 THEN 'und' $cases END"
+    }
+    val sql =
+      s"""WITH p AS (SELECT lang, ' ' || $normSql || ' ' AS padded FROM documents),
+         |     sc AS (SELECT lang, padded,
+         |                   greatest(${scoreSqls.map(s => s"(${s._2})").mkString(", ")}) AS mx
+         |            FROM p)
+         |SELECT lang, ${argmax(scoreSqls)} AS pred, count(*) AS n
+         |FROM sc GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+    Query(sql) { (s, dir) =>
+      val padded = docs(s, dir).select(col("lang"), concat(lit(" "), norm, lit(" ")).as("padded"))
+      val sc = padded.withColumn("mx",
+        greatest(scoreExprs.map(e => expr(s"(${e._2})")): _*))
+      sc.withColumn("pred", expr(argmax(scoreExprs)))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }
+  }
+
+  /** Q22 — per-document quality scoring: token count, mean token length,
+    * stopword ratio, composite quality in [0,1]. */
+  val q22_quality_score: Query = Query(
+    s"""WITH p AS (SELECT doc_id, $normSql AS norm, ' ' || $normSql || ' ' AS padded
+       |           FROM documents),
+       |     f AS (SELECT doc_id,
+       |                  CAST(len(string_split(norm, ' ')) AS INT) AS n_tok,
+       |                  length(replace(norm, ' ', '')) * 1e0
+       |                    / len(string_split(norm, ' ')) AS avg_tok_len,
+       |                  (${Seq("the", "a", "of", "and").map(hitsSql).mkString(" + ")}) * 1e0
+       |                    / len(string_split(norm, ' ')) AS stop_ratio
+       |           FROM p)
+       |SELECT doc_id, n_tok,
+       |       floor(avg_tok_len * 10000 + 0.5e0) / 10000 AS avg_tok_len,
+       |       floor(stop_ratio * 10000 + 0.5e0) / 10000 AS stop_ratio,
+       |       floor((0.4e0 * least(1e0, n_tok / 100e0)
+       |           + 0.3e0 * least(1e0, avg_tok_len / 8e0)
+       |           + 0.3e0 * least(1e0, stop_ratio * 5e0)) * 10000 + 0.5e0) / 10000 AS quality
+       |FROM f
+       |ORDER BY doc_id""") { (s, dir) =>
+    val p = docs(s, dir).select(col("doc_id"), norm.as("norm"),
+      concat(lit(" "), norm, lit(" ")).as("padded"))
+    val stopHits = expr(Seq("the", "a", "of", "and").map(hitsExpr).mkString(" + "))
+    val f = p.select(
+      col("doc_id"),
+      size(split(col("norm"), " ")).as("n_tok"),
+      (length(regexp_replace(col("norm"), " ", "")) * lit(1.0)
+        / size(split(col("norm"), " "))).as("avg_tok_len"),
+      (stopHits * lit(1.0) / size(split(col("norm"), " "))).as("stop_ratio"))
+    f.select(
+      col("doc_id"), col("n_tok"),
+      cround(col("avg_tok_len")).as("avg_tok_len"),
+      cround(col("stop_ratio")).as("stop_ratio"),
+      cround(lit(0.4) * least(lit(1.0), col("n_tok") / 100.0)
+        + lit(0.3) * least(lit(1.0), col("avg_tok_len") / 8.0)
+        + lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Q23 — token-count statistics per source (whitespace tokenizer). */
+  val q23_token_stats: Query = Query(
+    s"""WITH t AS (SELECT source, CAST(len(string_split($normSql, ' ')) AS INT) AS n_tok
+       |           FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       |       floor(CAST(sum(n_tok) AS DOUBLE) / count(*) * 10000 + 0.5e0) / 10000 AS avg_tok,
+       |       min(n_tok) AS min_tok, max(n_tok) AS max_tok
+       |FROM t GROUP BY source
+       |ORDER BY source""") { (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), size(split(norm, " ")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        cround(sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy("source")
+  }
+
+  /** Q24 — document fingerprint: position-weighted rolling hash over
+    * tokens, pure integer arithmetic (engine-portable, unlike xxhash64).
+    * fp = Σ (pos+1)·(31·len(w) + ascii(w[0]))  mod 1e9+7. */
+  val q24_fingerprint: Query = Query(
+    s"""WITH t AS (SELECT doc_id,
+       |                  unnest(string_split($normSql, ' ')) AS w,
+       |                  unnest(range(len(string_split($normSql, ' ')))) AS pos
+       |           FROM documents)
+       |SELECT doc_id,
+       |       CAST(sum((pos + 1) * (31 * length(w) + ascii(substring(w, 1, 1))))
+       |            % 1000000007 AS BIGINT) AS fp
+       |FROM t GROUP BY doc_id
+       |ORDER BY doc_id""") { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(split(norm, " ")))
+      .select(col("doc_id"),
+        ((col("pos") + 1).cast("long")
+          * (lit(31) * length(col("col")) + ascii(substring(col("col"), 1, 1))))
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg((sum(col("contrib")) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct 5-gram character shingles of the normalized text. */
+  private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
+      .distinct()
+
+  private val jaccardSql =
+    s"""WITH sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
+       |            FROM (SELECT doc_id, $normSql AS norm FROM documents) d
+       |            WHERE length(norm) >= 5),
+       |     s2 AS (SELECT DISTINCT doc_id, substr(norm, i + 1, 5) AS g FROM sh),
+       |     cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
+       |     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |               FROM s2 a JOIN s2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |               GROUP BY 1, 2),
+       |     j AS (SELECT d1, d2, inter * 1e0 / (ca.n + cb.n - inter) AS jac
+       |           FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)
+       |SELECT d1, d2, floor(jac * 10000 + 0.5e0) / 10000 AS jaccard FROM j
+       |WHERE jac >= 0.8
+       |ORDER BY d1, d2"""
+
+  /** Exact pairwise jaccard ≥ 0.8 over distinct 5-gram shingle sets for
+    * the given candidate pairs (cols d1, d2). */
+  private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
+      .filter(col("g1") === col("g2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Q25 — n-gram Jaccard near-duplicate pairs (exact): shingle equi-join
+    * as the blocking key, then set-overlap arithmetic. */
+  val q25_jaccard_neardup: Query = Query(jaccardSql) { (s, dir) =>
+    val sh = shingles(s, dir).persist()
+    val cand = sh.select(col("doc_id").as("d1"), col("g"))
+      .join(sh.select(col("doc_id").as("d2"), col("g")), "g")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val out = verifiedJaccard(sh, cand)
+    out.count() // materialize before unpersist
+    sh.unpersist()
+    out
+  }
+
+  /** Deterministic MinHash permutation constants under p = 2^31-1;
+    * products stay below 2^62 so ANSI-mode Long arithmetic never
+    * overflows. */
+  private val MhP = 2147483647L
+  private val (mhA, mhB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(64)(1L + math.abs(rnd.nextLong()) % (MhP - 1))
+    val b = Array.fill(64)(math.abs(rnd.nextLong()) % MhP)
+    (a, b)
+  }
+
+  /** Q26 — MinHash + LSH banding near-dup detection, the 100 TB path for
+    * q25: 64 minhashes per doc (single aggregation pass), 16 bands × 4
+    * rows, candidates from band-bucket equi-joins, then exact-jaccard
+    * verification. With the corpus's similarity margin the verified
+    * output equals q25's exact result, so it shares q25's oracle. */
+  val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
+    val sh = shingles(s, dir).persist()
+    val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("g")), lit(MhP)).as("h"))
+    val minhashes = (0 until 64).map(i =>
+      min((col("h") * lit(mhA(i)) + lit(mhB(i))) % MhP).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val bands = (0 until 16).map(j =>
+      xxhash64(lit(j), col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
+        col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}")).as(s"b$j"))
+    val banded = sig.select(col("doc_id") +: bands: _*)
+      .select(col("doc_id"), posexplode(array((0 until 16).map(j => col(s"b$j")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val out = verifiedJaccard(sh, cand)
+    out.count()
+    sh.unpersist()
+    out
+  }
+
+  /** Q27 — SimHash near-dup: 64-bit signature from token hashes, banded
+    * into 4×16-bit chunks (pigeonhole-exact for hamming ≤ 3), hamming
+    * verification on chunk-collision candidates. Hash-specific, so no SQL
+    * oracle — covered by the ScalaTest equivalence to the brute-force
+    * pairing. */
+  val q27_simhash: Query = Query.noOracle { (s, dir) =>
+    val sigs = simhashSignatures(s, dir).persist()
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "chunk")
+    val cand = chunks.select(col("doc_id").as("d1"), col("sig").as("s1"), col("ci"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("d2"), col("sig").as("s2"), col("ci"), col("chunk")),
+        Seq("ci", "chunk"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
+    val out = cand
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+    out.count()
+    sigs.unpersist()
+    out
+  }
+
+  /** 64-bit SimHash per document over distinct whitespace tokens. */
+  private[queries] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("w")).as("th"))
+    val bitSums = (0 until 64).map(k =>
+      sum(shiftrightunsigned(col("th"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))
+    val sig = (0 until 64)
+      .map(k => when(col(s"s$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  val all: Map[String, Query] = Map(
+    "q16_dedup_exact" -> q16_dedup_exact,
+    "q18b_top_terms" -> q18b_top_terms,
+    "q21_lang_id" -> q21_lang_id,
+    "q22_quality_score" -> q22_quality_score,
+    "q23_token_stats" -> q23_token_stats,
+    "q24_fingerprint" -> q24_fingerprint,
+    "q25_jaccard_neardup" -> q25_jaccard_neardup,
+    "q26_minhash_lsh" -> q26_minhash_lsh,
+    "q27_simhash" -> q27_simhash)
+}

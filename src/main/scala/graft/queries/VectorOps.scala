@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.engine.Tables
+
+/** Vector / embedding surface over the `embeddings` table (SURVEY.md
+  * §2.10, Q17/Q18): similarity search, all-pairs similarity, and a typed
+  * `Aggregator` for per-label centroids.
+  *
+  * Dot products are computed with higher-order functions (`zip_with` +
+  * `aggregate`) after casting each float element to double, so both
+  * engines fold identical element products; sums agree to ~1e-15 and the
+  * canonical ROUND(_, 4) absorbs the residue.
+  *
+  * Scale posture: the probe side of Q17 is tiny and broadcast, so ANN
+  * search is a broadcast nested-loop join — linear in the corpus, fully
+  * parallel, no shuffle. Q28's all-pairs form is quadratic by definition;
+  * at 100 TB it must be preceded by an LSH/IVF blocking pass (same
+  * pattern as q26 for text) — the brute-force form here is the
+  * verification baseline.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "embeddings")
+
+  /** Sequential double-precision dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** DuckDB fragment: per-(vec_id, i) exploded double elements. */
+  private val unnestSql =
+    """SELECT vec_id, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+      |FROM embeddings""".stripMargin
+
+  /** Q17 — cosine top-5 neighbors for the 10 probe vectors (vec_id < 10):
+    * brute-force scored broadcast join, ranked per probe. */
+  val q17_cosine_topk: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+       |     d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, sum(p.v * c.v) AS dot
+       |           FROM u p JOIN u c ON p.i = c.i AND p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT probe_id, cand_id, d.dot / (np.nrm * nc.nrm) AS cos
+       |             FROM d JOIN nrm np ON np.vec_id = probe_id
+       |                    JOIN nrm nc ON nc.vec_id = cand_id),
+       |     rk AS (SELECT probe_id, cand_id, cos,
+       |                   CAST(row_number() OVER (PARTITION BY probe_id
+       |                                           ORDER BY cos DESC, cand_id) AS INT) AS rn
+       |            FROM cos)
+       |SELECT probe_id, rn, cand_id, floor(cos * 10000 + 0.5e0) / 10000 AS cos_sim
+       |FROM rk WHERE rn <= 5
+       |ORDER BY probe_id, rn""") { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val scored = cand.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("cand_id"), cround(col("cos")).as("cos_sim"))
+      .orderBy("probe_id", "rn")
+  }
+
+  /** Elementwise mean of float vectors: the typed custom aggregation from
+    * SURVEY §2.4/§2.10 (buffer = running sum + count; merge is
+    * elementwise, so partial aggregation distributes). */
+  class VecCentroid extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      var i = 0
+      while (i < v.length) { acc(i) += v(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+    def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+    def bufferEncoder: Encoder[(Array[Double], Long)] = Encoders.kryo[(Array[Double], Long)]
+    def outputEncoder: Encoder[Seq[Double]] = implicitly(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+  }
+
+  /** Q18 — per-label embedding centroid via the typed Aggregator,
+    * exploded to (label, pos, value) for engine-neutral comparison. */
+  val q18_centroid: Query = Query(
+    s"""WITH u AS (SELECT label, unnest(embedding)::DOUBLE AS v, unnest(range(len(embedding))) AS i
+       |           FROM embeddings)
+       |SELECT label, CAST(i AS INT) AS pos, floor(avg(v) * 10000 + 0.5e0) / 10000 AS ctr
+       |FROM u GROUP BY label, i
+       |ORDER BY label, pos""") { (s, dir) =>
+    val centroid = udaf(new VecCentroid)
+    emb(s, dir)
+      .groupBy("label")
+      .agg(centroid(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), col("pos"), cround(col("col")).as("ctr"))
+      .orderBy("label", "pos")
+  }
+
+  /** Q28 — top-50 most similar embedding pairs (all-pairs cosine,
+    * vec_id-ordered to dedupe the triangle). */
+  val q28_cosine_top_pairs: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+       |     d AS (SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+       |           FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT v1, v2, d.dot / (na.nrm * nb.nrm) AS cos
+       |             FROM d JOIN nrm na ON na.vec_id = v1 JOIN nrm nb ON nb.vec_id = v2)
+       |SELECT v1, v2, floor(cos * 10000 + 0.5e0) / 10000 AS cos_sim
+       |FROM cos
+       |ORDER BY cos DESC, v1, v2
+       |LIMIT 50""") { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .orderBy(col("cos").desc, col("v1"), col("v2"))
+      .limit(50)
+      .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))
+  }
+
+  /** Q30 — LSH-bucketed ANN (the 100 TB path for Q17): sign-random-
+    * projection buckets from seeded hyperplanes; candidates share a
+    * bucket, then exact cosine rescoring with top-5 rank. Approximate by
+    * construction → no SQL oracle; the ScalaTest asserts recall vs Q17 on
+    * the probe set. */
+  val q30_ann_lsh: Query = Query.noOracle { (s, dir) =>
+    val dim = 64
+    val planes = 12
+    val rnd = new scala.util.Random(7)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyperCol = typedLit(hyper.map(_.toSeq).toSeq)
+    // bucket = bits of sign(h·x) — one arithmetic pass, no shuffle
+    def bucket(v: Column): Column =
+      (0 until planes).map { p =>
+        val prod = aggregate(
+          zip_with(element_at(hyperCol, p + 1), v, (h, x) => h * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(prod >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce[Column](_.bitwiseOR(_))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bkt").as("p_bkt"))
+    // multi-probe: candidate shares the bucket or differs in one bit
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"), col("bkt").as("c_bkt"))
+    val joined = cand.join(broadcast(probes),
+      col("cand_id") =!= col("probe_id")
+        && bit_count(col("p_bkt").bitwiseXOR(col("c_bkt"))) <= 1)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .select(col("probe_id"), col("cand_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("cand_id"), cround(col("cos")).as("cos_sim"))
+      .orderBy("probe_id", "rn")
+  }
+
+  val all: Map[String, Query] = Map(
+    "q17_cosine_topk" -> q17_cosine_topk,
+    "q18_centroid" -> q18_centroid,
+    "q28_cosine_top_pairs" -> q28_cosine_top_pairs,
+    "q30_ann_lsh" -> q30_ann_lsh)
+}

@@ -30,13 +30,25 @@ package object queries {
   def dsumSql(expr: String, scale: Int = 2): String =
     s"CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
 
-  /** Deterministic mean: exact decimal sum / count, rounded to 4. */
+  /** Canonical float rounding: floor(x·10^d + 0.5)/10^d in pure double
+    * arithmetic. Spark's round() (BigDecimal HALF_UP over the shortest
+    * decimal repr) and DuckDB's round() disagree at exact .xxxx5
+    * boundaries; this formula is the same IEEE operations in both
+    * engines, hence bitwise-identical on identical inputs. */
+  def cround(c: Column, digits: Int = 4): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f + 0.5) / f
+  }
+
+  def croundSql(expr: String, digits: Int = 4): String = {
+    val f = math.pow(10, digits).toLong
+    s"floor(($expr) * $f + 0.5e0) / $f"
+  }
+
+  /** Deterministic mean: exact decimal sum / count, canonically rounded. */
   def davg(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1)), 4)
+    cround(sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1)))
 
   def davgSql(expr: String, scale: Int = 2): String =
-    s"round(CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE) / count(*), 4)"
-
-  /** Canonical float output: ROUND(x, 4) per SURVEY.md §5.3. */
-  def r4(c: Column): Column = round(c, 4)
+    croundSql(s"CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE) / count(*)")
 }
