@@ -323,7 +323,7 @@ object TextOps {
   }
 
   /** 64-bit SimHash per document over distinct whitespace tokens. */
-  private[queries] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(norm, " ")).as("w"))
       .filter(length(col("w")) > 0)

@@ -142,38 +142,49 @@ object VectorOps {
       .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))
   }
 
-  /** Q30 — LSH-bucketed ANN (the 100 TB path for Q17): sign-random-
-    * projection buckets from seeded hyperplanes; candidates share a
-    * bucket, then exact cosine rescoring with top-5 rank. Approximate by
-    * construction → no SQL oracle; the ScalaTest asserts recall vs Q17 on
-    * the probe set. */
+  /** Q30 — multi-table LSH ANN (the 100 TB path for Q17): L=64
+    * sign-random-projection tables of k=8 bits each; a candidate is any
+    * vector sharing a (table, bucket) cell with the probe, then exact
+    * cosine rescoring + top-5 rank. At cos≈0.5 neighbor similarity (this
+    * corpus) the per-table collision odds are ~0.667^8, so 64 tables give
+    * ~0.93 expected recall while touching ~20% of the corpus; k and L
+    * trade recall vs candidate volume as the corpus hardens/softens.
+    * Candidates join on the (table, bucket) key — an equi-join, never a
+    * cross product. Approximate by construction → no SQL oracle; the
+    * ScalaTest asserts measured recall vs Q17. */
   val q30_ann_lsh: Query = Query.noOracle { (s, dir) =>
     val dim = 64
-    val planes = 12
+    val kBits = 8
+    val nTables = 64
     val rnd = new scala.util.Random(7)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    val hyperCol = typedLit(hyper.map(_.toSeq).toSeq)
-    // bucket = bits of sign(h·x) — one arithmetic pass, no shuffle
-    def bucket(v: Column): Column =
-      (0 until planes).map { p =>
-        val prod = aggregate(
-          zip_with(element_at(hyperCol, p + 1), v, (h, x) => h * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(prod >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }.reduce[Column](_.bitwiseOR(_))
+    val planes: Seq[Seq[Seq[Double]]] =
+      Seq.fill(nTables)(Seq.fill(kBits)(Seq.fill(dim)(rnd.nextGaussian())))
+    val planesCol = typedLit(planes)
+    // buckets[t] = Σ_j (plane_tj · x >= 0) << j  — one expression pass
+    def buckets(v: Column): Column =
+      transform(planesCol, tbl =>
+        aggregate(
+          transform(tbl, (plane, j) =>
+            when(aggregate(zip_with(plane, v, (h, x) => h * x.cast("double")),
+              lit(0.0), (acc, x) => acc + x) >= 0,
+              pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc + b))
     val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
-    val probes = e.filter(col("vec_id") < 10)
+      norm2(col("embedding")).as("nrm"), buckets(col("embedding")).as("bkts"))
+    val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("bkts")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    val probes = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"), col("bkt").as("p_bkt"))
-    // multi-probe: candidate shares the bucket or differs in one bit
-    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-      col("nrm").as("c_nrm"), col("bkt").as("c_bkt"))
-    val joined = cand.join(broadcast(probes),
-      col("cand_id") =!= col("probe_id")
-        && bit_count(col("p_bkt").bitwiseXOR(col("c_bkt"))) <= 1)
+        col("nrm").as("p_nrm"), col("tbl"), col("bkt"))
+    val cand = cells.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"), col("tbl"), col("bkt"))
+    val pairs = cand.join(broadcast(probes), Seq("tbl", "bkt"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select("probe_id", "cand_id", "p_emb", "c_emb", "p_nrm", "c_nrm")
+      .dropDuplicates("probe_id", "cand_id")
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
-    joined
+    pairs
       .select(col("probe_id"), col("cand_id"),
         (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
       .withColumn("rn", row_number().over(w))

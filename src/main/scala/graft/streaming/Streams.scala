@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.queries.dsum
+
+/** Structured Streaming surface (SURVEY.md §2.9): the same declarative
+  * expressions as the EventOps batch queries, applied to an unbounded
+  * source. Each transform takes whatever DataFrame it is given — a
+  * parquet batch or a readStream/MemoryStream — identically; the ScalaTest
+  * suite asserts batch ≡ stream on the events fixture.
+  *
+  * Watermarks bound state: windows older than the watermark are finalized
+  * and their state evicted, which is what makes these aggregations run
+  * indefinitely on a cluster (state size ∝ active windows, not history).
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Q19 streaming form — tumbling 1 h window per event type. */
+  def tumblingHour(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Q20 streaming form — 30 min session windows per user. */
+  def sessionize(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Stateful streaming dedup on event_id; state for ids older than the
+    * watermark is dropped (dropDuplicatesWithinWatermark). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserStats(user_id: Long, n: Long, total: Double, last_us: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user count /
+    * sum / last-seen. Emits the updated state each micro-batch (Update
+    * mode); the test asserts the final state equals the batch aggregate. */
+  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats] {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0, Long.MinValue))
+          val upd = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(uid, acc.n + 1,
+              // decimal-cents accumulation keeps the running sum exact
+              (BigDecimal(acc.total) + BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toDouble,
+              math.max(acc.last_us, e.ts.getTime * 1000L))
+          }
+          state.update(upd)
+          upd
+      }
+  }
+}
