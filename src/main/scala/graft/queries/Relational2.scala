@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Second relational batch: rich predicates, approximate distinct, bag
+  * set-ops, CUBE, and tf-idf (SURVEY.md §2.2/§2.4/§2.7/§2.10 rows not
+  * covered by the first batch). */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
+  /** Q1b — predicate battery: IN / BETWEEN / LIKE / IS NOT NULL / boolean
+    * algebra, all pushed to the scan where the source supports it. */
+  val q01b_predicates: Query = Query(
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_totalprice BETWEEN 50000 AND 200000
+      |  AND o_orderstatus LIKE 'P%'
+      |  AND o_custkey IS NOT NULL
+      |  AND (o_orderkey % 2 = 0 OR o_totalprice > 150000)
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        && col("o_totalprice").between(50000, 200000)
+        && col("o_orderstatus").like("P%")
+        && col("o_custkey").isNotNull
+        && (col("o_orderkey") % 2 === 0 || col("o_totalprice") > 150000))
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Q6b — approximate count-distinct (HLL++). Approximate by definition →
+    * no SQL oracle (engines use different sketches); the ScalaTest asserts
+    * ≤ 5% relative error vs the exact count. */
+  val q06b_approx_distinct: Query = Query.noOracle { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q10b — bag (multiset) set operations: INTERSECT ALL / EXCEPT ALL
+    * preserve multiplicities, unlike their set forms in q10. */
+  val q10b_setops_bag: Query = Query(
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+      |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'inter_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) x
+      |UNION ALL
+      |SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) y
+      |ORDER BY op, k""") { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    a.intersectAll(b).select(lit("inter_all").as("op"), col("k"))
+      .unionAll(a.exceptAll(b).select(lit("except_all").as("op"), col("k")))
+      .orderBy("op", "k")
+  }
+
+  /** Q11b — CUBE over (returnflag, linestatus): all 4 grouping
+    * combinations in one pass. */
+  val q11b_cube_pricing: Query = Query(
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |       coalesce(l_linestatus, 'ALL') AS linestatus,
+       |       ${dsumSql("l_quantity")} AS sum_qty,
+       |       count(*) AS n
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Q29 — tf-idf top-3 terms per document (first 20 docs): term counts,
+    * document frequency, ln(N/df) weighting — two aggregations + a join
+    * (SURVEY §2.10 text analysis). */
+  val q29_tfidf: Query = Query(
+    """WITH tok AS (SELECT doc_id,
+      |                    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |             FROM documents),
+      |     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE length(w) >= 4 GROUP BY 1, 2),
+      |     df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |     n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |     scored AS (SELECT doc_id, w, tf * ln(n.n * 1e0 / df.df) AS score
+      |                FROM tf JOIN df USING (w) CROSS JOIN n
+      |                WHERE doc_id < 20),
+      |     rk AS (SELECT doc_id, w, score,
+      |                   CAST(row_number() OVER (PARTITION BY doc_id
+      |                                           ORDER BY score DESC, w) AS INT) AS rn
+      |            FROM scored)
+      |SELECT doc_id, rn, w, floor(score * 10000 + 0.5e0) / 10000 AS tfidf
+      |FROM rk WHERE rn <= 3
+      |ORDER BY doc_id, rn""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+        explode(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.filter(col("doc_id") < 20)
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        (col("tf") * log(col("n") * lit(1.0) / col("df"))).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("w"), cround(col("score")).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val all: Map[String, Query] = Map(
+    "q01b_predicates" -> q01b_predicates,
+    "q06b_approx_distinct" -> q06b_approx_distinct,
+    "q10b_setops_bag" -> q10b_setops_bag,
+    "q11b_cube_pricing" -> q11b_cube_pricing,
+    "q29_tfidf" -> q29_tfidf)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Duels, Heroic}
+
+/** Property/law tests over randomized inputs (SURVEY.md §5.2.2): algebraic
+  * invariants that must hold for any data, checked on seeded random duel
+  * tables of several shapes (fixed seeds → reproducible). */
+class PropertySpec extends SparkSpec {
+
+  private def randomDuels(seed: Long, rows: Int, players: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (1 to rows).map { _ =>
+      (rnd.nextInt(players).toLong + 1, rnd.nextInt(players).toLong + 1,
+        rnd.nextInt(5000).toLong + 1, rnd.nextInt(500).toLong)
+    }.toDF("challenger", "challenged", "score", "duration")
+  }
+
+  private val tables = Seq((1L, 50, 10), (2L, 300, 40), (3L, 40, 60))
+
+  test("smoothed avg is bounded by [min(1, min_score), max(1, max_score)]") {
+    for ((seed, rows, players) <- tables) {
+      val d = randomDuels(seed, rows, players)
+      val mm = d.agg(min("score"), max("score")).collect()(0)
+      val (lo, hi) = (math.min(1.0, mm.getLong(0).toDouble), math.max(1.0, mm.getLong(1).toDouble))
+      val bad = Duels.smoothedAvg(d).filter(col("avg") < lo || col("avg") > hi).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("distinct is idempotent: duelPairs(duelPairs) == duelPairs") {
+    for ((seed, rows, players) <- tables) {
+      val d = randomDuels(seed, rows, players)
+      val once = Duels.duelPairs(d)
+      assert(once.distinct().count() == once.count())
+    }
+  }
+
+  test("topK is the k-prefix of the full descending sort") {
+    for ((seed, rows, players) <- tables) {
+      val hs = Duels.smoothedAvg(randomDuels(seed, rows, players))
+        .withColumnRenamed("avg", "hs")
+      val top = Heroic.topK(hs, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val full = hs.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (p, v) => (-v, p) }.take(5).toSeq
+      assert(top == full)
+    }
+  }
+
+  test("MSE is non-negative and zero iff tables are identical") {
+    for ((seed, rows, players) <- tables) {
+      val hs = Duels.smoothedAvg(randomDuels(seed, rows, players))
+        .withColumnRenamed("avg", "hs")
+      assert(Heroic.mse(hs, hs) == 0.0)
+      val shifted = hs.withColumn("hs", col("hs") + 1.0)
+      assert(Heroic.mse(hs, shifted) > 0.0)
+    }
+  }
+
+  test("heroic iteration output is always >= 1 - alpha and covers exactly the challengers") {
+    for ((seed, rows, players) <- tables) {
+      val d = randomDuels(seed, rows, players)
+      val static = Heroic.staticJoin(d)
+      val out = Heroic.iterate(static, Heroic.initScores(d), alpha = 0.1)
+      assert(out.filter(col("hs") < 0.9).count() == 0)
+      val challengers = d.select(col("challenger")).distinct().count()
+      assert(out.count() == challengers)
+    }
+  }
+
+  test("aggregation results are invariant under repartitioning") {
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.queries.EventOps.q19_tumbling_hour.fn(spark, dir).collect().toSeq
+    val events = graft.engine.Tables.table(spark, dir, "events").repartition(17)
+    events.createOrReplaceTempView("events_repart")
+    import graft.queries.dsum
+    val re = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_us", "event_type").collect().toSeq
+    assert(base == re, "decimal-sum aggregation must be partitioning-invariant")
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = graft.queries.Relational2.q06b_approx_distinct.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.engine.Tables.table(spark, dir, "orders")
+      .groupBy("o_orderpriority").agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+}
