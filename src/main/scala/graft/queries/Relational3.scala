@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Third batch: remaining SURVEY §2 checklist rows — ranking-function
+  * battery, limit/offset pagination, array-function battery, and the
+  * reference's heroic-score iteration (R6) re-expressed over testdata so
+  * the DuckDB oracle gates the iterative semantics too. */
+object Relational3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
+  /** Q7b — ranking battery: dense_rank, ntile, percent-style rank over
+    * customer balances per segment. */
+  val q07b_rank_battery: Query = Query(
+    """SELECT c_mktsegment, c_custkey,
+      |       CAST(rank()       OVER w AS INT) AS rk,
+      |       CAST(dense_rank() OVER w AS INT) AS drk,
+      |       CAST(ntile(4)     OVER w AS INT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Q9b — pagination: deterministic ORDER BY + LIMIT/OFFSET. */
+  val q09b_limit_offset: Query = Query(
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""") { (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(40)
+      .limit(20)
+  }
+
+  /** Q12c — array-function battery over the embeddings table: size,
+    * element_at, slice, array_contains-style predicate, sort_array,
+    * higher-order transform/aggregate. */
+  val q12c_array_battery: Query = Query(
+    """SELECT vec_id,
+      |       CAST(len(embedding) AS INT) AS dim,
+      |       floor(embedding[1]::DOUBLE * 10000 + 0.5e0) / 10000 AS first_v,
+      |       floor(embedding[64]::DOUBLE * 10000 + 0.5e0) / 10000 AS last_v,
+      |       floor(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)) * 10000 + 0.5e0) / 10000 AS head_sum,
+      |       floor(list_max(embedding)::DOUBLE * 10000 + 0.5e0) / 10000 AS max_v,
+      |       floor(list_min(embedding)::DOUBLE * 10000 + 0.5e0) / 10000 AS min_v,
+      |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+      |FROM embeddings
+      |ORDER BY vec_id""") { (s, dir) =>
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      cround(element_at(col("embedding"), 1).cast("double")).as("first_v"),
+      cround(element_at(col("embedding"), 64).cast("double")).as("last_v"),
+      cround(aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+        lit(0.0), (a, x) => a + x)).as("head_sum"),
+      cround(array_max(col("embedding")).cast("double")).as("max_v"),
+      cround(array_min(col("embedding")).cast("double")).as("min_v"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  /** Q33 — the reference's heroic-score iteration (SURVEY R6) over a
+    * duels table derived deterministically from orders, so the DuckDB
+    * oracle gates the iterative semantics: smoothed averages with
+    * zero-seeded challenged players, distinct edges, two α-blend
+    * iterations with missing-score default 1.0 (left join + coalesce). */
+  val q33_heroic_on_orders: Query = Query(
+    """WITH duels AS (SELECT o_custkey % 97 AS challenger,
+      |                      (o_custkey + o_orderkey) % 97 AS challenged,
+      |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
+      |               FROM orders),
+      |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
+      |              UNION ALL
+      |              SELECT challenged, 0, 0 FROM duels),
+      |     avg AS (SELECT player,
+      |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
+      |             FROM seed GROUP BY player),
+      |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
+      |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
+      |            FROM edges e JOIN avg ad ON ad.player = e.challenged
+      |                         JOIN avg ar ON ar.player = e.challenger),
+      |     hs1 AS (SELECT challenger AS player,
+      |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
+      |             FROM st GROUP BY challenger),
+      |     hs2 AS (SELECT st.challenger AS player,
+      |                    0.1e0 * sum(coalesce(h.hs, 1e0) * st.avg_r / st.avg_d) + 0.9e0 AS hs
+      |             FROM st LEFT JOIN hs1 h ON h.player = st.challenged
+      |             GROUP BY st.challenger)
+      |SELECT player, floor(hs * 10000 + 0.5e0) / 10000 AS hs
+      |FROM hs2
+      |ORDER BY player""") { (s, dir) =>
+    import graft.ops.{Duels, Heroic}
+    val duels = t(s, dir, "orders").select(
+      (col("o_custkey") % 97).as("challenger"),
+      ((col("o_custkey") + col("o_orderkey")) % 97).as("challenged"),
+      (floor(col("o_totalprice")).cast("long") % 5000).as("score"),
+      lit(0L).as("duration"))
+    val static = Heroic.staticJoin(duels)
+    val hs1 = Heroic.iterate(static, Heroic.initScores(duels))
+    val hs2 = Heroic.iterate(static, hs1)
+    hs2.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
+  }
+
+  val all: Map[String, Query] = Map(
+    "q07b_rank_battery" -> q07b_rank_battery,
+    "q09b_limit_offset" -> q09b_limit_offset,
+    "q12c_array_battery" -> q12c_array_battery,
+    "q33_heroic_on_orders" -> q33_heroic_on_orders)
+}
