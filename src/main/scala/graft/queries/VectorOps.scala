@@ -27,15 +27,14 @@ object VectorOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "embeddings")
 
-  /** Sequential double-precision dot product of two float-array columns. */
+  /** Sequential double-precision dot product: the native codegen'd
+    * expression (graft.functions.DotProduct) — bit-identical to the HOF
+    * formulation `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0d,+)`
+    * it replaced, but a fused loop inside whole-stage codegen. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
-  private def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** DuckDB fragment: per-(vec_id, i) exploded double elements. */
   private val unnestSql =
