@@ -11,10 +11,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // Warm the JVM + parquet footers once so per-query numbers measure the
-    // queries, not first-touch class loading.
+    // Warm the JVM once (classloading, codegen compiler, shuffle machinery)
+    // so per-query numbers measure the queries, not first-touch costs.
     graft.engine.Tables.names.foreach(n =>
       graft.engine.Tables.table(spark, sfDir, n).schema)
+    try SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -53,6 +53,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Q31b — frame sampling: expand each media payload into one row per
+    * sampled frame (every 4th frame), with a deterministic per-frame
+    * byte offset — the generator/explode shape a video pipeline needs.
+    * The decode stub supplies n_frames; the expansion itself (sequence +
+    * explode, predicate on the generated column) is the real machinery. */
+  val q31b_frame_sample: Query = Query(
+    """WITH m AS (SELECT doc_id,
+      |                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |                  octet_length(encode(text)) // 1024 + 1 AS n_frames
+      |           FROM documents),
+      |     f AS (SELECT doc_id, n_bytes, unnest(range(n_frames)) AS frame_no FROM m)
+      |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+      |       frame_no * 1024 AS byte_offset
+      |FROM f
+      |WHERE frame_no % 4 = 0
+      |ORDER BY doc_id, frame_no""") { (s, dir) =>
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, payload.length.toLong, decodeStub(payload)._3)
+      })
+      .toDF("doc_id", "n_bytes", "n_frames")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+      .filter(col("frame_no") % 4 === 0)
+      .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+        (col("frame_no") * 1024).as("byte_offset"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   val all: Map[String, Query] = Map(
-    "q31_multimodal_meta" -> q31_multimodal_meta)
+    "q31_multimodal_meta" -> q31_multimodal_meta,
+    "q31b_frame_sample" -> q31b_frame_sample)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Duels
+
+/** Source/sink coverage (SURVEY.md §2.1): reference-format TSV reading,
+  * and CSV/JSON/parquet round-trips preserving schema + values. */
+class SourcesSpec extends SparkSpec {
+
+  private val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("reference TSV scan applies the declared schema") {
+    val d = Duels.readOrigin(spark, "/root/reference/origin")
+    assert(d.count() == 518)
+    assert(d.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq("challenger" -> "long", "challenged" -> "long",
+        "score" -> "long", "duration" -> "long"))
+  }
+
+  test("parquet round-trip preserves schema and rows") {
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+    src.write.mode("overwrite").parquet(s"$tmp/cust_pq")
+    val back = spark.read.parquet(s"$tmp/cust_pq")
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("csv round-trip with header and explicit schema") {
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "nation")
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.schema(src.schema).option("header", "true").csv(s"$tmp/nation_csv")
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("json lines round-trip") {
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "region")
+    src.write.mode("overwrite").json(s"$tmp/region_json")
+    val back = spark.read.schema(src.schema).json(s"$tmp/region_json")
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    src.write.mode("overwrite").partitionBy("yr").parquet(s"$tmp/orders_part")
+    val back = spark.read.parquet(s"$tmp/orders_part").filter(col("yr") === 1996)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(back.count() == src.filter(col("yr") === 1996).count())
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan)
+  }
+}
