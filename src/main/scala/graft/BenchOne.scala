@@ -1,0 +1,14 @@
+package graft
+/** Ad-hoc single-query timing helper (not part of the driver contract). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.GraftSession.get()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"$name ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

