@@ -8,6 +8,10 @@ import graft.engine.GraftSession
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()

@@ -115,9 +115,51 @@ object Relational3 {
     hs2.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
   }
 
+  /** Q34 — the reference's convergence MSE (SURVEY R7) under the oracle:
+    * full-outer join of two successive heroic-score generations with
+    * coalesce-0 on the absent side, mean of squared differences. */
+  val q34_mse_on_orders: Query = Query(
+    """WITH duels AS (SELECT o_custkey % 97 AS challenger,
+      |                      (o_custkey + o_orderkey) % 97 AS challenged,
+      |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
+      |               FROM orders),
+      |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
+      |              UNION ALL
+      |              SELECT challenged, 0, 0 FROM duels),
+      |     avg AS (SELECT player,
+      |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
+      |             FROM seed GROUP BY player),
+      |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
+      |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
+      |            FROM edges e JOIN avg ad ON ad.player = e.challenged
+      |                         JOIN avg ar ON ar.player = e.challenger),
+      |     hs1 AS (SELECT challenger AS player,
+      |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
+      |             FROM st GROUP BY challenger),
+      |     hs2 AS (SELECT st.challenger AS player,
+      |                    0.1e0 * sum(coalesce(h.hs, 1e0) * st.avg_r / st.avg_d) + 0.9e0 AS hs
+      |             FROM st LEFT JOIN hs1 h ON h.player = st.challenged
+      |             GROUP BY st.challenger),
+      |     d AS (SELECT pow(coalesce(a.hs, 0e0) - coalesce(b.hs, 0e0), 2e0) AS sq
+      |           FROM hs1 a FULL OUTER JOIN hs2 b ON a.player = b.player)
+      |SELECT floor(avg(sq) * 10000 + 0.5e0) / 10000 AS mse FROM d""") { (s, dir) =>
+    import graft.ops.Heroic
+    val duels = t(s, dir, "orders").select(
+      (col("o_custkey") % 97).as("challenger"),
+      ((col("o_custkey") + col("o_orderkey")) % 97).as("challenged"),
+      (floor(col("o_totalprice")).cast("long") % 5000).as("score"),
+      lit(0L).as("duration"))
+    val static = Heroic.staticJoin(duels)
+    val hs1 = Heroic.iterate(static, Heroic.initScores(duels))
+    val hs2 = Heroic.iterate(static, hs1)
+    import s.implicits._
+    Seq(Heroic.mse(hs1, hs2)).toDF("mse").select(cround(col("mse")).as("mse"))
+  }
+
   val all: Map[String, Query] = Map(
     "q07b_rank_battery" -> q07b_rank_battery,
     "q09b_limit_offset" -> q09b_limit_offset,
     "q12c_array_battery" -> q12c_array_battery,
-    "q33_heroic_on_orders" -> q33_heroic_on_orders)
+    "q33_heroic_on_orders" -> q33_heroic_on_orders,
+    "q34_mse_on_orders" -> q34_mse_on_orders)
 }
