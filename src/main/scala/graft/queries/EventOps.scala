@@ -163,8 +163,35 @@ object EventOps {
       .orderBy("user_id", "sess_start_us")
   }
 
+  /** Q13b — MapType surface: parse props into a map column, then
+    * map_keys / element_at / explode (SURVEY §2.8 map functions). The
+    * oracle reproduces the same output from the JSON text directly. */
+  val q13b_map_props: Query = Query(
+    """SELECT event_type, 'k' AS key,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_v,
+      |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_v,
+      |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_v
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type, key""") { (s, dir) =>
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    ev(s, dir)
+      .select(col("event_type"), m.as("props_map"))
+      .filter(size(map_keys(col("props_map"))) === 1)
+      .select(col("event_type"), explode(col("props_map")))
+      .groupBy("event_type", "key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("event_type", "key")
+  }
+
   val all: Map[String, Query] = Map(
     "q13_json_props" -> q13_json_props,
+    "q13b_map_props" -> q13b_map_props,
     "q14_interval_selfjoin" -> q14_interval_selfjoin,
     "q14b_asof_click_purchase" -> q14b_asof_click_purchase,
     "q19_tumbling_hour" -> q19_tumbling_hour,

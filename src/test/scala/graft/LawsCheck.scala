@@ -1,0 +1,44 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.golden.GoldenFormat
+
+/** Pure-function laws checked with ScalaCheck (SURVEY.md §5.2.2):
+  * generator-driven coverage for the formatting/rounding kernels that
+  * every golden and oracle comparison relies on. */
+object LawsCheck extends Properties("graft.laws") {
+
+  // doubles inside Python's fixed-notation window (what goldens contain)
+  private val windowDoubles: Gen[Double] = Gen.oneOf(
+    Gen.choose(1e-4, 1e12),
+    Gen.choose(-1e12, -1e-4),
+    Gen.choose(0.9, 1.1),
+    Gen.chooseNum(1L, 5000L).map(_.toDouble))
+
+  property("pyrepr round-trips exactly") = Prop.forAll(windowDoubles) { d =>
+    java.lang.Double.parseDouble(GoldenFormat.pyrepr(d)) == d
+  }
+
+  property("pyrepr matches Long formatting for integral values") =
+    Prop.forAll(Gen.chooseNum(-1000000L, 1000000L)) { n =>
+      n == 0 || GoldenFormat.pyrepr(n.toDouble) == s"$n.0"
+    }
+
+  private def cround(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  property("cround is idempotent") = Prop.forAll(windowDoubles) { d =>
+    val r = cround(d)
+    cround(r) == r
+  }
+
+  property("cround is within half an ulp of 1e-4 of its input") =
+    Prop.forAll(Gen.choose(-1e6, 1e6)) { d =>
+      math.abs(cround(d) - d) <= 0.00005000001
+    }
+
+  property("cround is monotone") =
+    Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(0.0, 10.0)) { (a, delta) =>
+      cround(a) <= cround(a + delta)
+    }
+}
