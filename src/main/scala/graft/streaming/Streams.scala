@@ -48,6 +48,65 @@ object Streams {
 
   final case class UserStats(user_id: Long, n: Long, total: Double, last_us: Long)
 
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class Session(user_id: Long, sess_start_us: Long, n: Long, closed: Boolean)
+
+  /** Custom sessionizer via flatMapGroupsWithState with event-time
+    * timeout: sessions are held in keyed state and emitted once the
+    * watermark passes their gap (closed = true), so state stays bounded
+    * by *active* sessions — the property that lets this run forever on a
+    * cluster. Gap semantics identical to session_window (merge iff
+    * diff < gap). */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed: every open session is final
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => Session(uid, s.start_us, s.n, closed = true))
+            state.remove()
+            out.iterator
+          } else {
+            // merge the batch into the open session set (sorted replay)
+            val sorted = batch.toSeq.map(e => e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L).sorted
+            var sessions = state.getOption.getOrElse(Nil)
+            sorted.foreach { us =>
+              sessions.find(s => us >= s.start_us - gapUs && us < s.last_us + gapUs) match {
+                case Some(s) =>
+                  sessions = SessionState(math.min(s.start_us, us),
+                    math.max(s.last_us, us), s.n + 1) :: sessions.filterNot(_ == s)
+                case None =>
+                  sessions = SessionState(us, us, 1L) :: sessions
+              }
+            }
+            // coalesce sessions that grew into each other
+            val merged = sessions.sortBy(_.start_us).foldLeft(List.empty[SessionState]) {
+              case (acc @ (h :: t), s) if s.start_us < h.last_us + gapUs =>
+                SessionState(h.start_us, math.max(h.last_us, s.last_us), h.n + s.n) :: t
+              case (acc, s) => s :: acc
+            }.reverse
+            // a group that keeps receiving data never times out, so closed
+            // sessions are evicted here: anything whose gap window ended
+            // before the current watermark is final
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (done, open) = merged.partition(s => s.last_us + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.map(_.last_us / 1000L).max + gapMinutes * 60L * 1000L)
+            }
+            done.map(s => Session(uid, s.start_us, s.n, closed = true)).iterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count /
     * sum / last-seen. Emits the updated state each micro-batch (Update
     * mode); the test asserts the final state equals the batch aggregate. */
