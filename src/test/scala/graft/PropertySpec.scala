@@ -86,6 +86,23 @@ class PropertySpec extends SparkSpec {
     assert(base == re, "decimal-sum aggregation must be partitioning-invariant")
   }
 
+  test("stratified sample respects per-stratum fractions within tolerance") {
+    val dir = "/root/testdata/sf0.01"
+    val totals = graft.engine.Tables.table(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.queries.Funnel.q35_stratified_sample.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("view" -> 0.1, "click" -> 0.5, "purchase" -> 1.0,
+      "signup" -> 1.0, "error" -> 0.25)
+    for ((k, f) <- fractions) {
+      val expect = totals(k) * f
+      val got = sampled.getOrElse(k, 0L).toDouble
+      assert(math.abs(got - expect) <= math.max(20, 0.2 * expect),
+        s"$k: sampled $got of ${totals(k)} at fraction $f")
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val dir = "/root/testdata/sf0.01"
     val approx = graft.queries.Relational2.q06b_approx_distinct.fn(spark, dir).collect()
