@@ -22,9 +22,9 @@ object GoldenFormat {
       s"${d.toLong}.0"
     } else {
       val p = (1 to 17).find { i =>
-        java.lang.Double.parseDouble(String.format(s"%.${i - 1}e", Double.box(d))) == d
+        java.lang.Double.parseDouble(String.format(java.util.Locale.ROOT, s"%.${i - 1}e", Double.box(d))) == d
       }.get
-      val bd = new java.math.BigDecimal(String.format(s"%.${p - 1}e", Double.box(d)))
+      val bd = new java.math.BigDecimal(String.format(java.util.Locale.ROOT, s"%.${p - 1}e", Double.box(d)))
       val plain = bd.stripTrailingZeros().toPlainString
       if (plain.contains('.')) plain else plain + ".0"
     }

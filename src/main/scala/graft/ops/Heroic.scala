@@ -62,12 +62,9 @@ object Heroic {
       .distinct()
       .withColumn("hs", lit(1.0))
 
-  final case class FixedPoint(states: Vector[DataFrame], mses: Vector[Double]) {
-    /** Latest state (the reference's committed goldens = one iteration
-      * past convergence, SURVEY §3.3). */
-    def last: DataFrame = states.last
-    def secondLast: DataFrame = states(states.length - 2)
-  }
+  /** Only the final two generations are retained (earlier ones are
+    * unpersisted/checkpoint-truncated and could not be recomputed). */
+  final case class FixedPoint(secondLast: DataFrame, last: DataFrame, mses: Vector[Double])
 
   /** R8 — run to MSE ≤ `eps` from hs₀ ≡ 1, plus `extra` iterations (the
     * committed goldens correspond to extra = 1; SURVEY §3.3). */
@@ -75,31 +72,30 @@ object Heroic {
       extra: Int = 1, maxIter: Int = 100): FixedPoint = {
     val static = staticJoin(duels).persist(StorageLevel.MEMORY_AND_DISK)
     static.count()
+    var prev: DataFrame = null
     var cur = initScores(duels).persist(StorageLevel.MEMORY_AND_DISK)
-    var states = Vector(cur)
     var mses = Vector.empty[Double]
     var done = false
     var it = 0
-    while (!done && it < maxIter) {
+    def step(): Unit = {
       it += 1
       var next = iterate(static, cur, alpha)
+      // localCheckpoint every few generations truncates lineage; otherwise
+      // the plan grows by one join+agg per iteration
       if (it % 5 == 0) next = next.localCheckpoint(true)
       else next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      val m = mse(cur, next)
-      mses :+= m
-      states :+= next
-      if (states.length > 3) states(states.length - 4).unpersist()
-      cur = next
-      done = m <= eps
-    }
-    (0 until extra).foreach { i =>
-      val next = iterate(static, cur, alpha).persist(StorageLevel.MEMORY_AND_DISK)
       mses :+= mse(cur, next)
-      states :+= next
+      if (prev != null) prev.unpersist()
+      prev = cur
       cur = next
     }
+    while (!done && it < maxIter) {
+      step()
+      done = mses.last <= eps
+    }
+    (0 until extra).foreach(_ => step())
     static.unpersist()
-    FixedPoint(states, mses)
+    FixedPoint(prev, cur, mses)
   }
 
   /** T1 — global top-k by score, descending (TakeOrderedAndProject;

@@ -20,7 +20,6 @@ object EventOps {
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "events")
 
   private val HourUs = 3600L * 1000000L
-  private val SlideUs = 900L * 1000000L
 
   /** Q13 — JSON property extraction + grouped aggregate over events.props. */
   val q13_json_props: Query = Query(

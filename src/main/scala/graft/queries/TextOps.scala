@@ -350,7 +350,7 @@ object TextOps {
     * oracle — covered by the ScalaTest equivalence to the brute-force
     * pairing. */
   val q27_simhash: Query = Query.noOracle { (s, dir) =>
-    val sigs = simhashSignatures(s, dir).persist()
+    val sigs = simhashSignatures(s, dir)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -367,8 +367,15 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** 64-bit SimHash per document over distinct whitespace tokens. */
-  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  /** 64-bit SimHash per document over distinct whitespace tokens
+    * (memoized + persisted per (session, dir), like [[shingles]]). */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, dir), buildSimhash(s, dir).persist())
+
+  private def buildSimhash(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(norm, " ")).as("w"))
       .filter(length(col("w")) > 0)

@@ -78,7 +78,7 @@ object Streams {
             val sorted = batch.toSeq.map(e => e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L).sorted
             var sessions = state.getOption.getOrElse(Nil)
             sorted.foreach { us =>
-              sessions.find(s => us >= s.start_us - gapUs && us < s.last_us + gapUs) match {
+              sessions.find(s => us > s.start_us - gapUs && us < s.last_us + gapUs) match {
                 case Some(s) =>
                   sessions = SessionState(math.min(s.start_us, us),
                     math.max(s.last_us, us), s.n + 1) :: sessions.filterNot(_ == s)
@@ -120,7 +120,8 @@ object Streams {
             UserStats(uid, acc.n + 1,
               // decimal-cents accumulation keeps the running sum exact
               (BigDecimal(acc.total) + BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toDouble,
-              math.max(acc.last_us, e.ts.getTime * 1000L))
+              math.max(acc.last_us,
+              e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000L))
           }
           state.update(upd)
           upd
