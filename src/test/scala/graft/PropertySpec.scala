@@ -86,6 +86,19 @@ class PropertySpec extends SparkSpec {
     assert(base == re, "decimal-sum aggregation must be partitioning-invariant")
   }
 
+  test("repartitionByRange + sortWithinPartitions equals global orderBy") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.engine.Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val global = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    val ranged = orders.repartitionByRange(4, col("o_totalprice").desc, col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
+      .collect().toSeq
+    assert(ranged == global,
+      "range partitioning + per-partition sort must equal a global sort")
+  }
+
   test("stratified sample respects per-stratum fractions within tolerance") {
     val dir = "/root/testdata/sf0.01"
     val totals = graft.engine.Tables.table(spark, dir, "events")
