@@ -270,10 +270,13 @@ object TextOps {
     // vocabulary is tiny relative to the corpus, so one partition is fine
     val ids = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .withColumn("gid", row_number().over(Window.orderBy(col("df"), col("g"))))
+    // persisted: both the verify-side docSets and the prefix table scan
+    // this windowed tree - without the cache it executes twice
     val ranked = sh.join(broadcast(ids), "g")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("gid"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .persist()
     // per-doc sorted shingle-id sets: at this corpus size they broadcast
     // (docs × shingles ints); at cluster scale swap the verify step for the
     // (d2,g) equi-join in verifiedJaccard
