@@ -115,6 +115,25 @@ object Relational3 {
     hs2.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
   }
 
+  /** Q15 — top-5 parts per brand by retail price (SURVEY §2.11): ranked
+    * window + filter, partkey tiebreak. */
+  val q15_topk_parts_per_brand: Query = Query(
+    """SELECT p_brand, rn, p_partkey, p_retailprice
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |             CAST(row_number() OVER (PARTITION BY p_brand
+      |                                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+      |      FROM part) x
+      |WHERE rn <= 5
+      |ORDER BY p_brand, rn""") { (s, dir) =>
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .select("p_brand", "rn", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rn")
+  }
+
   /** Q34 — the reference's convergence MSE (SURVEY R7) under the oracle:
     * full-outer join of two successive heroic-score generations with
     * coalesce-0 on the absent side, mean of squared differences. */
@@ -160,6 +179,7 @@ object Relational3 {
     "q07b_rank_battery" -> q07b_rank_battery,
     "q09b_limit_offset" -> q09b_limit_offset,
     "q12c_array_battery" -> q12c_array_battery,
+    "q15_topk_parts_per_brand" -> q15_topk_parts_per_brand,
     "q33_heroic_on_orders" -> q33_heroic_on_orders,
     "q34_mse_on_orders" -> q34_mse_on_orders)
 }
