@@ -393,8 +393,61 @@ object TextOps {
       .select(col("doc_id"), sig.as("sig"))
   }
 
+  /** Q37 — duplicate clusters: connected components over the exact
+    * near-dup graph (q25 edges), the canonical output of a training-data
+    * dedup pass (keep one doc per cluster). Spark side = iterative
+    * min-label propagation over DataFrames (converges in graph-diameter
+    * iterations; near-dup components are tiny, so 2-3); the oracle
+    * computes the same components with a recursive CTE. */
+  val q37_dup_clusters: Query = Query(
+    s"""WITH RECURSIVE
+       |  sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
+       |         FROM (SELECT doc_id, $normSql AS norm FROM documents) d
+       |         WHERE length(norm) >= 5),
+       |  s2 AS (SELECT DISTINCT doc_id, substr(norm, i + 1, 5) AS g FROM sh),
+       |  cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
+       |  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |            FROM s2 a JOIN s2 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |  e AS (SELECT d1, d2 FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       |        WHERE inter * 1e0 / (ca.n + cb.n - inter) >= 0.8),
+       |  bi AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+       |  verts AS (SELECT DISTINCT a AS v FROM bi),
+       |  reach(v, r) AS (SELECT v, v FROM verts
+       |                  UNION
+       |                  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.v),
+       |  comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM comp GROUP BY cluster_id
+       |ORDER BY cluster_id""") { (s, dir) =>
+    val edges = q25_jaccard_neardup.fn(s, dir).select("d1", "d2")
+    val bi = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(edges.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = bi.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < 20) {
+      it += 1
+      val prop = bi.join(labels, col("a") === col("v"))
+        .select(col("b").as("v"), col("lbl"))
+      val next = labels.select("v", "lbl").unionAll(prop)
+        .groupBy("v").agg(min(col("lbl")).as("lbl")).persist()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    bi.unpersist()
+    labels
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
   val all: Map[String, Query] = Map(
     "q16_dedup_exact" -> q16_dedup_exact,
+    "q37_dup_clusters" -> q37_dup_clusters,
     "q18b_top_terms" -> q18b_top_terms,
     "q21_lang_id" -> q21_lang_id,
     "q22_quality_score" -> q22_quality_score,
