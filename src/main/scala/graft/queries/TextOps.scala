@@ -263,6 +263,20 @@ object TextOps {
     * verify the exact jaccard. Same exact output, near-linear candidate
     * volume — the property that keeps this runnable at 100 TB. */
   val q25_jaccard_neardup: Query = Query(jaccardSql) { (s, dir) =>
+    jaccardPairs(s, dir)
+      .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact near-dup pairs (d1, d2, jac >= 0.8), memoized + persisted per
+    * (session, dir): q25 formats them, q37 consumes them as edges. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir), buildJaccardPairs(s, dir).persist())
+
+  private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tau = 0.8
     val sh = shingles(s, dir)
@@ -304,8 +318,6 @@ object TextOps {
       .select(col("d1"), col("d2"),
         (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
-      .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** Deterministic MinHash permutation constants under p = 2^31-1;
@@ -419,7 +431,7 @@ object TextOps {
        |SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM comp GROUP BY cluster_id
        |ORDER BY cluster_id""") { (s, dir) =>
-    val edges = q25_jaccard_neardup.fn(s, dir).select("d1", "d2")
+    val edges = jaccardPairs(s, dir).select("d1", "d2")
     val bi = edges.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(edges.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
