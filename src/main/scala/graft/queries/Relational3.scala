@@ -175,7 +175,54 @@ object Relational3 {
     Seq(Heroic.mse(hs1, hs2)).toDF("mse").select(cround(col("mse")).as("mse"))
   }
 
+  /** Q38 — exact interpolated percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, both linear interpolation). */
+  val q38_percentiles: Query = Query(
+    """SELECT l_returnflag,
+      |       floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5e0) / 10000 AS med_qty,
+      |       floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5e0) / 10000 AS p90_qty,
+      |       floor(quantile_cont(l_discount, 0.25) * 10000 + 0.5e0) / 10000 AS p25_disc,
+      |       floor(quantile_cont(l_discount, 0.99) * 10000 + 0.5e0) / 10000 AS p99_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        cround(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+        cround(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        cround(expr("percentile(l_discount, 0.25)")).as("p25_disc"),
+        cround(expr("percentile(l_discount, 0.99)")).as("p99_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q39 — statistical moment aggregates per group (stddev/variance/
+    * correlation/covariance) over small-magnitude columns so the
+    * canonical 1e-4 rounding absorbs summation-order noise. */
+  val q39_stats_moments: Query = Query(
+    """SELECT l_returnflag,
+      |       floor(stddev_samp(l_quantity) * 10000 + 0.5e0) / 10000 AS sd_qty,
+      |       floor(var_samp(l_quantity) * 10000 + 0.5e0) / 10000 AS var_qty,
+      |       floor(corr(l_quantity, l_discount) * 10000 + 0.5e0) / 10000 AS corr_qd,
+      |       floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5e0) / 10000 AS cov_qd,
+      |       floor(avg(l_discount) * 10000 + 0.5e0) / 10000 AS avg_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        cround(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        cround(var_samp(col("l_quantity"))).as("var_qty"),
+        cround(corr(col("l_quantity"), col("l_discount"))).as("corr_qd"),
+        cround(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
+        cround(avg(col("l_discount"))).as("avg_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Query] = Map(
+    "q38_percentiles" -> q38_percentiles,
+    "q39_stats_moments" -> q39_stats_moments,
     "q07b_rank_battery" -> q07b_rank_battery,
     "q09b_limit_offset" -> q09b_limit_offset,
     "q12c_array_battery" -> q12c_array_battery,
