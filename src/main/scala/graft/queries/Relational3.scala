@@ -178,14 +178,14 @@ object Relational3 {
   /** Q38 — exact interpolated percentiles per group (Spark `percentile`
     * ≡ DuckDB `quantile_cont`, both linear interpolation). */
   val q38_percentiles: Query = Query(
-    """SELECT l_returnflag,
-      |       floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5e0) / 10000 AS med_qty,
-      |       floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5e0) / 10000 AS p90_qty,
-      |       floor(quantile_cont(l_discount, 0.25) * 10000 + 0.5e0) / 10000 AS p25_disc,
-      |       floor(quantile_cont(l_discount, 0.99) * 10000 + 0.5e0) / 10000 AS p99_disc
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""") { (s, dir) =>
+    s"""SELECT l_returnflag,
+       |       ${croundSql("quantile_cont(l_quantity, 0.5)")} AS med_qty,
+       |       ${croundSql("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
+       |       ${croundSql("quantile_cont(l_discount, 0.25)")} AS p25_disc,
+       |       ${croundSql("quantile_cont(l_discount, 0.99)")} AS p99_disc
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""") { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -200,15 +200,15 @@ object Relational3 {
     * correlation/covariance) over small-magnitude columns so the
     * canonical 1e-4 rounding absorbs summation-order noise. */
   val q39_stats_moments: Query = Query(
-    """SELECT l_returnflag,
-      |       floor(stddev_samp(l_quantity) * 10000 + 0.5e0) / 10000 AS sd_qty,
-      |       floor(var_samp(l_quantity) * 10000 + 0.5e0) / 10000 AS var_qty,
-      |       floor(corr(l_quantity, l_discount) * 10000 + 0.5e0) / 10000 AS corr_qd,
-      |       floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5e0) / 10000 AS cov_qd,
-      |       floor(avg(l_discount) * 10000 + 0.5e0) / 10000 AS avg_disc
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""") { (s, dir) =>
+    s"""SELECT l_returnflag,
+       |       ${croundSql("stddev_samp(l_quantity)")} AS sd_qty,
+       |       ${croundSql("var_samp(l_quantity)")} AS var_qty,
+       |       ${croundSql("corr(l_quantity, l_discount)")} AS corr_qd,
+       |       ${croundSql("covar_samp(l_quantity, l_discount)")} AS cov_qd,
+       |       ${davgSql("l_discount", 6)} AS avg_disc
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""") { (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -216,7 +216,7 @@ object Relational3 {
         cround(var_samp(col("l_quantity"))).as("var_qty"),
         cround(corr(col("l_quantity"), col("l_discount"))).as("corr_qd"),
         cround(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
-        cround(avg(col("l_discount"))).as("avg_disc"))
+        davg(col("l_discount"), 6).as("avg_disc"))
       .orderBy("l_returnflag")
   }
 

@@ -201,36 +201,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Session-scoped persisted-DataFrame memoizer: near-dup operators
+    * share expensive intermediates (shingles, signatures, verified pairs)
+    * instead of recomputing them per query. synchronized so a concurrent
+    * first call cannot double-build and leak a persisted copy. */
+  private val dfCache =
+    scala.collection.mutable.Map.empty[(String, SparkSession, String), DataFrame]
+
+  private def memo(tag: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    dfCache.synchronized(dfCache.getOrElseUpdate((tag, s, dir), build))
+
   /** Distinct 5-gram character shingles of the normalized text. Memoized
     * and persisted per (session, dir): the exact (q25) and banded (q26)
     * near-dup operators share one shuffle instead of recomputing the
     * distinct twice. */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir),
+    memo("shingles", s, dir) {
       docs(s, dir)
         .select(col("doc_id"), norm.as("norm"))
         .filter(length(col("norm")) >= 5)
         .select(col("doc_id"),
           explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
         .distinct()
-        .persist())
+        .persist()
+    }
+
+  /** Jaccard threshold shared by q25/q26/q37 (Scala and oracle SQL). */
+  private val JaccardTau = 0.8
+
+  /** Shared oracle CTE chain: exact near-dup pairs (d1, d2) at
+    * jac >= JaccardTau over distinct 5-gram shingles. */
+  private val pairCtesSql =
+    s"""sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
+       |        FROM (SELECT doc_id, $normSql AS norm FROM documents) d
+       |        WHERE length(norm) >= 5),
+       | s2 AS (SELECT DISTINCT doc_id, substr(norm, i + 1, 5) AS g FROM sh),
+       | cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
+       | pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |           FROM s2 a JOIN s2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       | j AS (SELECT d1, d2, inter * 1e0 / (ca.n + cb.n - inter) AS jac
+       |       FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)""".stripMargin
 
   private val jaccardSql =
-    s"""WITH sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
-       |            FROM (SELECT doc_id, $normSql AS norm FROM documents) d
-       |            WHERE length(norm) >= 5),
-       |     s2 AS (SELECT DISTINCT doc_id, substr(norm, i + 1, 5) AS g FROM sh),
-       |     cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
-       |     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |               FROM s2 a JOIN s2 b ON a.g = b.g AND a.doc_id < b.doc_id
-       |               GROUP BY 1, 2),
-       |     j AS (SELECT d1, d2, inter * 1e0 / (ca.n + cb.n - inter) AS jac
-       |           FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2)
-       |SELECT d1, d2, floor(jac * 10000 + 0.5e0) / 10000 AS jaccard FROM j
-       |WHERE jac >= 0.8
+    s"""WITH $pairCtesSql
+       |SELECT d1, d2, ${croundSql("jac")} AS jaccard FROM j
+       |WHERE jac >= $JaccardTau
        |ORDER BY d1, d2"""
 
   /** Exact pairwise jaccard ≥ 0.8 over distinct 5-gram shingle sets for
@@ -248,7 +264,7 @@ object TextOps {
       .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= JaccardTau)
       .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
       .orderBy("d1", "d2")
   }
@@ -268,17 +284,16 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  /** Exact near-dup pairs (d1, d2, jac >= 0.8), memoized + persisted per
-    * (session, dir): q25 formats them, q37 consumes them as edges. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Exact near-dup pairs (d1, d2, jac >= JaccardTau), memoized +
+    * persisted per (session, dir): q25 formats them, q37 consumes them as
+    * edges. */
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir), buildJaccardPairs(s, dir).persist())
+    memo("jaccardPairs", s, dir)(buildJaccardPairs(s, dir))
 
   private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tau = 0.8
+    val tau = JaccardTau
     val sh = shingles(s, dir)
     // global rarest-first shingle ids (row_number over the df order);
     // vocabulary is tiny relative to the corpus, so one partition is fine
@@ -310,7 +325,7 @@ object TextOps {
       .select("d1", "d2").distinct()
     // array_intersect over the sorted id arrays (codegen'd; a scala UDF
     // here boxes every element and is ~10x slower — measured)
-    cand
+    val out = cand
       .join(broadcast(docSets.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1"))), "d1")
       .join(broadcast(docSets.select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2"))), "d2")
       .select(col("d1"), col("d2"),
@@ -318,6 +333,12 @@ object TextOps {
       .select(col("d1"), col("d2"),
         (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
+      .persist()
+    // materialize once (this builder runs once per session/dir), then drop
+    // the large windowed intermediate - only the tiny pair set stays cached
+    out.count()
+    ranked.unpersist()
+    out
   }
 
   /** Deterministic MinHash permutation constants under p = 2^31-1;
@@ -384,11 +405,8 @@ object TextOps {
 
   /** 64-bit SimHash per document over distinct whitespace tokens
     * (memoized + persisted per (session, dir), like [[shingles]]). */
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate((s, dir), buildSimhash(s, dir).persist())
+    memo("simhash", s, dir)(buildSimhash(s, dir).persist())
 
   private def buildSimhash(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
@@ -413,21 +431,14 @@ object TextOps {
     * computes the same components with a recursive CTE. */
   val q37_dup_clusters: Query = Query(
     s"""WITH RECURSIVE
-       |  sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
-       |         FROM (SELECT doc_id, $normSql AS norm FROM documents) d
-       |         WHERE length(norm) >= 5),
-       |  s2 AS (SELECT DISTINCT doc_id, substr(norm, i + 1, 5) AS g FROM sh),
-       |  cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
-       |  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |            FROM s2 a JOIN s2 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |  e AS (SELECT d1, d2 FROM pairs JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-       |        WHERE inter * 1e0 / (ca.n + cb.n - inter) >= 0.8),
-       |  bi AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
-       |  verts AS (SELECT DISTINCT a AS v FROM bi),
-       |  reach(v, r) AS (SELECT v, v FROM verts
-       |                  UNION
-       |                  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.v),
-       |  comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+       | $pairCtesSql,
+       | e AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardTau),
+       | bi AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+       | verts AS (SELECT DISTINCT a AS v FROM bi),
+       | reach(v, r) AS (SELECT v, v FROM verts
+       |                 UNION
+       |                 SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.v),
+       | comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
        |SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM comp GROUP BY cluster_id
        |ORDER BY cluster_id""") { (s, dir) =>
@@ -437,14 +448,21 @@ object TextOps {
       .persist()
     var labels = bi.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
+    // converges in <= diameter rounds; the vertex count bounds the
+    // diameter, so this cannot loop forever, and non-convergence within
+    // the bound is impossible rather than silently tolerated
+    val maxRounds = labels.count().max(1L)
     var converged = false
     var it = 0
-    while (!converged && it < 20) {
+    while (!converged && it < maxRounds) {
       it += 1
       val prop = bi.join(labels, col("a") === col("v"))
         .select(col("b").as("v"), col("lbl"))
-      val next = labels.select("v", "lbl").unionAll(prop)
-        .groupBy("v").agg(min(col("lbl")).as("lbl")).persist()
+      var next = labels.select("v", "lbl").unionAll(prop)
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+      // each round references the previous generation twice; cut lineage
+      // periodically so recomputation after block loss stays linear
+      next = if (it % 5 == 0) next.localCheckpoint(true) else next.persist()
       converged = next.join(labels.withColumnRenamed("lbl", "old"), "v")
         .filter(col("lbl") =!= col("old")).isEmpty
       labels.unpersist()

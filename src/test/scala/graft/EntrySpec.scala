@@ -10,6 +10,15 @@ class EntrySpec extends SparkSpec {
     val keys = SparkEntry.registry.keys.toSeq
     assert(keys.size == keys.distinct.size)
     assert(keys.forall(_.matches("q\\d+[a-z]?_[a-z0-9_]+")))
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // exactly the documented approximate/hash-specific queries lack an oracle
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q06b_approx_distinct", "q27_simhash",
+      "q30_ann_lsh", "q35_stratified_sample"), noOracle)
+    // every oracle references a known table and is runnable-looking SQL
+    val tables = graft.engine.Tables.names
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.toUpperCase.startsWith("SELECT") || sql.trim.toUpperCase.startsWith("WITH"), k)
+      assert(tables.exists(t => sql.contains(t)), s"$k oracle references no table")
+    }
   }
 }
