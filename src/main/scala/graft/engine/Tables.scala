@@ -15,10 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEvents(df) else df
-  }
+  // memoized per (session, dir, name): the testdata files are immutable,
+  // so reusing the resolved DataFrame saves a file listing + footer read
+  // per query (the bench runs 50+ queries against the same 10 tables)
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, name), {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEvents(df) else df
+    })
 
   /** events.ts is TIMESTAMP(NANOS) in the parquet footer. With
     * spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos;
