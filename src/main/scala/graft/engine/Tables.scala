@@ -27,6 +27,11 @@ object Tables {
       if (name == "events") normalizeEvents(df) else df
     })
 
+  /** Drop the memoized DataFrames (plan objects only — nothing is
+    * persisted here). The bench clears between queries so every run is
+    * self-contained. */
+  def clearCache(): Unit = tableCache.clear()
+
   /** events.ts is TIMESTAMP(NANOS) in the parquet footer. With
     * spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos;
     * truncate to microseconds (matching DuckDB's ns->us cast) and expose

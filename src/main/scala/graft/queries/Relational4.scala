@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Oracle twins for the remaining reference MapReduce shapes plus the
+  * GROUPING SETS general form (round-1 VERDICT items 5/6).
+  *
+  * R1/R2/R5 (reference exercise_1.py:9-87, exercise_3.py:25-51) were
+  * gated only by GoldenSpec against the reference's own outputs;
+  * these twins re-express the same operator shapes on the driver's
+  * orders/lineitem tables so the DuckDB oracle hash-checks them too.
+  */
+object Relational4 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
+  /** Q40 — R2/A3 twin: GLOBAL ARGMAX as one aggregation (`max_by` over a
+    * (cnt, -key) ordering struct), not a sort+limit — partial aggregation
+    * distributes, so a 1000-executor run reduces a single row per
+    * partition. Tie rule: lowest key wins (the canonicalized reference
+    * behavior, exercise_1.py:70-73 / SURVEY A3). The oracle expresses the
+    * same semantics as ORDER BY cnt DESC, key LIMIT 1. */
+  val q40_global_argmax: Query = Query(
+    """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+      |SELECT o_custkey AS player, cnt FROM c
+      |ORDER BY cnt DESC, o_custkey LIMIT 1""") { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .agg(max_by(
+        struct(col("o_custkey").as("player"), col("cnt")),
+        struct(col("cnt"), (col("o_custkey") * -1).as("neg"))).as("s"))
+      .select(col("s.player").as("player"), col("s.cnt").as("cnt"))
+  }
+
+  /** Q41 — R5 twin (distinct + HAVING, threshold 12 like the reference's
+    * H_VAL, exercise_3.py:7): customers active on >= 12 distinct order
+    * days. Distinct-pair dedup then grouped count then HAVING — the exact
+    * exercise_3 pipeline shape. */
+  val q41_frequent_customers: Query = Query(
+    """WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS dd FROM orders)
+      |SELECT o_custkey AS player, count(*) AS cnt
+      |FROM d GROUP BY 1 HAVING count(*) >= 12
+      |ORDER BY player""") { (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("dd"))
+      .distinct()
+      .groupBy(col("o_custkey").as("player")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 12)
+      .orderBy("player")
+  }
+
+  /** Q42 — R1 twin: the two-sided grouped count (challenges per
+    * challenger AND per challenged, exercise_1.py:9-52) as role-tagged
+    * counts over lineitem's part/supplier keys. */
+  val q42_role_counts: Query = Query(
+    """SELECT 'part' AS role, l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 2
+      |UNION ALL
+      |SELECT 'supp' AS role, l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 2
+      |ORDER BY role, key""") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
+      .select(lit("part").as("role"), col("key"), col("cnt"))
+      .unionAll(li.groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+        .select(lit("supp").as("role"), col("key"), col("cnt")))
+      .orderBy("role", "key")
+  }
+
+  /** Q11c — GROUPING SETS general form (SURVEY §2.4, alongside rollup
+    * q11 / cube q11b): independent per-returnflag and per-linestatus
+    * subtotals in one pass; the absent column surfaces as 'ALL'. */
+  val q11c_grouping_sets: Query = Query(
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |       coalesce(l_linestatus, 'ALL') AS linestatus,
+       |       ${dsumSql("l_quantity")} AS sum_qty,
+       |       ${dsumSql("l_extendedprice")} AS sum_price,
+       |       count(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY returnflag, linestatus""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  val all: Map[String, Query] = Map(
+    "q40_global_argmax" -> q40_global_argmax,
+    "q41_frequent_customers" -> q41_frequent_customers,
+    "q42_role_counts" -> q42_role_counts,
+    "q11c_grouping_sets" -> q11c_grouping_sets)
+}

@@ -84,6 +84,13 @@ object VectorOps {
       while (i < v.length) { acc(i) += v(i); i += 1 }
       (acc, b._2 + 1)
     }
+    // In-place accumulation into a._1 is safe here: Aggregator buffers
+    // arrive either from reduce() (which allocated the array itself) or
+    // from Kryo deserialization of a shuffled partial (a fresh array per
+    // call); Spark never hands the same buffer object to two merges, and
+    // the zero is a fresh empty array per call (never mutated — the
+    // isEmpty branches return the other side). PropertySpec asserts
+    // many-partition ≡ single-partition centroids to guard this.
     def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
       if (a._1.isEmpty) b
       else if (b._1.isEmpty) a
@@ -117,15 +124,14 @@ object VectorOps {
   }
 
   /** Q28 — top-50 most similar embedding pairs (all-pairs cosine,
-    * vec_id-ordered to dedupe the triangle). The corpus matrix is tiny
-    * relative to the pair count, so it broadcasts and each partition
-    * scores its rows against the broadcast side with primitive loops —
-    * the idiomatic Spark shape for dense numeric kernels (HOF expressions
-    * allocate per element; a fused loop is ~10× faster). The sequential
-    * double accumulation is bit-identical to the HOF/oracle formula.
-    * TakeOrderedAndProject keeps only a per-partition top-50, so nothing
-    * quadratic is shuffled. At 100 TB the matrix no longer broadcasts and
-    * the q30 LSH-blocked variant becomes the pair generator. */
+    * vec_id-ordered to dedupe the triangle). Shaped as a broadcast
+    * nested-loop self-join: the small side broadcasts once (no driver
+    * collect — executors stream their partitions against the broadcast
+    * copy), the `graft_dot` native expression fuses the dot product
+    * inside whole-stage codegen, and orderBy+limit plans as
+    * TakeOrderedAndProject so only per-partition top-50s are shuffled —
+    * nothing quadratic moves. At 100 TB the matrix no longer broadcasts
+    * and the q30 LSH-blocked variant becomes the pair generator. */
   val q28_cosine_top_pairs: Query = Query(
     s"""WITH u AS ($unnestSql),
        |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
@@ -138,29 +144,12 @@ object VectorOps {
        |FROM cos
        |ORDER BY cos DESC, v1, v2
        |LIMIT 50""") { (s, dir) =>
-    import s.implicits._
-    val e = emb(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val all = e.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) =>
-      var acc = 0.0; var k = 0
-      while (k < v.length) { acc += v(k).toDouble * v(k).toDouble; k += 1 }
-      math.sqrt(acc)
-    }
-    val bc = s.sparkContext.broadcast((all, norms))
-    e.mapPartitions { it =>
-      val (vecs, nrms) = bc.value
-      it.flatMap { case (v1, e1) =>
-        var acc = 0.0; var k = 0
-        while (k < e1.length) { acc += e1(k).toDouble * e1(k).toDouble; k += 1 }
-        val n1 = math.sqrt(acc)
-        vecs.indices.iterator.filter(j => vecs(j)._1 > v1).map { j =>
-          val e2 = vecs(j)._2
-          var d = 0.0; var i = 0
-          while (i < e1.length) { d += e1(i).toDouble * e2(i).toDouble; i += 1 }
-          (v1, vecs(j)._1, d / (n1 * nrms(j)))
-        }
-      }
-    }.toDF("v1", "v2", "cos")
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val lhs = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val rhs = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    lhs.join(broadcast(rhs), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .orderBy(col("cos").desc, col("v1"), col("v2"))
       .limit(50)
       .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))

@@ -34,7 +34,15 @@ package object queries {
     * arithmetic. Spark's round() (BigDecimal HALF_UP over the shortest
     * decimal repr) and DuckDB's round() disagree at exact .xxxx5
     * boundaries; this formula is the same IEEE operations in both
-    * engines, hence bitwise-identical on identical inputs. */
+    * engines, hence bitwise-identical on identical inputs.
+    *
+    * Domain: |x| < 2^51 / 10^digits (≈ 2.2e11 at digits=4). Inside it the
+    * divide-then-multiply round-trip error on floor(x·10^d+0.5) stays
+    * below n·2^-52 < 0.5 of an integer step, so the formula is provably
+    * idempotent. Beyond ≈ 2^52/10^d a double's ulp exceeds 10^-d and
+    * re-rounding can move the value. Every query that calls cround rounds
+    * ratios, averages, or similarity scores — all far inside the domain —
+    * and the LawsCheck idempotence property generates inside it. */
   def cround(c: Column, digits: Int = 4): Column = {
     val f = math.pow(10, digits)
     floor(c * f + 0.5) / f

@@ -41,6 +41,17 @@ object Streams {
         col("n"), col("sum_value"))
   }
 
+  /** Q19b streaming form — sliding window (1 h length, 15 min slide).
+    * count(DISTINCT) is unsupported in streaming aggregations, so the
+    * streaming twin carries count + exact decimal sum; the batch q19b
+    * keeps its n_users column for the SQL oracle. */
+  def slidingQuarter(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("n"), col("sum_value"))
+  }
+
   /** Stateful streaming dedup on event_id; state for ids older than the
     * watermark is dropped (dropDuplicatesWithinWatermark). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =

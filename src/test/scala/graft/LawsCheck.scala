@@ -27,7 +27,18 @@ object LawsCheck extends Properties("graft.laws") {
 
   private def cround(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
 
-  property("cround is idempotent") = Prop.forAll(windowDoubles) { d =>
+  // cround's documented domain is |x| < 2^51 / 10^4 ≈ 2.2e11
+  // (graft.queries.cround scaladoc): inside it the round-trip error stays
+  // under half an integer step so idempotence is provable; near 2^52/10^4
+  // a double's ulp exceeds 1e-4 and re-rounding can move the value (the
+  // round-1 falsification at -4.48e11). Generate inside the domain.
+  private val croundDomain: Gen[Double] = Gen.oneOf(
+    Gen.choose(1e-4, 2e11),
+    Gen.choose(-2e11, -1e-4),
+    Gen.choose(0.9, 1.1),
+    Gen.chooseNum(1L, 5000L).map(_.toDouble))
+
+  property("cround is idempotent on its domain") = Prop.forAll(croundDomain) { d =>
     val r = cround(d)
     cround(r) == r
   }

@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial and final stages")
   }
 
+  test("q25 candidate generation has no partition-less window (scale guard)") {
+    // round-1 VERDICT: a global Window.orderBy ran the whole shingle
+    // vocabulary through one partition. The rarest-first order is now a
+    // per-doc window over the global (df, g) order — every Window node in
+    // the candidate plan must carry a partition spec.
+    val sh = graft.queries.TextOps.shingles(spark, dir)
+    val (cand, prefix) = graft.queries.TextOps.ppjoinCandidates(sh)
+    prefix.unpersist() // so cache substitution can't hide the window subtree
+    val wins = cand.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the per-doc ranking window in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "a partition-less Window would serialize the vocabulary through one task")
+  }
+
   test("whole-stage codegen spans the scalar battery") {
     val df = Relational.q12_scalar_battery.fn(spark, dir)
     df.collect() // finalize the adaptive plan so codegen stages materialize

@@ -116,6 +116,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("VecCentroid is partition-invariant (merge buffer-aliasing guard)") {
+    val dir = "/root/testdata/sf0.01"
+    val centroid = udaf(new graft.queries.VectorOps.VecCentroid)
+    val e = graft.engine.Tables.table(spark, dir, "embeddings")
+      .select("label", "embedding")
+    def run(df: DataFrame): Map[String, Seq[Double]] =
+      df.groupBy("label").agg(centroid(col("embedding")).as("c"))
+        .collect().map(r => r.get(0).toString -> r.getSeq[Double](1).toSeq).toMap
+    val single = run(e.coalesce(1))     // zero shuffle-side merges
+    val many = run(e.repartition(97))   // many partial buffers merged
+    assert(single.keySet == many.keySet)
+    for (k <- single.keySet; (a, b) <- single(k).zip(many(k)))
+      assert(math.abs(a - b) < 1e-9, s"label $k: $a vs $b across partitionings")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val dir = "/root/testdata/sf0.01"
     val approx = graft.queries.Relational2.q06b_approx_distinct.fn(spark, dir).collect()

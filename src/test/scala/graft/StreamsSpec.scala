@@ -54,6 +54,17 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("Q19b sliding window: stream (complete mode) equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    loadEvents().grouped(450).foreach(chunk => stream.addData(chunk))
+    val got = runToCompletion(Streams.slidingQuarter(stream.toDF()), "t_q19b", "complete")
+    val want = Streams.slidingQuarter(eventsBatch)
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
   test("Q20 session window: stream (complete mode) equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
