@@ -214,9 +214,85 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** Q43 — IVF-Flat ANN (the second scale path for Q17, complementing
+    * Q30's LSH): a spherical k-means coarse quantizer (nlist cells,
+    * deterministic init from the first vectors, 3 Lloyd rounds) built
+    * with distributed assignment + aggregation; each Lloyd round collects
+    * only the nlist×dim centroid sums — MODEL state, not data (at 100 TB
+    * you train on a sample; assignment stays a full parallel scan).
+    * Search probes the nprobe nearest cells, so candidates ≈
+    * nprobe/nlist of the corpus joined on the cell id — an equi-join,
+    * never a cross product. Approximate by construction → no SQL oracle;
+    * DedupSpec gates measured recall vs exact Q17. */
+  val q43_ann_ivf: Query = Query.noOracle { (s, dir) =>
+    val nlist = 16
+    val nprobe = 4
+    val lloydRounds = 3
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    def normalize(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      val n = math.sqrt(acc)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // deterministic seeding: the nlist lowest-id vectors, unit-normalized
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(r => normalize(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    def assignUdf(cs: Array[Array[Double]]) = udf { (v: Array[Float]) =>
+      // cells are unit vectors, so argmax dot == argmax cosine (|v| fixed)
+      var best = 0; var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val ct = cs(c); var d = 0.0; var i = 0
+        while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
+        if (d > bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until lloydRounds) {
+      val sums = e.withColumn("cell", assignUdf(cents)(col("embedding")))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(sum(col("col").cast("double")).as("s"))
+        .collect()
+      val next = cents.clone()
+      sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val v = new Array[Double](cents(cell).length)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        next(cell) = normalize(v)
+      }
+      cents = next
+    }
+    def probeCellsUdf(cs: Array[Array[Double]], k: Int) = udf { (v: Array[Float]) =>
+      cs.indices.map { c =>
+        val ct = cs(c); var d = 0.0; var i = 0
+        while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
+        (c, d)
+      }.sortBy(-_._2).take(k).map(_._1)
+    }
+    val index = e.withColumn("cell", assignUdf(cents)(col("embedding")))
+    val probes = index.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"), explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
+    val cand = index.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"), col("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .dropDuplicates("probe_id", "cand_id")
+      .select(col("probe_id"), col("cand_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("cand_id"), cround(col("cos")).as("cos_sim"))
+      .orderBy("probe_id", "rn")
+  }
+
   val all: Map[String, Query] = Map(
     "q17_cosine_topk" -> q17_cosine_topk,
     "q18_centroid" -> q18_centroid,
     "q28_cosine_top_pairs" -> q28_cosine_top_pairs,
-    "q30_ann_lsh" -> q30_ann_lsh)
+    "q30_ann_lsh" -> q30_ann_lsh,
+    "q43_ann_ivf" -> q43_ann_ivf)
 }

@@ -41,6 +41,15 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("q43 IVF ANN reaches >= 0.6 recall vs exact q17 top-5") {
+    val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = VectorOps.q43_ann_ivf.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("exact dedup drops a planted duplicate") {
     import spark.implicits._
     val docs = Seq(

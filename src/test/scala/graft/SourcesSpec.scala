@@ -43,6 +43,25 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("orc round-trip preserves schema and rows") {
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "supplier")
+    src.write.mode("overwrite").orc(s"$tmp/supp_orc")
+    val back = spark.read.orc(s"$tmp/supp_orc")
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("orc scan pushes predicates and prunes columns") {
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "customer")
+    src.write.mode("overwrite").orc(s"$tmp/cust_orc")
+    val q = spark.read.orc(s"$tmp/cust_orc")
+      .filter(col("c_acctbal") > 5000)
+      .select("c_custkey", "c_acctbal")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("c_acctbal"), p)
+    assert(q.count() == src.filter(col("c_acctbal") > 5000).count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val src = Tables.table(spark, "/root/testdata/sf0.001", "orders")
       .withColumn("yr", year(col("o_orderdate")))
