@@ -52,6 +52,31 @@ object Streams {
       .select(unix_micros(col("window.start")).as("win_us"), col("n"), col("sum_value"))
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the preceding hour. Both sides carry
+    * watermarks, so Spark evicts join state whose event time can no
+    * longer match (state ∝ the 2-hour window, not history) — the
+    * property that lets two unbounded streams join forever. The same
+    * expression runs in batch (withWatermark is a no-op there);
+    * StreamsSpec asserts batch ≡ stream. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Stateful streaming dedup on event_id; state for ids older than the
     * watermark is dropped (dropDuplicatesWithinWatermark). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =

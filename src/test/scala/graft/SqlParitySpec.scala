@@ -22,7 +22,9 @@ class SqlParitySpec extends SparkSpec {
     "q04_revenue_by_nation", "q05_semi_anti", "q06_count_distinct",
     "q07_rank_segment_top3", "q08_order_windows", "q09_top10_orders",
     "q10_setops", "q10b_setops_bag", "q11_rollup_pricing", "q11b_cube_pricing",
-    "q01b_predicates", "q09b_limit_offset", "q33_heroic_on_orders")
+    "q01b_predicates", "q09b_limit_offset", "q33_heroic_on_orders",
+    "q40_global_argmax", "q41_frequent_customers", "q42_role_counts",
+    "q11c_grouping_sets")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

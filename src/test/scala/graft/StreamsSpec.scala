@@ -75,6 +75,18 @@ class StreamsSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("stream-stream interval join (append mode) equals batch join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // feed in event-time order so the 2 h watermark never drops a match
+    loadEvents().sortBy(_.ts.getTime).grouped(400).foreach(stream.addData(_))
+    val got = runToCompletion(Streams.clickPurchaseJoin(stream.toDF()), "t_ssj", "append")
+    val want = Streams.clickPurchaseJoin(eventsBatch)
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+  }
+
   test("watermark drops late rows beyond the threshold (append mode)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
