@@ -32,6 +32,9 @@ object Relational4 {
       .agg(max_by(
         struct(col("o_custkey").as("player"), col("cnt")),
         struct(col("cnt"), (col("o_custkey") * -1).as("neg"))).as("s"))
+      // a global agg always emits one row; drop the all-null row on empty
+      // input so the shape matches the oracle's LIMIT 1 (zero rows)
+      .where(col("s").isNotNull)
       .select(col("s.player").as("player"), col("s.cnt").as("cnt"))
   }
 

@@ -268,16 +268,15 @@ object TextOps {
     * pass. Cost scales with candidate volume × doc size — the same
     * asymptotics as a row-level (doc, shingle) equi-join, but without
     * exploding each pair into per-shingle rows through a shuffle+groupBy
-    * (measured ~10× cheaper at 1.5M candidates). Shingle ids come from
-    * `monotonically_increasing_id` over the distinct vocabulary: only
-    * EQUALITY of ids matters for intersection, so partition-dependent id
-    * values are fine, collisions are impossible (exact by construction),
-    * and no global window or dense ranking is needed. */
+    * (measured ~10× cheaper at 1.5M candidates). The arrays hold the
+    * shingle STRINGS themselves: fully deterministic under stage retries
+    * (an id scheme like monotonically_increasing_id can re-assign ids
+    * when a lost shuffle block is recomputed, silently undercounting the
+    * intersection), exact by construction, and it needs no vocabulary
+    * distinct+join at all. */
   private def rawJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val gids = sh.select("g").distinct()
-      .withColumn("gid", monotonically_increasing_id())
-    val docSets = sh.join(gids, "g").groupBy("doc_id")
-      .agg(collect_list(col("gid")).as("gs"), count(lit(1)).as("n"))
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
     cand
       .join(docSets.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1")), "d1")
       .join(docSets.select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2")), "d2")

@@ -278,9 +278,12 @@ object VectorOps {
     val cand = index.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    // no dedup needed: each candidate carries exactly ONE cell (argmax
+    // assignment) and a probe's nprobe cells are distinct, so the cell
+    // equi-join yields at most one row per (probe, cand) pair — unlike
+    // q30, where multi-table collisions require dropDuplicates
     cand.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))
-      .dropDuplicates("probe_id", "cand_id")
       .select(col("probe_id"), col("cand_id"),
         (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
       .withColumn("rn", row_number().over(w))
