@@ -96,9 +96,54 @@ object Relational4 {
       .orderBy("returnflag", "linestatus")
   }
 
+  /** Q44 — pivot (long → wide): per-user event counts spread into one
+    * column per event type. The pivot value list is explicit, so the
+    * output schema is static and the plan is a single groupBy — no
+    * distinct-values pre-pass. Oracle = conditional aggregation. */
+  val q44_pivot_events: Query = Query(
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""") { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("view").as("n_view"), col("click").as("n_click"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("error").as("n_error"))
+      .orderBy("user_id")
+  }
+
+  /** Q44b — unpivot/melt (wide → long): three lineitem measures to
+    * (measure, val) rows. Narrow transform, no shuffle at all until the
+    * presentation sort. Oracle = UNION ALL of per-measure selects. */
+  val q44b_unpivot_lineitem: Query = Query(
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, measure""") { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
   val all: Map[String, Query] = Map(
     "q40_global_argmax" -> q40_global_argmax,
     "q41_frequent_customers" -> q41_frequent_customers,
     "q42_role_counts" -> q42_role_counts,
-    "q11c_grouping_sets" -> q11c_grouping_sets)
+    "q11c_grouping_sets" -> q11c_grouping_sets,
+    "q44_pivot_events" -> q44_pivot_events,
+    "q44b_unpivot_lineitem" -> q44b_unpivot_lineitem)
 }
