@@ -85,7 +85,48 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Q31c — resize + feature-extract stages of the media pipeline:
+    * aspect-preserving integer resize of the (stub-)decoded dimensions to
+    * a 224-long edge, plus a small char-class histogram over the payload
+    * standing in for a codec-derived feature vector (a real deployment
+    * extracts features from the decoded pixels; the batch shape —
+    * per-partition decode, then columnar arithmetic — is identical). */
+  val q31c_resize_features: Query = Query(
+    """WITH m AS (SELECT doc_id, text,
+      |                  64 + octet_length(encode(text)) % 512 AS width,
+      |                  64 + (octet_length(encode(text)) * 31) % 512 AS height
+      |           FROM documents)
+      |SELECT doc_id, width, height,
+      |       CASE WHEN width >= height THEN 224
+      |            ELSE greatest(1, (width * 224) // height) END AS rw,
+      |       CASE WHEN width >= height THEN greatest(1, (height * 224) // width)
+      |            ELSE 224 END AS rh,
+      |       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+      |FROM m
+      |ORDER BY doc_id""") { (s, dir) =>
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("text").cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, text, payload) =>
+        val (w, h, _) = decodeStub(payload)
+        val (rw, rh) =
+          if (w >= h) (224L, math.max(1L, h * 224 / w))
+          else (math.max(1L, w * 224 / h), 224L)
+        (id, text, w, h, rw, rh)
+      })
+      .toDF("doc_id", "text", "width", "height", "rw", "rh")
+      .select(col("doc_id"), col("width"), col("height"), col("rw"), col("rh"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_space"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Query] = Map(
     "q31_multimodal_meta" -> q31_multimodal_meta,
-    "q31b_frame_sample" -> q31b_frame_sample)
+    "q31b_frame_sample" -> q31b_frame_sample,
+    "q31c_resize_features" -> q31c_resize_features)
 }

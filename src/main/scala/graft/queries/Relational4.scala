@@ -96,6 +96,33 @@ object Relational4 {
       .orderBy("returnflag", "linestatus")
   }
 
+  /** Q45 — R3 twin: the reference's smoothed average `(Σ+1)/(n+1)`
+    * (exercise_2.py:9-40 / exercise_4.py:10-34) over orders — customers
+    * appearing only in lineitem-less orders... here: every customer in
+    * orders gets (Σ totalprice + 1)/(n + 1), and customers with no orders
+    * surface at exactly 1.0 via the zero-seed union, the same trick the
+    * reference uses for challenged-only players. */
+  val q45_smoothed_avg: Query = Query(
+    s"""WITH seeded AS (
+       |  SELECT o_custkey AS player, CAST(o_totalprice AS DECIMAL(30,2)) AS v, 1 AS w FROM orders
+       |  UNION ALL
+       |  SELECT c_custkey, CAST(0 AS DECIMAL(30,2)), 0 FROM customer)
+       |SELECT player,
+       |       floor((CAST(sum(v) AS DOUBLE) + 1e0) / (sum(w) + 1) * 10000 + 0.5e0) / 10000 AS sm_avg
+       |FROM seeded GROUP BY player
+       |ORDER BY player""") { (s, dir) =>
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("player"),
+        col("o_totalprice").cast("decimal(30,2)").as("v"), lit(1L).as("w"))
+    val seed = t(s, dir, "customer")
+      .select(col("c_custkey").as("player"),
+        lit(0).cast("decimal(30,2)").as("v"), lit(0L).as("w"))
+    orders.unionAll(seed)
+      .groupBy("player")
+      .agg(cround((sum(col("v")).cast("double") + 1.0) / (sum(col("w")) + 1)).as("sm_avg"))
+      .orderBy("player")
+  }
+
   /** Q44 — pivot (long → wide): per-user event counts spread into one
     * column per event type. The pivot value list is explicit, so the
     * output schema is static and the plan is a single groupBy — no
@@ -145,5 +172,6 @@ object Relational4 {
     "q42_role_counts" -> q42_role_counts,
     "q11c_grouping_sets" -> q11c_grouping_sets,
     "q44_pivot_events" -> q44_pivot_events,
-    "q44b_unpivot_lineitem" -> q44b_unpivot_lineitem)
+    "q44b_unpivot_lineitem" -> q44b_unpivot_lineitem,
+    "q45_smoothed_avg" -> q45_smoothed_avg)
 }

@@ -177,6 +177,29 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Q23b — BPE-ish regex tokenization: alnum runs and single
+    * non-alnum marks as separate tokens (the pre-tokenizer split most
+    * BPE vocabularies assume), compared against the whitespace count as
+    * a fertility ratio. Pattern stays ASCII-class so Java regex (UTF-16)
+    * and RE2 (UTF-8) agree codepoint-for-codepoint. */
+  val q23b_bpe_tokens: Query = Query(
+    s"""WITH t AS (SELECT doc_id,
+       |                  CAST(len(regexp_extract_all($normSql, '[a-z0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe,
+       |                  CAST(len(string_split($normSql, ' ')) AS INT) AS n_ws
+       |           FROM documents)
+       |SELECT doc_id, n_bpe, n_ws,
+       |       floor(n_bpe * 1e0 / n_ws * 10000 + 0.5e0) / 10000 AS fertility
+       |FROM t
+       |ORDER BY doc_id""") { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(norm, lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"),
+        size(split(norm, " ")).as("n_ws"))
+      .select(col("doc_id"), col("n_bpe"), col("n_ws"),
+        cround(col("n_bpe") * lit(1.0) / col("n_ws")).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   /** Q24 — document fingerprint: position-weighted rolling hash over
     * tokens, pure integer arithmetic (engine-portable, unlike xxhash64).
     * fp = Σ (pos+1)·(31·len(w) + ascii(w[0]))  mod 1e9+7. */
@@ -519,6 +542,7 @@ object TextOps {
     "q21_lang_id" -> q21_lang_id,
     "q22_quality_score" -> q22_quality_score,
     "q23_token_stats" -> q23_token_stats,
+    "q23b_bpe_tokens" -> q23b_bpe_tokens,
     "q24_fingerprint" -> q24_fingerprint,
     "q25_jaccard_neardup" -> q25_jaccard_neardup,
     "q26_minhash_lsh" -> q26_minhash_lsh,

@@ -24,7 +24,8 @@ class SqlParitySpec extends SparkSpec {
     "q10_setops", "q10b_setops_bag", "q11_rollup_pricing", "q11b_cube_pricing",
     "q01b_predicates", "q09b_limit_offset", "q33_heroic_on_orders",
     "q40_global_argmax", "q41_frequent_customers", "q42_role_counts",
-    "q11c_grouping_sets", "q44_pivot_events", "q44b_unpivot_lineitem")
+    "q11c_grouping_sets", "q44_pivot_events", "q44b_unpivot_lineitem",
+    "q45_smoothed_avg")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
