@@ -108,7 +108,7 @@ object Relational4 {
        |  UNION ALL
        |  SELECT c_custkey, CAST(0 AS DECIMAL(30,2)), 0 FROM customer)
        |SELECT player,
-       |       floor((CAST(sum(v) AS DOUBLE) + 1e0) / (sum(w) + 1) * 10000 + 0.5e0) / 10000 AS sm_avg
+       |       ${croundSql("(CAST(sum(v) AS DOUBLE) + 1e0) / (sum(w) + 1)")} AS sm_avg
        |FROM seeded GROUP BY player
        |ORDER BY player""") { (s, dir) =>
     val orders = t(s, dir, "orders")
@@ -140,7 +140,8 @@ object Relational4 {
       .groupBy("user_id")
       .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // scoped fill: an unscoped fill would also rewrite a null group key
+      .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
       .select(col("user_id"), col("view").as("n_view"), col("click").as("n_click"),
         col("purchase").as("n_purchase"), col("signup").as("n_signup"),
         col("error").as("n_error"))

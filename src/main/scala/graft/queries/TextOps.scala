@@ -188,7 +188,7 @@ object TextOps {
        |                  CAST(len(string_split($normSql, ' ')) AS INT) AS n_ws
        |           FROM documents)
        |SELECT doc_id, n_bpe, n_ws,
-       |       floor(n_bpe * 1e0 / n_ws * 10000 + 0.5e0) / 10000 AS fertility
+       |       ${croundSql("n_bpe * 1e0 / n_ws")} AS fertility
        |FROM t
        |ORDER BY doc_id""") { (s, dir) =>
     docs(s, dir)

@@ -162,17 +162,22 @@ class StreamsSpec extends SparkSpec {
         .option("checkpointLocation", chk).outputMode("append").start()
       q.processAllAvailable(); q.stop()
     }
-    writeChunk(Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"),
-      ev(1, "2024-01-01 00:02:00")))
-    run()
-    // second, fully separate run off the same checkpoint: the replayed id 1
-    // is dropped ONLY if the dedup state survived the restart, and file A
-    // is not reprocessed ONLY if the offset log survived
-    writeChunk(Seq(ev(1, "2024-01-01 00:03:00"), ev(4, "2024-01-01 00:04:00")))
-    run()
-    val ids = spark.read.parquet(out).select("event_id").collect()
-      .map(_.getLong(0)).sorted.toSeq
-    assert(ids == Seq(1L, 2L, 4L), s"got $ids")
+    try {
+      writeChunk(Seq(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"),
+        ev(1, "2024-01-01 00:02:00")))
+      run()
+      // second, fully separate run off the same checkpoint: the replayed id 1
+      // is dropped ONLY if the dedup state survived the restart, and file A
+      // is not reprocessed ONLY if the offset log survived
+      writeChunk(Seq(ev(1, "2024-01-01 00:03:00"), ev(4, "2024-01-01 00:04:00")))
+      run()
+      val ids = spark.read.parquet(out).select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L), s"got $ids")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
   }
 
   test("mapGroupsWithState userStats final state equals batch aggregate") {
