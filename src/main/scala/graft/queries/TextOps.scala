@@ -297,7 +297,7 @@ object TextOps {
     * when a lost shuffle block is recomputed, silently undercounting the
     * intersection), exact by construction, and it needs no vocabulary
     * distinct+join at all. */
-  private def rawJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def rawJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val docSets = sh.groupBy("doc_id")
       .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
     cand

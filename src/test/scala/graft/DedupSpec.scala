@@ -50,6 +50,42 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("PPJoin pipeline finds exactly the planted near-dup pairs") {
+    import spark.implicits._
+    // adversarial set: near-identical pair, case-variant exact dup,
+    // multi-edit sibling below threshold, unrelated doc — truth computed
+    // brute-force on the driver, pipeline must match it exactly
+    val base = "the quick brown fox jumps over the lazy dog while the rain " +
+      "in spain falls mainly on the plain and all good men come to the aid of the party"
+    val docsDf = Seq(
+      1L -> base,
+      2L -> (base + " tail"),
+      3L -> base.replace("quick", "slow").replace("lazy", "busy")
+        .replace("rain", "snow").replace("plain", "hill").replace("party", "town"),
+      4L -> base.toUpperCase,
+      5L -> ("completely different content about spark partitions shuffles " +
+        "and codegen stages for analytics engines running at cluster scale"))
+      .toDF("doc_id", "text")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val sh = docsDf.select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
+      .distinct()
+    val sets = sh.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size if j >= 0.8
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "test must plant at least one true near-dup pair")
+    val (cand, prefix) = TextOps.ppjoinCandidates(sh)
+    val got = TextOps.rawJaccard(sh, cand).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    prefix.unpersist()
+    assert(got == want, s"pipeline $got vs brute force $want")
+  }
+
   test("exact dedup drops a planted duplicate") {
     import spark.implicits._
     val docs = Seq(
