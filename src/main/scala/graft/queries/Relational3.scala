@@ -196,6 +196,23 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
+  /** Q38b — approx percentiles via the GK sketch (`approx_percentile`,
+    * accuracy 10000 ⇒ rank error ≤ 1/10000): the 100 TB path for
+    * quantiles — the sketch is mergeable, so partial aggregation
+    * distributes where exact `percentile` must gather all values per
+    * group. Sketch-specific ⇒ no SQL oracle; PropertySpec bounds the
+    * error vs exact q38. */
+  val q38b_approx_percentiles: Query = Query.noOracle { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        cround(expr("approx_percentile(l_quantity, 0.5, 10000)")).as("med_qty"),
+        cround(expr("approx_percentile(l_quantity, 0.9, 10000)")).as("p90_qty"),
+        cround(expr("approx_percentile(l_discount, 0.25, 10000)")).as("p25_disc"),
+        cround(expr("approx_percentile(l_discount, 0.99, 10000)")).as("p99_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q39 — statistical moment aggregates per group (stddev/variance/
     * correlation/covariance) over small-magnitude columns so the
     * canonical 1e-4 rounding absorbs summation-order noise. */
@@ -222,6 +239,7 @@ object Relational3 {
 
   val all: Map[String, Query] = Map(
     "q38_percentiles" -> q38_percentiles,
+    "q38b_approx_percentiles" -> q38b_approx_percentiles,
     "q39_stats_moments" -> q39_stats_moments,
     "q07b_rank_battery" -> q07b_rank_battery,
     "q09b_limit_offset" -> q09b_limit_offset,

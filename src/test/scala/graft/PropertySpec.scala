@@ -131,6 +131,22 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-9, s"label $k: $a vs $b across partitionings")
   }
 
+  test("approx_percentile tracks exact percentiles within tolerance") {
+    val dir = "/root/testdata/sf0.01"
+    def toMap(df: DataFrame): Map[String, Seq[Double]] =
+      df.collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble(_)).toSeq).toMap
+    val exact = toMap(graft.queries.Relational3.q38_percentiles.fn(spark, dir))
+    val approx = toMap(graft.queries.Relational3.q38b_approx_percentiles.fn(spark, dir))
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keySet; (e, a) <- exact(k).zip(approx(k)))
+      // GK at accuracy 10000 is rank-exact at this scale up to
+      // interpolation (approx returns an actual data value; exact
+      // interpolates between two) — allow one quantity/discount step
+      assert(math.abs(e - a) <= math.max(1.0, 0.02 * math.abs(e)),
+        s"$k: exact $e vs approx $a")
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val dir = "/root/testdata/sf0.01"
     val approx = graft.queries.Relational2.q06b_approx_distinct.fn(spark, dir).collect()
