@@ -33,6 +33,35 @@ object Relational3 {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Q7c — distribution-analytic window battery: percent_rank,
+    * cume_dist, first_value, nth_value over customer balances per
+    * segment — the distribution side of the ranking surface that q07b's
+    * rank/dense_rank/ntile doesn't cover. nth_value needs an explicit
+    * full frame: its default frame stops at CURRENT ROW, where rows
+    * ranked above the 3rd would see NULL. */
+  val q07c_window_battery: Query = Query(
+    s"""SELECT c_mktsegment, c_custkey,
+       |       ${croundSql("percent_rank() OVER w")} AS pct_rk,
+       |       ${croundSql("cume_dist() OVER w")} AS cume,
+       |       first_value(c_custkey) OVER w AS top_key,
+       |       nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+       |                                     ORDER BY c_acctbal DESC, c_custkey
+       |                                     ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                              AND UNBOUNDED FOLLOWING) AS third_key
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+       |ORDER BY c_mktsegment, c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        cround(percent_rank().over(w)).as("pct_rk"),
+        cround(cume_dist().over(w)).as("cume"),
+        first_value(col("c_custkey")).over(w).as("top_key"),
+        nth_value(col("c_custkey"), 3).over(wFull).as("third_key"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** Q9b — pagination: deterministic ORDER BY + LIMIT/OFFSET. */
   val q09b_limit_offset: Query = Query(
     """SELECT o_orderkey, o_totalprice
@@ -242,6 +271,7 @@ object Relational3 {
     "q38b_approx_percentiles" -> q38b_approx_percentiles,
     "q39_stats_moments" -> q39_stats_moments,
     "q07b_rank_battery" -> q07b_rank_battery,
+    "q07c_window_battery" -> q07c_window_battery,
     "q09b_limit_offset" -> q09b_limit_offset,
     "q12c_array_battery" -> q12c_array_battery,
     "q15_topk_parts_per_brand" -> q15_topk_parts_per_brand,
