@@ -107,94 +107,76 @@ object Relational3 {
     * oracle gates the iterative semantics: smoothed averages with
     * zero-seeded challenged players, distinct edges, two α-blend
     * iterations with missing-score default 1.0 (left join + coalesce). */
-  val q33_heroic_on_orders: Query = Query(
-    """WITH duels AS (SELECT o_custkey % 97 AS challenger,
-      |                      (o_custkey + o_orderkey) % 97 AS challenged,
-      |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
-      |               FROM orders),
-      |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
-      |              UNION ALL
-      |              SELECT challenged, 0, 0 FROM duels),
-      |     avg AS (SELECT player,
-      |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
-      |             FROM seed GROUP BY player),
-      |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
-      |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
-      |            FROM edges e JOIN avg ad ON ad.player = e.challenged
-      |                         JOIN avg ar ON ar.player = e.challenger),
-      |     hs1 AS (SELECT challenger AS player,
-      |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
-      |             FROM st GROUP BY challenger),
-      |     hs2 AS (SELECT st.challenger AS player,
-      |                    0.1e0 * sum(coalesce(h.hs, 1e0) * st.avg_r / st.avg_d) + 0.9e0 AS hs
-      |             FROM st LEFT JOIN hs1 h ON h.player = st.challenged
-      |             GROUP BY st.challenger)
-      |SELECT player, floor(hs * 10000 + 0.5e0) / 10000 AS hs
-      |FROM hs2
-      |ORDER BY player""") { (s, dir) =>
-    import graft.ops.{Duels, Heroic}
-    val duels = t(s, dir, "orders").select(
+  val q33_heroic_on_orders: Query = heroicAtDepth(2)
+
+  /** Synthetic duels derived from orders — the input the whole
+    * heroic-on-orders family (q33/q33b/q34) shares. */
+  private def duelsFromOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
       (col("o_custkey") % 97).as("challenger"),
       ((col("o_custkey") + col("o_orderkey")) % 97).as("challenged"),
       (floor(col("o_totalprice")).cast("long") % 5000).as("score"),
       lit(0L).as("duration"))
+
+  /** hs1..hsK generations of the heroic recurrence over
+    * [[duelsFromOrders]] (lazy DataFrames; element i is generation i+1). */
+  private def heroicChain(s: SparkSession, dir: String, k: Int): Seq[DataFrame] = {
+    import graft.ops.Heroic
+    val duels = duelsFromOrders(s, dir)
     val static = Heroic.staticJoin(duels)
-    val hs1 = Heroic.iterate(static, Heroic.initScores(duels))
-    val hs2 = Heroic.iterate(static, hs1)
-    hs2.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
+    (2 to k).scanLeft(Heroic.iterate(static, Heroic.initScores(duels))) {
+      (hs, _) => Heroic.iterate(static, hs)
+    }
   }
 
-  /** Q33b — the heroic iteration unrolled to FOUR generations, oracle
-    * CTE chain generated programmatically. Validates that the iterative
-    * numerics stay engine-identical at depth: scores grow ~60× per
-    * generation on this synthetic graph (≈4.7e3 at k=4), and cross-engine
-    * float summation noise grows ≈ k·n·ε ≈ 1e-10 absolute — six orders
-    * under the 1e-4 rounding grid. k=8 would reach ~1.7e7 with ~1e-6
-    * noise and a material chance of a rounding-boundary flip, so 4 is
-    * the deepest safely-oracled depth (measured, not guessed). */
-  val q33b_heroic_deep: Query = {
-    val k = 4
-    val iterCtes = (2 to k).map { i =>
+  /** Oracle CTE preamble producing hs1..hsK — ONE copy of the duels/
+    * seed/avg/edges/st chain shared by the family's oracle SQL. */
+  private def heroicCtesSql(k: Int): String = {
+    val base =
+      """WITH duels AS (SELECT o_custkey % 97 AS challenger,
+        |                      (o_custkey + o_orderkey) % 97 AS challenged,
+        |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
+        |               FROM orders),
+        |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
+        |              UNION ALL
+        |              SELECT challenged, 0, 0 FROM duels),
+        |     avg AS (SELECT player,
+        |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
+        |             FROM seed GROUP BY player),
+        |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
+        |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
+        |            FROM edges e JOIN avg ad ON ad.player = e.challenged
+        |                         JOIN avg ar ON ar.player = e.challenger),
+        |     hs1 AS (SELECT challenger AS player,
+        |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
+        |             FROM st GROUP BY challenger)""".stripMargin
+    val iters = (2 to k).map { i =>
       s"""|     hs$i AS (SELECT st.challenger AS player,
           |                    0.1e0 * sum(coalesce(h.hs, 1e0) * st.avg_r / st.avg_d) + 0.9e0 AS hs
           |             FROM st LEFT JOIN hs${i - 1} h ON h.player = st.challenged
           |             GROUP BY st.challenger)""".stripMargin
-    }.mkString(",\n")
-    Query(
-      s"""WITH duels AS (SELECT o_custkey % 97 AS challenger,
-         |                      (o_custkey + o_orderkey) % 97 AS challenged,
-         |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
-         |               FROM orders),
-         |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
-         |              UNION ALL
-         |              SELECT challenged, 0, 0 FROM duels),
-         |     avg AS (SELECT player,
-         |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
-         |             FROM seed GROUP BY player),
-         |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
-         |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
-         |            FROM edges e JOIN avg ad ON ad.player = e.challenged
-         |                         JOIN avg ar ON ar.player = e.challenger),
-         |     hs1 AS (SELECT challenger AS player,
-         |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
-         |             FROM st GROUP BY challenger),
-         |$iterCtes
-         |SELECT player, ${croundSql("hs")} AS hs
-         |FROM hs$k
-         |ORDER BY player""") { (s, dir) =>
-      import graft.ops.Heroic
-      val duels = t(s, dir, "orders").select(
-        (col("o_custkey") % 97).as("challenger"),
-        ((col("o_custkey") + col("o_orderkey")) % 97).as("challenged"),
-        (floor(col("o_totalprice")).cast("long") % 5000).as("score"),
-        lit(0L).as("duration"))
-      val static = Heroic.staticJoin(duels)
-      val hsK = (2 to k).foldLeft(Heroic.iterate(static, Heroic.initScores(duels))) {
-        (hs, _) => Heroic.iterate(static, hs)
-      }
-      hsK.select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
     }
+    (base +: iters).mkString(",\n")
   }
+
+  /** The k-generation heroic query (Spark fold ≡ generated CTE chain). */
+  private def heroicAtDepth(k: Int): Query = Query(
+    s"""${heroicCtesSql(k)}
+       |SELECT player, ${croundSql("hs")} AS hs
+       |FROM hs$k
+       |ORDER BY player""") { (s, dir) =>
+    heroicChain(s, dir, k).last
+      .select(col("player"), cround(col("hs")).as("hs")).orderBy("player")
+  }
+
+  /** Q33b — the heroic iteration unrolled to FOUR generations. Validates
+    * that the iterative numerics stay engine-identical at depth: scores
+    * grow ~60× per generation on this synthetic graph (≈4.7e3 at k=4),
+    * and cross-engine float summation noise grows ≈ k·n·ε ≈ 1e-10
+    * absolute — six orders under the 1e-4 rounding grid. k=8 would reach
+    * ~1.7e7 with ~1e-6 noise and a material chance of a rounding-boundary
+    * flip, so 4 is the deepest safely-oracled depth (measured). */
+  val q33b_heroic_deep: Query = heroicAtDepth(4)
 
   /** Q15 — top-5 parts per brand by retail price (SURVEY §2.11): ranked
     * window + filter, partkey tiebreak. */
@@ -219,41 +201,13 @@ object Relational3 {
     * full-outer join of two successive heroic-score generations with
     * coalesce-0 on the absent side, mean of squared differences. */
   val q34_mse_on_orders: Query = Query(
-    """WITH duels AS (SELECT o_custkey % 97 AS challenger,
-      |                      (o_custkey + o_orderkey) % 97 AS challenged,
-      |                      CAST(floor(o_totalprice) AS BIGINT) % 5000 AS score
-      |               FROM orders),
-      |     seed AS (SELECT challenger AS player, score, 1 AS w FROM duels
-      |              UNION ALL
-      |              SELECT challenged, 0, 0 FROM duels),
-      |     avg AS (SELECT player,
-      |                    CAST(sum(score) + 1 AS DOUBLE) / (sum(w) + 1) AS avg
-      |             FROM seed GROUP BY player),
-      |     edges AS (SELECT DISTINCT challenged, challenger FROM duels),
-      |     st AS (SELECT e.challenged, e.challenger, ad.avg AS avg_d, ar.avg AS avg_r
-      |            FROM edges e JOIN avg ad ON ad.player = e.challenged
-      |                         JOIN avg ar ON ar.player = e.challenger),
-      |     hs1 AS (SELECT challenger AS player,
-      |                    0.1e0 * sum(1e0 * avg_r / avg_d) + 0.9e0 AS hs
-      |             FROM st GROUP BY challenger),
-      |     hs2 AS (SELECT st.challenger AS player,
-      |                    0.1e0 * sum(coalesce(h.hs, 1e0) * st.avg_r / st.avg_d) + 0.9e0 AS hs
-      |             FROM st LEFT JOIN hs1 h ON h.player = st.challenged
-      |             GROUP BY st.challenger),
-      |     d AS (SELECT pow(coalesce(a.hs, 0e0) - coalesce(b.hs, 0e0), 2e0) AS sq
-      |           FROM hs1 a FULL OUTER JOIN hs2 b ON a.player = b.player)
-      |SELECT floor(avg(sq) * 10000 + 0.5e0) / 10000 AS mse FROM d""") { (s, dir) =>
-    import graft.ops.Heroic
-    val duels = t(s, dir, "orders").select(
-      (col("o_custkey") % 97).as("challenger"),
-      ((col("o_custkey") + col("o_orderkey")) % 97).as("challenged"),
-      (floor(col("o_totalprice")).cast("long") % 5000).as("score"),
-      lit(0L).as("duration"))
-    val static = Heroic.staticJoin(duels)
-    val hs1 = Heroic.iterate(static, Heroic.initScores(duels))
-    val hs2 = Heroic.iterate(static, hs1)
+    s"""${heroicCtesSql(2)},
+       |     d AS (SELECT pow(coalesce(a.hs, 0e0) - coalesce(b.hs, 0e0), 2e0) AS sq
+       |           FROM hs1 a FULL OUTER JOIN hs2 b ON a.player = b.player)
+       |SELECT ${croundSql("avg(sq)")} AS mse FROM d""") { (s, dir) =>
+    val Seq(hs1, hs2) = heroicChain(s, dir, 2)
     import s.implicits._
-    Seq(Heroic.mse(hs1, hs2)).toDF("mse").select(cround(col("mse")).as("mse"))
+    Seq(graft.ops.Heroic.mse(hs1, hs2)).toDF("mse").select(cround(col("mse")).as("mse"))
   }
 
   /** Q38 — exact interpolated percentiles per group (Spark `percentile`

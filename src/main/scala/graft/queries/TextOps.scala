@@ -248,18 +248,22 @@ object TextOps {
     * near-dup operators share one shuffle instead of recomputing the
     * distinct twice. */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
-    memo("shingles", s, dir) {
-      docs(s, dir)
-        .select(col("doc_id"), norm.as("norm"))
-        .filter(length(col("norm")) >= 5)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
-        .distinct()
-        .persist()
-    }
+    memo("shingles", s, dir)(shinglesOf(docs(s, dir)).persist())
+
+  /** The exact shingling q25/q26/q37 run — distinct 5-gram character
+    * shingles of the normalized text of any (doc_id, text) frame.
+    * Exposed so tests planting synthetic docs exercise the SAME
+    * normalization/gram-size as the production pipeline. */
+  private[graft] def shinglesOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
+      .distinct()
 
   /** Jaccard threshold shared by q25/q26/q37 (Scala and oracle SQL). */
-  private val JaccardTau = 0.8
+  private[graft] val JaccardTau = 0.8
 
   /** Shared oracle CTE chain: exact near-dup pairs (d1, d2) at
     * jac >= JaccardTau over distinct 5-gram shingles. */

@@ -66,17 +66,15 @@ class DedupSpec extends SparkSpec {
       5L -> ("completely different content about spark partitions shuffles " +
         "and codegen stages for analytics engines running at cluster scale"))
       .toDF("doc_id", "text")
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val sh = docsDf.select(col("doc_id"), norm.as("norm"))
-      .filter(length(col("norm")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
-      .distinct()
+    // production shingling + threshold, not a copy — so this test keeps
+    // exercising exactly what q25 runs if either ever changes
+    val sh = TextOps.shinglesOf(docsDf)
     val sets = sh.collect().groupBy(_.getLong(0))
       .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
     val want = (for {
       a <- sets.keys; b <- sets.keys if a < b
-      j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size if j >= 0.8
+      j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+      if j >= TextOps.JaccardTau
     } yield (a, b)).toSet
     assert(want.nonEmpty, "test must plant at least one true near-dup pair")
     val (cand, prefix) = TextOps.ppjoinCandidates(sh)

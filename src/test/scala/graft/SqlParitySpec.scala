@@ -25,7 +25,7 @@ class SqlParitySpec extends SparkSpec {
     "q01b_predicates", "q09b_limit_offset", "q33_heroic_on_orders",
     "q40_global_argmax", "q41_frequent_customers", "q42_role_counts",
     "q11c_grouping_sets", "q44_pivot_events", "q44b_unpivot_lineitem",
-    "q45_smoothed_avg", "q07c_window_battery")
+    "q45_smoothed_avg", "q07c_window_battery", "q33b_heroic_deep")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
