@@ -18,5 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects exactly 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_sorted_intersect expects exactly 2 arguments, got ${children.length}")
+        SortedLongIntersect(children.head, children(1))
+      }))
   }
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: |A ∩ B| for two ASCENDING-SORTED distinct
+  * long-array columns, via a linear merge walk.
+  *
+  * This is the near-dup verify kernel (reference semantics:
+  * exercise_2.py's exact-jaccard check): each document's distinct
+  * shingles are stored as a sorted `xxhash64` array, and every candidate
+  * pair's overlap is one fused O(|A|+|B|) primitive loop inside
+  * whole-stage codegen — no hash-set build, no per-element object
+  * allocation, ~2-3× smaller shuffle payload than the shingle strings.
+  * `array_intersect` by contrast builds a hash set per row and compares
+  * UTF8 strings.
+  *
+  * PRECONDITION: both inputs sorted ascending with distinct elements
+  * (`sort_array(collect_set(...))` upstream). Unsorted input silently
+  * undercounts — callers own the invariant; the Column helper in the
+  * companion does NOT re-sort.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect expects two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < n1 && j < n2) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { cnt += 1L; i += 1; j += 1 }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n1 = $a.numElements();
+         |int $n2 = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |long $cnt = 0L;
+         |while ($i < $n1 && $j < $n2) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $cnt++; $i++; $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersect {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
+  /** Column API (resolves via [[graft.functions.GraftExtensions]]).
+    * Inputs MUST be ascending-sorted distinct long arrays. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
+}

@@ -288,27 +288,40 @@ object TextOps {
   /** Exact pairwise jaccard ≥ [[JaccardTau]] over distinct 5-gram shingle
     * sets for the given candidate pairs (cols d1, d2), unrounded. This is
     * THE verify step for every near-dup operator. Shape: per-doc shingle
-    * ID ARRAYS are attached to each candidate pair by plain equi-joins on
+    * arrays are attached to each candidate pair by plain equi-joins on
     * doc_id (no broadcast hint — AQE broadcasts only when the doc-set
-    * table is actually small; at corpus scale it shuffles), then
-    * `array_intersect` computes each pair's overlap in one fused codegen
-    * pass. Cost scales with candidate volume × doc size — the same
-    * asymptotics as a row-level (doc, shingle) equi-join, but without
-    * exploding each pair into per-shingle rows through a shuffle+groupBy
-    * (measured ~10× cheaper at 1.5M candidates). The arrays hold the
-    * shingle STRINGS themselves: fully deterministic under stage retries
-    * (an id scheme like monotonically_increasing_id can re-assign ids
-    * when a lost shuffle block is recomputed, silently undercounting the
-    * intersection), exact by construction, and it needs no vocabulary
-    * distinct+join at all. */
+    * table is actually small; at corpus scale it shuffles), then a fused
+    * codegen merge walk ([[graft.functions.SortedLongIntersect]]) counts
+    * each pair's overlap. Cost scales with candidate volume × doc size —
+    * the same asymptotics as a row-level (doc, shingle) equi-join, but
+    * without exploding each pair into per-shingle rows through a
+    * shuffle+groupBy.
+    *
+    * The arrays hold SORTED `xxhash64(g)` longs, not the shingle strings:
+    * ~2-3× smaller shuffle payload (the round-2 driver bench showed the
+    * string form spilling under memory pressure — 252 s vs 21-37 s
+    * local), long-vs-long comparisons inside codegen, and still fully
+    * deterministic under stage retries (xxhash64 is a pure function of
+    * the shingle bytes, unlike monotonically_increasing_id which can
+    * re-assign ids when a lost shuffle block is recomputed). Collision
+    * odds over an n-shingle vocabulary are ≈ n²/2⁶⁴ — negligible at any
+    * realistic corpus scale, and a collision only perturbs one pair's
+    * count by 1. `collect_set` + `size` make the set semantics explicit,
+    * so callers need NOT pre-distinct their (doc_id, g) rows: duplicate
+    * shingle rows collapse in the set and n counts distinct hashes,
+    * keeping numerator and denominator consistent by construction. */
   private[graft] def rawJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val docSets = sh.groupBy("doc_id")
-      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
+    import graft.functions.SortedLongIntersect.sortedIntersect
+    val docSets = sh
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
     cand
       .join(docSets.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1")), "d1")
       .join(docSets.select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("g1"), col("g2"))).cast("long").as("inter"),
+        sortedIntersect(col("g1"), col("g2")).as("inter"),
         col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
