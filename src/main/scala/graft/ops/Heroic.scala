@@ -34,10 +34,21 @@ object Heroic {
   }
 
   /** R6 — one heroic-score iteration over the persisted static join.
-    * `hs` has columns (player, hs). */
-  def iterate(static: DataFrame, hs: DataFrame, alpha: Double = 0.1): DataFrame =
+    * `hs` has columns (player, hs).
+    *
+    * `broadcastHs` (default true): hs is one row per player, so at the
+    * reference's scale (thousands of players) broadcasting it keeps every
+    * iteration shuffle-free on the edge side. The bound is the broadcast
+    * budget — roughly 10^8 players × 16 bytes ≈ 1.6 GB is the practical
+    * ceiling; past it, pass false for a plain shuffle hash/sort-merge
+    * join on `challenged` (the edge table then shuffles once per
+    * iteration; co-partitioning static by `challenged` up front amortizes
+    * that). HeroicSpec property-tests both paths equal. */
+  def iterate(static: DataFrame, hs: DataFrame, alpha: Double = 0.1,
+      broadcastHs: Boolean = true): DataFrame =
     static
-      .join(broadcast(hs), col("challenged") === col("player"), "left")
+      .join(if (broadcastHs) broadcast(hs) else hs,
+        col("challenged") === col("player"), "left")
       .withColumn("hs_d", coalesce(col("hs"), lit(1.0)))
       .select(col("challenger"),
         (col("hs_d") * col("avg_r") / col("avg_d")).as("contrib"))

@@ -109,8 +109,11 @@ object Relational2 {
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n"))
-    val scored = tf.filter(col("doc_id") < 20)
-      .join(broadcast(df), "w")
+    // Broadcast the doc_id-filtered tf side — it is the bounded one (a
+    // handful of docs' terms); df is the FULL vocabulary and grows with
+    // the corpus, so broadcasting it would not survive 100 TB.
+    val scored = broadcast(tf.filter(col("doc_id") < 20))
+      .join(df, "w")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
         (col("tf") * log(col("n") * lit(1.0) / col("df"))).as("score"))

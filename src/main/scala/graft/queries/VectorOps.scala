@@ -123,15 +123,56 @@ object VectorOps {
       .orderBy("label", "pos")
   }
 
+  /** Row-count gate for the q28 brute-force kernel: up to ~200k rows ×
+    * 64 floats ≈ 60-100 MB broadcast — comfortable on production
+    * executors; beyond that the LSH-blocked pair generator takes over. */
+  private[graft] val BruteForceBroadcastLimit = 200000L
+
+  /** Top-`k` cosine pairs with a runtime size gate: if the corpus fits
+    * [[BruteForceBroadcastLimit]] (one cheap count — parquet metadata
+    * fast-path) the exact broadcast nested-loop kernel runs; otherwise
+    * candidates come from the q30 LSH cells (shared planes, (tbl, bkt)
+    * equi-join, never a cross product) and only candidates are rescored
+    * exactly. The fallback is approximate by construction, but for the
+    * TOP pairs — the high-cosine ones — per-table collision odds are
+    * highest (sign-LSH: (1−θ/π)^8 per table, 64 tables), so recall at
+    * the top of the ranking is where the blocking is strongest. */
+  private[graft] def topCosinePairs(embTab: DataFrame, broadcastLimit: Long,
+      k: Int = 50): DataFrame = {
+    val e = embTab.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val pairs =
+      if (embTab.count() <= broadcastLimit) {
+        val lhs = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+        val rhs = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+        lhs.join(broadcast(rhs), col("v1") < col("v2"))
+      } else {
+        val cells = lshCells(e)
+        cells.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+            col("nrm").as("n1"), col("tbl"), col("bkt"))
+          .join(cells.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+            col("nrm").as("n2"), col("tbl"), col("bkt")), Seq("tbl", "bkt"))
+          .filter(col("v1") < col("v2"))
+          .dropDuplicates("v1", "v2")
+      }
+    pairs
+      .select(col("v1"), col("v2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .orderBy(col("cos").desc, col("v1"), col("v2"))
+      .limit(k)
+      .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))
+  }
+
   /** Q28 — top-50 most similar embedding pairs (all-pairs cosine,
-    * vec_id-ordered to dedupe the triangle). Shaped as a broadcast
-    * nested-loop self-join: the small side broadcasts once (no driver
-    * collect — executors stream their partitions against the broadcast
-    * copy), the `graft_dot` native expression fuses the dot product
-    * inside whole-stage codegen, and orderBy+limit plans as
+    * vec_id-ordered to dedupe the triangle). Below the size gate this is
+    * a broadcast nested-loop self-join: the small side broadcasts once
+    * (no driver collect — executors stream their partitions against the
+    * broadcast copy), the `graft_dot` native expression fuses the dot
+    * product inside whole-stage codegen, and orderBy+limit plans as
     * TakeOrderedAndProject so only per-partition top-50s are shuffled —
-    * nothing quadratic moves. At 100 TB the matrix no longer broadcasts
-    * and the q30 LSH-blocked variant becomes the pair generator. */
+    * nothing quadratic moves. Past the gate ([[topCosinePairs]]) the
+    * corpus no longer broadcasts and the q30 LSH cells become the pair
+    * generator — the 100 TB path, exercised by DedupSpec at a forced-low
+    * threshold. */
   val q28_cosine_top_pairs: Query = Query(
     s"""WITH u AS ($unnestSql),
        |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
@@ -144,15 +185,7 @@ object VectorOps {
        |FROM cos
        |ORDER BY cos DESC, v1, v2
        |LIMIT 50""") { (s, dir) =>
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val lhs = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val rhs = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
-    lhs.join(broadcast(rhs), col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
-      .orderBy(col("cos").desc, col("v1"), col("v2"))
-      .limit(50)
-      .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))
+    topCosinePairs(emb(s, dir), BruteForceBroadcastLimit)
   }
 
   /** Q30 — multi-table LSH ANN (the 100 TB path for Q17): L=64
@@ -165,17 +198,21 @@ object VectorOps {
     * Candidates join on the (table, bucket) key — an equi-join, never a
     * cross product. Approximate by construction → no SQL oracle; the
     * ScalaTest asserts measured recall vs Q17. */
-  val q30_ann_lsh: Query = Query.noOracle { (s, dir) =>
-    val dim = 64
-    val kBits = 8
-    val nTables = 64
+  /** Sign-random-projection planes for the shared LSH index (L=64 tables
+    * × k=8 bits over dim=64), deterministic from seed 7. */
+  private lazy val lshPlaneArr: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
-    val planes: Seq[Seq[Seq[Double]]] =
-      Seq.fill(nTables)(Seq.fill(kBits)(Seq.fill(dim)(rnd.nextGaussian())))
-    // buckets[t] = Σ_j (plane_tj · x >= 0) << j — a fused primitive-loop
-    // kernel (512 plane dots per vector; HOF expressions would allocate
-    // per element and dominate the query)
-    val planeArr = planes.map(_.map(_.toArray).toArray).toArray
+    Array.fill(64)(Array.fill(8)(Array.fill(64)(rnd.nextGaussian())))
+  }
+
+  /** (vec_id, embedding, nrm, tbl, bkt) LSH cell rows for the given
+    * (vec_id, embedding, nrm) frame — one row per (vector, table).
+    * buckets[t] = Σ_j (plane_tj · x >= 0) << j, a fused primitive-loop
+    * kernel (512 plane dots per vector; HOF expressions would allocate
+    * per element and dominate the query). Shared by q30's ANN search and
+    * q28's past-the-gate pair generator. */
+  private[graft] def lshCells(e: DataFrame): DataFrame = {
+    val planeArr = lshPlaneArr
     val bucketsUdf = udf { (v: Array[Float]) =>
       planeArr.map { tbl =>
         var b = 0L
@@ -190,11 +227,14 @@ object VectorOps {
         b
       }
     }
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"), bucketsUdf(col("embedding")).as("bkts"))
-    val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(col("bkts")))
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(bucketsUdf(col("embedding"))))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+  }
+
+  val q30_ann_lsh: Query = Query.noOracle { (s, dir) =>
+    val cells = lshCells(emb(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm")))
     val probes = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"), col("tbl"), col("bkt"))

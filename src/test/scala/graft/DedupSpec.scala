@@ -50,6 +50,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("q28 past-the-gate LSH fallback recovers >= 0.8 of the brute-force top-50") {
+    val e = graft.engine.Tables.table(spark, dir, "embeddings")
+    val brute = VectorOps.topCosinePairs(e, broadcastLimit = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fallback = VectorOps.topCosinePairs(e, broadcastLimit = 0L)
+    val got = fallback.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // the fallback path must not broadcast the corpus — no hint at all
+    val hints = fallback.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "past the gate nothing may be broadcast-hinted")
+  }
+
   test("PPJoin pipeline finds exactly the planted near-dup pairs") {
     import spark.implicits._
     // adversarial set: near-identical pair, case-variant exact dup,

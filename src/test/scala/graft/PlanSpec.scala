@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.broadcast
 
 import graft.queries.Relational
 
@@ -63,6 +65,99 @@ class PlanSpec extends SparkSpec {
     assert(wins.nonEmpty, "expected the per-doc ranking window in the plan")
     assert(wins.forall(_.partitionSpec.nonEmpty),
       "a partition-less Window would serialize the vocabulary through one task")
+  }
+
+  // ---- broadcast-side sanity guard (round-2 VERDICT item 3) ----------
+  // q29 round 2 broadcast the FULL-vocabulary document-frequency table;
+  // the mistake was invisible at sf0.1 because everything fits. This
+  // guard pins, for every query that hints broadcast(...), that the
+  // hinted subtree is structurally bounded: a dimension-table scan, a
+  // bare key-vs-literal filter (doc_id < 20), a global aggregate, or a
+  // limit. Corpus-scaling sets (a vocabulary aggregate, an unfiltered
+  // fact scan) satisfy none of these.
+
+  private val dimTables = Set("region", "nation", "customer", "supplier", "part")
+
+  private def broadcastSubtrees(
+      df: org.apache.spark.sql.DataFrame): Seq[catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    df.queryExecution.analyzed.collect {
+      case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) => child
+    }
+  }
+
+  private def isBounded(p: catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Cast, Expression, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dimScanOnly = {
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.exists(path =>
+            dimTables.exists(t => path.getName == s"$t.parquet"))
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+    // analysis wraps literals in implicit casts (doc_id < cast(20 as
+    // bigint)) — strip them before shape-matching
+    @annotation.tailrec
+    def strip(e: Expression): Expression = e match {
+      case c: Cast => strip(c.child)
+      case o => o
+    }
+    def attrVsLit(a: Expression, b: Expression): Boolean =
+      strip(a).isInstanceOf[AttributeReference] && strip(b).isInstanceOf[Literal]
+    def keyLiteralFilter(f: Filter): Boolean = f.condition.exists {
+      case cmp: BinaryComparison =>
+        attrVsLit(cmp.left, cmp.right) || attrVsLit(cmp.right, cmp.left)
+      case In(a, vs) => strip(a).isInstanceOf[AttributeReference] &&
+        vs.forall(v => strip(v).isInstanceOf[Literal])
+      case _ => false
+    }
+    dimScanOnly || p.exists {
+      case a: Aggregate => a.groupingExpressions.isEmpty // <= 1 row
+      case f: Filter => keyLiteralFilter(f)
+      case _: GlobalLimit | _: LocalLimit => true
+      case _ => false
+    }
+  }
+
+  test("every broadcast hint subtree is a bounded set") {
+    // Exempt, with the bound enforced elsewhere:
+    //  - q28: explicit runtime size gate (VectorOps.topCosinePairs) —
+    //    past BruteForceBroadcastLimit nothing broadcasts (DedupSpec);
+    //  - heroic queries: avg/hs are one row per player; past broadcast
+    //    scale Heroic.iterate(broadcastHs = false) is the documented,
+    //    property-tested shuffle fallback (PropertySpec).
+    val exempt = Set("q28_cosine_top_pairs",
+      "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders")
+    val offenders = for {
+      (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !exempt(name)
+      sub <- broadcastSubtrees(q(spark, dir))
+      if !isBounded(sub)
+    } yield name
+    assert(offenders.isEmpty,
+      s"unbounded broadcast subtree in: ${offenders.distinct.mkString(", ")}")
+  }
+
+  test("the guard catches a seeded wrong-side broadcast (q29's round-2 defect)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.table(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocabDf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val bad = tf.filter(col("doc_id") < 20).join(broadcast(vocabDf), "w")
+    val subs = broadcastSubtrees(bad)
+    assert(subs.nonEmpty && subs.exists(!isBounded(_)),
+      "a full-vocabulary broadcast must be flagged as unbounded")
+    // and the FIXED orientation passes
+    val good = broadcast(tf.filter(col("doc_id") < 20)).join(vocabDf, "w")
+    assert(broadcastSubtrees(good).forall(isBounded))
   }
 
   test("whole-stage codegen spans the scalar battery") {
