@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 import graft.engine.GraftSession
 
 /** Benchmark main: runs every declared query against
@@ -12,13 +16,41 @@ import graft.engine.GraftSession
   * persisted block) are cleared between queries, so every number is the
   * query's own self-contained cost — order-independent and free of
   * accumulated memory pressure. A failed query records NO time; failures
-  * are listed in the JSON and flip the exit code to 1 (loud, but the
-  * artifact still lands).
+  * are listed in the JSON, `n_ok` counts the timed queries (so totals
+  * are only compared across equal query sets), and the exit code flips
+  * to 1 (loud, but the artifact still lands).
+  *
+  * Per-query `spill_bytes` / `shuffle_bytes` / `peak_mem_bytes` come
+  * from a TaskEnd listener (memory+disk spill, shuffle read+write, max
+  * per-task peak execution memory): wall time alone can't distinguish a
+  * bad plan from environment memory pressure — the round-2 bench showed
+  * one query swinging 21 s → 252 s on spill alone, with identical plans.
   */
 object Bench {
+
+  /** Sums task metrics between [[reset]] calls (single-JVM local mode:
+    * one bus, benchmark runs queries strictly sequentially). */
+  private final class MetricsListener extends SparkListener {
+    val spill = new AtomicLong
+    val shuffle = new AtomicLong
+    val peakMem = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        shuffle.addAndGet(m.shuffleReadMetrics.totalBytesRead
+          + m.shuffleWriteMetrics.bytesWritten)
+        peakMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    }
+    def reset(): Unit = { spill.set(0); shuffle.set(0); peakMem.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     def reset(): Unit = {
       graft.queries.TextOps.resetCaches()
       graft.engine.Tables.clearCache()
@@ -36,21 +68,29 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       reset()
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+      listener.reset()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val secs = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+        Some((name, secs, listener.spill.get(), listener.shuffle.get(),
+          listener.peakMem.get()))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failures += name
         None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj[T](f: ((String, Double, Long, Long, Long)) => T): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},""" +
+      s""""queries":${obj(_._2)},"spill_bytes":${obj(_._3)},""" +
+      s""""shuffle_bytes":${obj(_._4)},"peak_mem_bytes":${obj(_._5)},""" +
+      s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

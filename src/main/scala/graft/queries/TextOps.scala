@@ -317,9 +317,21 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("h"))).as("gs"))
       .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
+    // SHUFFLE_HASH on the docSets side: the streamed side carries the
+    // (growing) shingle arrays, and a sort-merge join would SORT that fat
+    // stream — measured 570 MB of sort spill at sf0.1, and exactly the
+    // memory-pressure sensitivity that blew q25 up 12× on the round-2
+    // driver. A shuffled hash join builds its per-partition table from
+    // the compact docSets side (rows/shuffle-partitions arrays each) and
+    // streams the fat side without sorting — spill-free by construction
+    // at any scale, since the build side shrinks with partition count.
+    val hashed1 = docSets.hint("shuffle_hash")
+      .select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1"))
+    val hashed2 = docSets.hint("shuffle_hash")
+      .select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2"))
     cand
-      .join(docSets.select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1")), "d1")
-      .join(docSets.select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2")), "d2")
+      .join(hashed1, "d1")
+      .join(hashed2, "d2")
       .select(col("d1"), col("d2"),
         sortedIntersect(col("g1"), col("g2")).as("inter"),
         col("n1"), col("n2"))
@@ -398,15 +410,20 @@ object TextOps {
   }
 
   private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    // persist the distinct shingle set for the duration of the build: it
+    // feeds three branches (df ranking, prefix window, verify docSets)
+    // and recomputing the distinct per branch both wastes a scan and
+    // piles all branches' aggregation memory into one job
+    val sh = shingles(s, dir).persist()
     val (cand, prefix) = ppjoinCandidates(sh)
     // exact verification via the (doc, shingle) equi-join — candidate-
     // volume-bound, nothing broadcast by construction
     val out = rawJaccard(sh, cand).persist()
     // materialize once (this builder runs once per session/dir), then drop
-    // the prefix intermediate — only the tiny pair set stays cached
+    // the intermediates — only the tiny pair set stays cached
     out.count()
     prefix.unpersist()
+    sh.unpersist()
     out
   }
 
