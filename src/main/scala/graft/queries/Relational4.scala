@@ -29,9 +29,13 @@ object Relational4 {
       |ORDER BY cnt DESC, o_custkey LIMIT 1""") { (s, dir) =>
     t(s, dir, "orders")
       .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
-      .agg(max_by(
+      // min over (-cnt, key) = max cnt with lowest-key tiebreak; only the
+      // count is negated (count(*) >= 1, so no overflow) — negating the
+      // KEY would overflow for Long.MinValue under an arbitrary signed
+      // key domain
+      .agg(min_by(
         struct(col("o_custkey").as("player"), col("cnt")),
-        struct(col("cnt"), (col("o_custkey") * -1).as("neg"))).as("s"))
+        struct((col("cnt") * -1).as("neg_cnt"), col("o_custkey"))).as("s"))
       // a global agg always emits one row; drop the all-null row on empty
       // input so the shape matches the oracle's LIMIT 1 (zero rows)
       .where(col("s").isNotNull)

@@ -275,10 +275,14 @@ object VectorOps {
       val n = math.sqrt(acc)
       if (n == 0) v else v.map(_ / n)
     }
-    // deterministic seeding: the nlist lowest-id vectors, unit-normalized
+    // deterministic seeding: the nlist lowest-id vectors, unit-normalized.
+    // vec_id is collected alongside and the order fixed on the driver —
+    // relying on limit/collect to preserve the sort is an implementation
+    // detail of TakeOrderedAndProject, not a contract
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(nlist)
-      .select("embedding").collect()
-      .map(r => normalize(r.getSeq[Float](0).toArray.map(_.toDouble)))
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(r => normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
     def assignUdf(cs: Array[Array[Double]]) = udf { (v: Array[Float]) =>
       // cells are unit vectors, so argmax dot == argmax cosine (|v| fixed)
       var best = 0; var bestD = Double.NegativeInfinity

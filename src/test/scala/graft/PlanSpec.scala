@@ -160,6 +160,34 @@ class PlanSpec extends SparkSpec {
     assert(broadcastSubtrees(good).forall(isBounded))
   }
 
+  test("exchange counts of the headline queries are pinned (shuffle budget guard)") {
+    // The cheapest shuffle is the one that never happens: these are the
+    // five headline bench queries, pinned at their current (optimal)
+    // exchange counts so a refactor can't silently add a shuffle. Counts
+    // come from the FINAL adaptive plan after execution.
+    //   q02/q19: partial+final agg exchange + output-order sort exchange
+    //   q04: one agg + one sort exchange; all four dims broadcast
+    //   q08: one window-partitioning exchange + output-order sort
+    //   q44b: unpivot is narrow — only the output-order sort shuffles
+    val expected = Map(
+      "q02_pricing_summary" -> (2, 0),
+      "q04_revenue_by_nation" -> (2, 4),
+      "q08_order_windows" -> (2, 0),
+      "q19_tumbling_hour" -> (2, 0),
+      "q44b_unpivot_lineitem" -> (1, 0))
+    for ((name, (wantShuffle, wantBroadcast)) <- expected) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==")(0) // tree section of the FINAL plan
+      val shuffles = raw"(?<!Broadcast)(?<!Reused)Exchange \(\d+\)".r.findAllIn(p).length
+      val broadcasts = raw"BroadcastExchange \(\d+\)".r.findAllIn(p).length
+      assert((shuffles, broadcasts) == ((wantShuffle, wantBroadcast)),
+        s"$name: expected ($wantShuffle shuffle, $wantBroadcast broadcast) " +
+          s"exchanges, got ($shuffles, $broadcasts):\n$p")
+    }
+  }
+
   test("whole-stage codegen spans the scalar battery") {
     val df = Relational.q12_scalar_battery.fn(spark, dir)
     df.collect() // finalize the adaptive plan so codegen stages materialize

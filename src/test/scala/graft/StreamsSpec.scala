@@ -65,6 +65,28 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("Q19b approx user count: stream lands within 10% of batch-exact per window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    loadEvents().grouped(450).foreach(chunk => stream.addData(chunk))
+    val got = runToCompletion(
+      Streams.slidingQuarterApprox(stream.toDF()), "t_q19b_approx", "complete")
+      .select("win_us", "n_users_approx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = eventsBatch
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("n_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    for ((win, want) <- exact) {
+      val g = got(win)
+      assert(math.abs(g - want) <= math.max(1L, (want * 0.10).toLong),
+        s"window $win: approx $g vs exact $want")
+    }
+  }
+
   test("Q20 session window: stream (complete mode) equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
