@@ -78,9 +78,11 @@ object Heroic {
   final case class FixedPoint(secondLast: DataFrame, last: DataFrame, mses: Vector[Double])
 
   /** R8 — run to MSE ≤ `eps` from hs₀ ≡ 1, plus `extra` iterations (the
-    * committed goldens correspond to extra = 1; SURVEY §3.3). */
+    * committed goldens correspond to extra = 1; SURVEY §3.3).
+    * `broadcastHs` forwards to [[iterate]] — pass false when the player
+    * domain outgrows the broadcast budget (bound documented there). */
   def fixedPoint(duels: DataFrame, alpha: Double = 0.1, eps: Double = 0.1,
-      extra: Int = 1, maxIter: Int = 100): FixedPoint = {
+      extra: Int = 1, maxIter: Int = 100, broadcastHs: Boolean = true): FixedPoint = {
     val static = staticJoin(duels).persist(StorageLevel.MEMORY_AND_DISK)
     static.count()
     var prev: DataFrame = null
@@ -90,7 +92,7 @@ object Heroic {
     var it = 0
     def step(): Unit = {
       it += 1
-      var next = iterate(static, cur, alpha)
+      var next = iterate(static, cur, alpha, broadcastHs)
       // localCheckpoint every few generations truncates lineage; otherwise
       // the plan grows by one join+agg per iteration
       if (it % 5 == 0) next = next.localCheckpoint(true)

@@ -128,17 +128,17 @@ object VectorOps {
     * executors; beyond that the LSH-blocked pair generator takes over. */
   private[graft] val BruteForceBroadcastLimit = 200000L
 
-  /** Top-`k` cosine pairs with a runtime size gate: if the corpus fits
-    * [[BruteForceBroadcastLimit]] (one cheap count — parquet metadata
-    * fast-path) the exact broadcast nested-loop kernel runs; otherwise
-    * candidates come from the q30 LSH cells (shared planes, (tbl, bkt)
-    * equi-join, never a cross product) and only candidates are rescored
-    * exactly. The fallback is approximate by construction, but for the
-    * TOP pairs — the high-cosine ones — per-table collision odds are
-    * highest (sign-LSH: (1−θ/π)^8 per table, 64 tables), so recall at
-    * the top of the ranking is where the blocking is strongest. */
-  private[graft] def topCosinePairs(embTab: DataFrame, broadcastLimit: Long,
-      k: Int = 50): DataFrame = {
+  /** Scored cosine pairs (v1 < v2) with a runtime size gate: if the
+    * corpus fits [[BruteForceBroadcastLimit]] (one cheap count — parquet
+    * metadata fast-path) the exact broadcast nested-loop kernel runs;
+    * otherwise candidates come from the q30 LSH cells (shared planes,
+    * (tbl, bkt) equi-join, never a cross product) and only candidates
+    * are rescored exactly. The fallback is approximate by construction,
+    * but for the HIGH-cosine pairs — the ones near-dup consumers act on —
+    * per-table collision odds are highest (sign-LSH: (1−θ/π)^8 per
+    * table, 64 tables), so recall is strongest exactly where it
+    * matters. */
+  private[graft] def cosinePairs(embTab: DataFrame, broadcastLimit: Long): DataFrame = {
     val e = embTab.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val pairs =
       if (embTab.count() <= broadcastLimit) {
@@ -154,13 +154,19 @@ object VectorOps {
           .filter(col("v1") < col("v2"))
           .dropDuplicates("v1", "v2")
       }
-    pairs
-      .select(col("v1"), col("v2"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+    pairs.select(col("v1"), col("v2"),
+      (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+  }
+
+  /** Top-`k` cosine pairs over the gated [[cosinePairs]] generator;
+    * orderBy+limit plans as TakeOrderedAndProject, so only per-partition
+    * top-k rows move. */
+  private[graft] def topCosinePairs(embTab: DataFrame, broadcastLimit: Long,
+      k: Int = 50): DataFrame =
+    cosinePairs(embTab, broadcastLimit)
       .orderBy(col("cos").desc, col("v1"), col("v2"))
       .limit(k)
       .select(col("v1"), col("v2"), cround(col("cos")).as("cos_sim"))
-  }
 
   /** Q28 — top-50 most similar embedding pairs (all-pairs cosine,
     * vec_id-ordered to dedupe the triangle). Below the size gate this is
@@ -186,6 +192,40 @@ object VectorOps {
        |ORDER BY cos DESC, v1, v2
        |LIMIT 50""") { (s, dir) =>
     topCosinePairs(emb(s, dir), BruteForceBroadcastLimit)
+  }
+
+  /** Cosine threshold for embedding near-dup dedup (q46). This synthetic
+    * corpus has no planted embedding duplicates (max pair cosine ≈ 0.51),
+    * so the threshold sits where the corpus actually has signal; a real
+    * dedup run would use ~0.95. */
+  private[graft] val EmbedDupTau = 0.45
+
+  /** Q46 — embedding-cosine near-dup DEDUP (the drop-list form): a
+    * vector is a duplicate if some LOWER-id vector sits within cosine
+    * [[EmbedDupTau]] — keep-first-by-id, the standard deterministic
+    * near-dup policy. Output: each dropped vector with its duplicate
+    * count and closest-match cosine. Pairs come from the gated
+    * [[cosinePairs]] generator (brute-force kernel below the broadcast
+    * limit, LSH blocking past it), then one aggregation by the dropped
+    * side — candidate-volume-bound end to end. */
+  val q46_embed_dedup: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+       |     d AS (SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.v * b.v) AS dot
+       |           FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT v1, v2, d.dot / (na.nrm * nb.nrm) AS cos
+       |             FROM d JOIN nrm na ON na.vec_id = v1 JOIN nrm nb ON nb.vec_id = v2)
+       |SELECT v2 AS vec_id, count(*) AS n_dups,
+       |       floor(max(cos) * 10000 + 0.5e0) / 10000 AS best_cos
+       |FROM cos WHERE cos >= $EmbedDupTau
+       |GROUP BY 1
+       |ORDER BY 1""") { (s, dir) =>
+    cosinePairs(emb(s, dir), BruteForceBroadcastLimit)
+      .filter(col("cos") >= EmbedDupTau)
+      .groupBy(col("v2").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), cround(max(col("cos"))).as("best_cos"))
+      .orderBy("vec_id")
   }
 
   /** Q30 — multi-table LSH ANN (the 100 TB path for Q17): L=64
@@ -341,5 +381,6 @@ object VectorOps {
     "q18_centroid" -> q18_centroid,
     "q28_cosine_top_pairs" -> q28_cosine_top_pairs,
     "q30_ann_lsh" -> q30_ann_lsh,
-    "q43_ann_ivf" -> q43_ann_ivf)
+    "q43_ann_ivf" -> q43_ann_ivf,
+    "q46_embed_dedup" -> q46_embed_dedup)
 }

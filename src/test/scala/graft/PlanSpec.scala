@@ -127,12 +127,12 @@ class PlanSpec extends SparkSpec {
 
   test("every broadcast hint subtree is a bounded set") {
     // Exempt, with the bound enforced elsewhere:
-    //  - q28: explicit runtime size gate (VectorOps.topCosinePairs) —
+    //  - q28/q46: explicit runtime size gate (VectorOps.cosinePairs) —
     //    past BruteForceBroadcastLimit nothing broadcasts (DedupSpec);
     //  - heroic queries: avg/hs are one row per player; past broadcast
     //    scale Heroic.iterate(broadcastHs = false) is the documented,
     //    property-tested shuffle fallback (PropertySpec).
-    val exempt = Set("q28_cosine_top_pairs",
+    val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
