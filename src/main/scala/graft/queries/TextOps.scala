@@ -410,20 +410,18 @@ object TextOps {
   }
 
   private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // persist the distinct shingle set for the duration of the build: it
-    // feeds three branches (df ranking, prefix window, verify docSets)
-    // and recomputing the distinct per branch both wastes a scan and
-    // piles all branches' aggregation memory into one job
-    val sh = shingles(s, dir).persist()
+    // shingles() is memoized AND persisted per (session, dir) — all three
+    // consumers here (df ranking, prefix window, verify docSets) plus any
+    // later query share one materialization
+    val sh = shingles(s, dir)
     val (cand, prefix) = ppjoinCandidates(sh)
     // exact verification via the (doc, shingle) equi-join — candidate-
     // volume-bound, nothing broadcast by construction
     val out = rawJaccard(sh, cand).persist()
     // materialize once (this builder runs once per session/dir), then drop
-    // the intermediates — only the tiny pair set stays cached
+    // the prefix intermediate — only the tiny pair set stays cached
     out.count()
     prefix.unpersist()
-    sh.unpersist()
     out
   }
 
