@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions so both the Column API and `spark.sql("... graft_dot(a,b)
@@ -17,6 +18,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_dot expects exactly 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }))
+    // Spark's runtime-filter bloom expressions are not SQL-registered;
+    // surface them for the contamination prefilter (Pipeline.q47b).
+    // graft_bloom_agg(longCol, estItems, numBits) -> binary blob;
+    // graft_bloom_contains(blob, longCol) -> boolean, no false negatives.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_bloom_agg expects exactly 3 arguments, got ${children.length}")
+        BloomFilterAggregate(children.head, children(1), children(2), 0, 0)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_bloom_contains expects exactly 2 arguments, got ${children.length}")
+        BloomFilterMightContain(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Training-data pipeline operators beyond the reference's own surface
+  * (SURVEY.md §2.12): benchmark-contamination detection, concat-and-chunk
+  * sequence packing, deterministic split assignment, and identifier
+  * masking. These are the ops a 100 TB pretraining corpus build needs
+  * around the dedup/quality stack in [[TextOps]].
+  *
+  * Scale posture: every operator here is either a pure per-row map + one
+  * aggregation (q48/q49/q50) or an equi-join whose per-key fanout is
+  * capped by construction (q47's document-frequency cap), so nothing is
+  * quadratic and nothing unbounded broadcasts.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "events")
+
+  /** Same normalization as TextOps (lower + collapse whitespace + trim);
+    * kept textually identical so the two surfaces agree on tokens. */
+  private def norm: Column = expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Deterministic integer hash both engines compute identically in pure
+    * BIGINT arithmetic (Knuth multiplicative, high half):
+    * h = (k * 2654435761) mod 2^32, mixed = h div 2^16. No engine hash
+    * builtin is shared between Spark and DuckDB, so the splitter/sharder
+    * must be arithmetic to be oracle-checkable. Domain: k >= 0 (k * 2^31.3
+    * stays far inside Long for any key < 2^32). */
+  private def mixExpr(col: String): String =
+    s"(((($col * 2654435761) % 4294967296) div 65536))"
+  private def mixSql(col: String): String =
+    s"(((($col * 2654435761) % 4294967296) // 65536))"
+
+  /** Q47 — benchmark contamination check (SURVEY §2.12): the last 4% of
+    * doc_ids form the held-out eval set; report (train, eval) pairs
+    * sharing >= 3 distinct word trigrams, over trigrams with corpus
+    * document frequency <= 10.
+    *
+    * The df cap is the scale control (standard decontamination practice:
+    * boilerplate n-grams carry no signal): it bounds per-gram join fanout
+    * at 10x10 pairs, so candidate volume is linear in corpus size and no
+    * hot gram key can skew the shuffle. Grams travel as xxhash64 longs
+    * (8 bytes, collision odds ~n^2/2^64 — the q25 argument); the eval
+    * boundary is a one-row aggregate joined via broadcast, never a driver
+    * collect. */
+  /** Train/eval gram sides shared by q47 and q47b. The persisted tagged
+    * gram table is keyed by canonicalized plan, so both variants (and a
+    * re-run in the same session) share one materialization. */
+  private def contaminationSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("a"))
+      .filter(size(col("a")) >= 3)
+    // word trigrams as 64-bit hashes. array_distinct BEFORE explode makes
+    // (doc_id, g) globally distinct with zero shuffles: doc_id is unique
+    // per row, so per-doc dedup IS global dedup.
+    val grams = d
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(a)-3), i -> xxhash64(concat_ws(' ', a[i], a[i+1], a[i+2])))"))).as("g"))
+    // df cap as groupBy + join back (not a count-over-g window): the
+    // count's map-side partials compress a boilerplate gram that appears
+    // in millions of docs down to one row per mapper, where a window
+    // would sort that gram's full row set into a single task (skew). The
+    // join back drops hot grams via hash lookup (SHUFFLE_HASH: stream
+    // side is never sorted), keeping memory bounded at any corpus size.
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 10).select("g")
+    val gg = grams.join(rare.hint("shuffle_hash"), "g")
+    val cut = docs(s, dir).agg(expr("(max(doc_id)+1) * 96 div 100").as("cut"))
+    // persist the tagged gram table: the self-join below reads it twice,
+    // and without the cache the whole scan+explode+count+join chain runs
+    // once per side (measured 4x cost). Two longs per gram; bench clears
+    // caches between queries.
+    val tagged = gg.crossJoin(broadcast(cut)).persist()
+    val train = tagged.filter(col("doc_id") < col("cut")).select(col("doc_id").as("train_id"), col("g"))
+    val ev = tagged.filter(col("doc_id") >= col("cut")).select(col("doc_id").as("eval_id"), col("g"))
+    (train, ev)
+  }
+
+  private def contaminationPairs(train: DataFrame, ev: DataFrame): DataFrame =
+    train.join(ev, "g")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("train_id", "eval_id")
+
+  val q47_contamination: Query = Query(
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       |     g0 AS (SELECT doc_id, unnest(range(1, len(a)-1)) AS i, a FROM d WHERE len(a) >= 3),
+       |     g AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram FROM g0),
+       |     cut AS (SELECT (max(doc_id)+1) * 96 // 100 AS cut FROM documents),
+       |     rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 10),
+       |     gg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+       |     p AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+       |           FROM gg t JOIN gg e ON t.gram = e.gram, cut c
+       |           WHERE t.doc_id < c.cut AND e.doc_id >= c.cut
+       |           GROUP BY 1, 2)
+       |SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 3
+       |ORDER BY train_id, eval_id""") { (s, dir) =>
+    val (train, ev) = contaminationSides(s, dir)
+    contaminationPairs(train, ev)
+  }
+
+  /** Q47b — the 100 TB shape of q47: before the shuffle join, the train
+    * side is prefiltered through a Bloom filter built over the eval gram
+    * hashes (one ~1 MB binary blob, broadcast). A contamination check in
+    * practice joins a petabyte train corpus against kilobyte benchmarks —
+    * the bloom prefilter drops ~all train grams map-side so only the
+    * (tiny) plausible-overlap stream reaches the exchange. Bloom filters
+    * have no false negatives, and false positives are discarded by the
+    * exact join that follows, so the result is IDENTICAL to q47
+    * (PipelineSpec asserts equality; the driver gets the weaker rows-only
+    * check since DuckDB has no bloom to mirror). */
+  val q47b_contamination_bloom: Query = Query.noOracle { (s, dir) =>
+    val (train, ev) = contaminationSides(s, dir)
+    // BloomFilterMightContain only accepts a constant or scalar-subquery
+    // bloom side (never a joined column), so the eval blob rides a scalar
+    // subquery: executed once, its ~1 MB result is shipped to every task
+    // like a broadcast variable.
+    ev.createOrReplaceTempView("graft_q47_eval_grams")
+    val pre = train.filter(expr(
+      "graft_bloom_contains((SELECT graft_bloom_agg(g, 1048576L, 8388608L) FROM graft_q47_eval_grams), g)"))
+    contaminationPairs(pre, ev)
+  }
+
+  /** Q48 — concat-and-chunk sequence packing (SURVEY §2.12): the GPT-style
+    * pretraining layout — documents are concatenated in deterministic
+    * order and cut into fixed 256-token chunks; a doc belongs to the pack
+    * where it starts. Sharding first (32 deterministic hash shards) keeps
+    * the running sum a per-shard window, so at 100 TB each shard packs
+    * independently — no global sort, no single-partition window. */
+  val q48_chunk_pack: Query = Query(
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(${mixSql("doc_id")} % 32 AS INT) AS shard,
+       |                  len(string_split($normSql, ' ')) AS ntok
+       |           FROM documents),
+       |     w AS (SELECT doc_id, shard, ntok,
+       |                  coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |           FROM d)
+       |SELECT shard, CAST(start_tok // 256 AS INT) AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc
+       |FROM w GROUP BY 1, 2
+       |ORDER BY shard, pack_id""") { (s, dir) =>
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      expr(s"CAST(${mixExpr("doc_id")} % 32 AS INT)").as("shard"),
+      size(split(norm, " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("start_tok", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .groupBy(col("shard"), expr("CAST(start_tok div 256 AS INT)").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("shard", "pack_id")
+  }
+
+  /** Q49 — deterministic train/val/test split assignment (SURVEY §2.12):
+    * bucket = mixed-hash(doc_id) mod 100; <90 train, <95 val, else test.
+    * Re-runnable on any engine, stable under re-partitioning (pure
+    * arithmetic on the key), and auditable: per (split, lang) doc, token
+    * and char totals. One map + one aggregation — embarrassingly
+    * parallel at any scale. */
+  val q49_split_assign: Query = Query(
+    s"""WITH d AS (SELECT doc_id, lang, n_chars,
+       |                  CAST(${mixSql("doc_id")} % 100 AS INT) AS bucket,
+       |                  len(string_split($normSql, ' ')) AS ntok
+       |           FROM documents)
+       |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       |       lang,
+       |       count(*) AS n_docs,
+       |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM d GROUP BY 1, 2
+       |ORDER BY split, lang""") { (s, dir) =>
+    docs(s, dir).select(
+        col("lang"), col("n_chars"),
+        expr(s"CAST(${mixExpr("doc_id")} % 100 AS INT)").as("bucket"),
+        size(split(norm, " ")).cast("long").as("ntok"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Q50 — identifier masking (SURVEY §2.12): the PII-scrub pass shape —
+    * replace digit runs in event payloads with a sentinel before the text
+    * reaches a training corpus; account masked runs / chars / distinct
+    * masked payloads per event type. Pure per-row regex + one aggregation
+    * (the regex subset used is identical under Java regex and RE2). The
+    * same shape handles email/phone/SSN patterns on real corpora. */
+  val q50_pii_mask: Query = Query(
+    """SELECT event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(length(regexp_replace(props, '[0-9]+', '#', 'g'))
+      |              - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT) AS n_runs,
+      |       CAST(sum(length(props)
+      |              - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT) AS n_masked_chars,
+      |       count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS n_distinct_masked
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""") { (s, dir) =>
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(length(regexp_replace(col("props"), "[0-9]+", "#"))
+          - length(regexp_replace(col("props"), "[0-9]+", ""))).cast("long").as("n_runs"),
+        sum(length(col("props"))
+          - length(regexp_replace(col("props"), "[0-9]+", ""))).cast("long").as("n_masked_chars"),
+        countDistinct(regexp_replace(col("props"), "[0-9]+", "<NUM>")).as("n_distinct_masked"))
+      .orderBy("event_type")
+  }
+
+  val all: Map[String, Query] = Map(
+    "q47_contamination" -> q47_contamination,
+    "q47b_contamination_bloom" -> q47b_contamination_bloom,
+    "q48_chunk_pack" -> q48_chunk_pack,
+    "q49_split_assign" -> q49_split_assign,
+    "q50_pii_mask" -> q50_pii_mask)
+}

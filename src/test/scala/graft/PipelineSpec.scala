@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Pipeline
+
+/** Invariants for the training-data pipeline operators (SURVEY.md §2.12)
+  * beyond their DuckDB oracles: the bloom prefilter's exactness, packing
+  * accounting, split partitioning, and hash-arithmetic determinism. */
+class PipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q47b bloom-prefiltered contamination equals exact q47") {
+    val exact = Pipeline.q47_contamination.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Pipeline.q47b_contamination_bloom.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain contaminated pairs")
+    // no false negatives in a bloom filter; false positives are dropped
+    // by the exact join that follows — so equality, not containment
+    assert(bloom == exact)
+  }
+
+  test("q48 packing accounts for every document and token exactly once") {
+    val docs = engine.Tables.table(spark, dir, "documents")
+    val nDocs = docs.count()
+    val nTokens = docs
+      .select(size(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).cast("long").as("ntok"))
+      .agg(sum("ntok")).head.getLong(0)
+    val packs = Pipeline.q48_chunk_pack.fn(spark, dir)
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head
+    assert(packs.getLong(0) == nDocs, "every doc lands in exactly one pack")
+    assert(packs.getLong(1) == nTokens, "every token is packed exactly once")
+  }
+
+  test("q48 pack ids are dense from zero within each shard") {
+    val rows = Pipeline.q48_chunk_pack.fn(spark, dir)
+      .select("shard", "pack_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList)
+    rows.foreach { case (shard, ids) =>
+      assert(ids == (0 until ids.length).toList,
+        s"shard $shard pack ids not dense: $ids")
+    }
+  }
+
+  test("q49 splits partition the corpus near the 90/5/5 target") {
+    val docs = engine.Tables.table(spark, dir, "documents")
+    val total = docs.count()
+    val bySplit = Pipeline.q49_split_assign.fn(spark, dir)
+      .groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total, "splits must partition the corpus")
+    // multiplicative-hash buckets are near-uniform; allow a wide margin
+    // on a 500-doc fixture (binomial sd of train is ~6.7 docs)
+    val train = bySplit("train").toDouble / total
+    assert(train > 0.84 && train < 0.96, s"train share $train far from 0.90")
+  }
+
+  test("q49 split counts match a driver-side recomputation of the hash") {
+    // the splitter is pure BIGINT arithmetic on doc_id — recompute it
+    // independently in Scala and compare per-(split, lang) doc counts, so
+    // an engine-side precedence or overflow slip can't pass unnoticed
+    def split(docId: Long): String = {
+      val bucket = (((docId * 2654435761L) % 4294967296L) / 65536L) % 100L
+      if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+    }
+    val expected = engine.Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (split(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Pipeline.q49_split_assign.fn(spark, dir)
+      .select("split", "lang", "n_docs").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("q50 masking accounting is internally consistent") {
+    val r = Pipeline.q50_pii_mask.fn(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val nEvents = row.getLong(1)
+      val nRuns = row.getLong(2)
+      val nChars = row.getLong(3)
+      val nDistinct = row.getLong(4)
+      assert(nRuns >= nEvents, "props fixture has at least one digit run per event")
+      assert(nChars >= nRuns, "each masked run is at least one char")
+      assert(nDistinct >= 1L && nDistinct <= nEvents)
+    }
+  }
+}
