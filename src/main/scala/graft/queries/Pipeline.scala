@@ -221,10 +221,62 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Q51 — repetition-quality statistics (SURVEY §2.12): the C4/Gopher
+    * family of repetition filters — per-doc distinct-token ratio and
+    * top-token dominance (max token frequency / doc length), aggregated
+    * per source. Zero shuffles before the final per-source aggregation:
+    * the dominance is a single O(n) pass over the doc's sorted token
+    * array (max run length), not an O(distinct·len) nested-lambda scan —
+    * higher-order lambdas are interpreted (no codegen), so the nested
+    * form measured ~10x slower. The oracle states the same semantics the
+    * natural SQL way (unnest + per-doc max frequency). Per-doc ratios
+    * are canonically rounded then decimal-summed so the per-source
+    * averages are bit-stable under any partition order. */
+  val q51_repetition: Query = {
+    Query(
+      s"""WITH d AS (SELECT doc_id, source, string_split($normSql, ' ') AS a FROM documents),
+         |     tok AS (SELECT doc_id, source, len(a) AS n, unnest(a) AS w FROM d),
+         |     freq AS (SELECT doc_id, source, n, w, count(*) AS c FROM tok GROUP BY 1, 2, 3, 4),
+         |     per AS (SELECT doc_id, source,
+         |                    ${croundSql("count(*) / CAST(any_value(n) AS DOUBLE)")} AS distinct_ratio,
+         |                    ${croundSql("max(c) / CAST(any_value(n) AS DOUBLE)")} AS top_share
+         |             FROM freq GROUP BY 1, 2)
+         |SELECT source,
+         |       count(*) AS n_docs,
+         |       ${croundSql(s"${dsumSql("distinct_ratio", 4)} / count(*)")} AS avg_distinct_ratio,
+         |       ${croundSql(s"${dsumSql("top_share", 4)} / count(*)")} AS avg_top_share,
+         |       CAST(sum(CASE WHEN distinct_ratio < 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep
+         |FROM per GROUP BY source
+         |ORDER BY source""") { (s, dir) =>
+      val d = docs(s, dir).select(col("source"), split(norm, " ").as("a"))
+      // max run length in the sorted token array == max token frequency
+      val maxRun = expr(
+        """aggregate(sort_array(a),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+          |    'best', GREATEST(acc.best,
+          |                     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+          |  acc -> acc.best)""".stripMargin)
+      val r = d.select(
+        col("source"),
+        cround(expr("size(array_distinct(a))") / expr("CAST(size(a) AS DOUBLE)")).as("distinct_ratio"),
+        cround(maxRun / expr("CAST(size(a) AS DOUBLE)")).as("top_share"))
+      r.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          cround(dsum(col("distinct_ratio"), 4) / count(lit(1))).as("avg_distinct_ratio"),
+          cround(dsum(col("top_share"), 4) / count(lit(1))).as("avg_top_share"),
+          sum(when(col("distinct_ratio") < 0.55, 1L).otherwise(0L)).as("n_high_rep"))
+        .orderBy("source")
+    }
+  }
+
   val all: Map[String, Query] = Map(
     "q47_contamination" -> q47_contamination,
     "q47b_contamination_bloom" -> q47b_contamination_bloom,
     "q48_chunk_pack" -> q48_chunk_pack,
     "q49_split_assign" -> q49_split_assign,
-    "q50_pii_mask" -> q50_pii_mask)
+    "q50_pii_mask" -> q50_pii_mask,
+    "q51_repetition" -> q51_repetition)
 }
