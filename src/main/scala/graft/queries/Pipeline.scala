@@ -272,6 +272,16 @@ object Pipeline {
     }
   }
 
+  /** The q47b eval-set Bloom blob as driver-side bytes — the "model
+    * state" handed to the streaming decontamination filter
+    * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
+    * (~1 MB) crosses the driver, never row data. */
+  def evalBloomBlob(s: SparkSession, dir: String): Array[Byte] = {
+    val (_, ev) = contaminationSides(s, dir)
+    ev.agg(expr("graft_bloom_agg(g, 1048576L, 8388608L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
   val all: Map[String, Query] = Map(
     "q47_contamination" -> q47_contamination,
     "q47b_contamination_bloom" -> q47b_contamination_bloom,

@@ -23,6 +23,8 @@ object Streams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class Doc(doc_id: Long, text: String)
+
   /** Q19 streaming form — tumbling 1 h window per event type. */
   def tumblingHour(events: DataFrame, watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
@@ -98,6 +100,30 @@ object Streams {
     * watermark is dropped (dropDuplicatesWithinWatermark). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming corpus decontamination (the streaming face of
+    * Pipeline.q47b): drop incoming documents that share ANY word trigram
+    * with the held-out eval set. The Bloom blob is computed once from the
+    * static eval corpus (kilobytes of "model state") and applied as a
+    * stateless per-row filter — the standard stream-vs-static-enrichment
+    * pattern: no join, no state store, no watermark; each micro-batch
+    * filters independently at full parallelism. Bloom false positives
+    * only ever DROP extra docs (conservative for decontamination); false
+    * negatives cannot occur. */
+  def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame = {
+    // sequence(0, -1) counts DOWN in Spark, so docs under 3 tokens need
+    // an explicit empty-array branch rather than an empty sequence
+    val grams = expr(
+      """CASE WHEN size(a) >= 3 THEN array_distinct(transform(
+        |  sequence(0, size(a) - 3),
+        |  i -> xxhash64(concat_ws(' ', a[i], a[i+1], a[i+2]))))
+        |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+    docs
+      .withColumn("a", split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "))
+      .withColumn("gs", grams)
+      .filter(!exists(col("gs"), g => call_function("graft_bloom_contains", lit(evalBloom), g)))
+      .drop("a", "gs")
+  }
 
   final case class UserStats(user_id: Long, n: Long, total: Double, last_us: Long)
 

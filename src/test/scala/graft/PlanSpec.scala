@@ -174,18 +174,44 @@ class PlanSpec extends SparkSpec {
       "q04_revenue_by_nation" -> (2, 4),
       "q08_order_windows" -> (2, 0),
       "q19_tumbling_hour" -> (2, 0),
-      "q44b_unpivot_lineitem" -> (1, 0))
-    for ((name, (wantShuffle, wantBroadcast)) <- expected) {
+      "q44b_unpivot_lineitem" -> (1, 0),
+      // corpus-build ops (round 3): per-row maps + one agg + output sort,
+      // except q48 which adds the per-shard window exchange and q50 whose
+      // count(DISTINCT) plans as a two-phase expand aggregate
+      // (q48's groupBy(shard, pack_id) reuses the window's hash(shard)
+      // partitioning — ClusteredDistribution needs only a subset)
+      "q48_chunk_pack" -> (2, 0),
+      "q49_split_assign" -> (2, 0),
+      "q50_pii_mask" -> (3, 0),
+      "q51_repetition" -> (2, 0))
+    val mismatches = expected.toSeq.sortBy(_._1).flatMap { case (name, (wantShuffle, wantBroadcast)) =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // finalize the adaptive plan
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         .split("== Initial Plan ==")(0) // tree section of the FINAL plan
       val shuffles = raw"(?<!Broadcast)(?<!Reused)Exchange \(\d+\)".r.findAllIn(p).length
       val broadcasts = raw"BroadcastExchange \(\d+\)".r.findAllIn(p).length
-      assert((shuffles, broadcasts) == ((wantShuffle, wantBroadcast)),
-        s"$name: expected ($wantShuffle shuffle, $wantBroadcast broadcast) " +
-          s"exchanges, got ($shuffles, $broadcasts):\n$p")
+      if ((shuffles, broadcasts) == ((wantShuffle, wantBroadcast))) None
+      else Some(s"$name: expected ($wantShuffle shuffle, $wantBroadcast broadcast), got ($shuffles, $broadcasts)")
     }
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+  }
+
+  test("q47 contamination: hash joins only, no cartesian beyond the scalar cut") {
+    val df = graft.queries.Pipeline.q47_contamination.fn(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "gram self-join must be an equi-join")
+    // the only nested-loop join allowed is the one-row eval-boundary
+    // broadcast; the pair join itself must be hash-based
+    assert(p.contains("HashJoin"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q47b bloom prefilter sits in the train scan, before any exchange") {
+    val df = graft.queries.Pipeline.q47b_contamination_bloom.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("might_contain"), "bloom prefilter must survive optimization")
   }
 
   test("whole-stage codegen spans the scalar battery") {

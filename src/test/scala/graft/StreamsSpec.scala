@@ -202,6 +202,23 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination filter equals the batch filter and drops docs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val blob = graft.queries.Pipeline.evalBloomBlob(spark, dir)
+    val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val docs = docsBatch.collect().map(r => Streams.Doc(r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[Streams.Doc]
+    docs.grouped(120).foreach(chunk => stream.addData(chunk))
+    val got = runToCompletion(
+      Streams.decontaminate(stream.toDF(), blob), "t_decon", "append")
+    val want = Streams.decontaminate(docsBatch, blob)
+    assert(canon(got) == canon(want))
+    // the fixture's eval set contaminates part of the corpus: the filter
+    // must drop something but not everything
+    assert(got.count() > 0 && got.count() < docsBatch.count())
+  }
+
   test("mapGroupsWithState userStats final state equals batch aggregate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
