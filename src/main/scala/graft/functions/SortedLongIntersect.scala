@@ -27,13 +27,16 @@ case class SortedLongIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are rejected at analysis: the merge walk reads
+    // primitive slots (getLong), so a null element would silently read
+    // as 0 and phantom-match a real 0 — fail loudly instead
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect expects two array<bigint> arguments, got " +
+      s"graft_sorted_intersect expects two array<bigint NOT NULL> arguments, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 

@@ -23,20 +23,47 @@ object Pipeline {
   private def events(s: SparkSession, dir: String): DataFrame = Tables.table(s, dir, "events")
 
   /** Same normalization as TextOps (lower + collapse whitespace + trim);
-    * kept textually identical so the two surfaces agree on tokens. */
-  private def norm: Column = expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
+    * kept textually identical so the two surfaces agree on tokens.
+    * normExprStr is the single Spark-side source of truth — the streaming
+    * decontamination filter and the specs reference it rather than
+    * re-spelling the regex. */
+  private[graft] val normExprStr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+  private def norm: Column = expr(normExprStr)
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** Word-trigram xxhash64 array over a pre-split token array column
+    * named `a`; empty for docs under 3 tokens (sequence(0, -1) counts
+    * DOWN in Spark, so the short-doc case needs an explicit branch).
+    * Single source of truth for the gram definition: batch contamination
+    * (q47/q47b) and the streaming decontamination filter both use it, so
+    * the two can't drift apart. */
+  private[graft] val trigramHashExpr: String =
+    """CASE WHEN size(a) >= 3 THEN array_distinct(transform(
+      |  sequence(0, size(a) - 3),
+      |  i -> xxhash64(concat_ws(' ', a[i], a[i+1], a[i+2]))))
+      |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+
   /** Deterministic integer hash both engines compute identically in pure
-    * BIGINT arithmetic (Knuth multiplicative, high half):
-    * h = (k * 2654435761) mod 2^32, mixed = h div 2^16. No engine hash
-    * builtin is shared between Spark and DuckDB, so the splitter/sharder
-    * must be arithmetic to be oracle-checkable. Domain: k >= 0 (k * 2^31.3
-    * stays far inside Long for any key < 2^32). */
-  private def mixExpr(col: String): String =
-    s"(((($col * 2654435761) % 4294967296) div 65536))"
-  private def mixSql(col: String): String =
-    s"(((($col * 2654435761) % 4294967296) // 65536))"
+    * BIGINT arithmetic (Knuth multiplicative over the key's low 32 bits,
+    * high half): h = (k · 2654435761) mod 2^32, mixed = h div 2^16. No
+    * engine hash builtin is shared between Spark and DuckDB, so the
+    * splitter/sharder must be arithmetic to be oracle-checkable.
+    *
+    * The product is computed by 16-bit split — with a = k mod 2^16 and
+    * b = (k div 2^16) mod 2^16, k·M ≡ a·M + (b·M mod 2^16)·2^16
+    * (mod 2^32) — so every intermediate stays below 2^48: the direct
+    * k * 2654435761 overflows Long (throwing under ANSI mode) once
+    * k ≥ ~3.47e9, exactly the key range a 100 TB corpus reaches. Results
+    * are identical to the direct form wherever that form is defined.
+    * Domain: k >= 0, keyed on k's low 32 bits. */
+  private val MixM = 2654435761L
+  private def mix(col: String, intDiv: String): String = {
+    val lo = s"(($col % 65536) * $MixM)"
+    val hi = s"(((($col $intDiv 65536) % 65536) * $MixM % 65536) * 65536)"
+    s"((($lo + $hi) % 4294967296) $intDiv 65536)"
+  }
+  private def mixExpr(col: String): String = mix(col, "div")
+  private def mixSql(col: String): String = mix(col, "//")
 
   /** Q47 — benchmark contamination check (SURVEY §2.12): the last 4% of
     * doc_ids form the held-out eval set; report (train, eval) pairs
@@ -50,19 +77,20 @@ object Pipeline {
     * (8 bytes, collision odds ~n^2/2^64 — the q25 argument); the eval
     * boundary is a one-row aggregate joined via broadcast, never a driver
     * collect. */
-  /** Train/eval gram sides shared by q47 and q47b. The persisted tagged
-    * gram table is keyed by canonicalized plan, so both variants (and a
-    * re-run in the same session) share one materialization. */
-  private def contaminationSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Train/eval gram sides shared by q47 and q47b, plus the persisted
+    * tagged gram table so callers that materialize once (evalBloomBlob)
+    * can unpersist it. The cache is keyed by canonicalized plan, so both
+    * query variants (and a re-run in the same session) share one
+    * materialization. */
+  private def contaminationSides(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val d = docs(s, dir)
       .select(col("doc_id"), split(norm, " ").as("a"))
       .filter(size(col("a")) >= 3)
-    // word trigrams as 64-bit hashes. array_distinct BEFORE explode makes
-    // (doc_id, g) globally distinct with zero shuffles: doc_id is unique
-    // per row, so per-doc dedup IS global dedup.
-    val grams = d
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(a)-3), i -> xxhash64(concat_ws(' ', a[i], a[i+1], a[i+2])))"))).as("g"))
+    // word trigrams as 64-bit hashes ([[trigramHashExpr]]). array_distinct
+    // BEFORE explode makes (doc_id, g) globally distinct with zero
+    // shuffles: doc_id is unique per row, so per-doc dedup IS global dedup.
+    val grams = d.select(col("doc_id"), explode(expr(trigramHashExpr)).as("g"))
     // df cap as groupBy + join back (not a count-over-g window): the
     // count's map-side partials compress a boilerplate gram that appears
     // in millions of docs down to one row per mapper, where a window
@@ -79,7 +107,7 @@ object Pipeline {
     val tagged = gg.crossJoin(broadcast(cut)).persist()
     val train = tagged.filter(col("doc_id") < col("cut")).select(col("doc_id").as("train_id"), col("g"))
     val ev = tagged.filter(col("doc_id") >= col("cut")).select(col("doc_id").as("eval_id"), col("g"))
-    (train, ev)
+    (train, ev, tagged)
   }
 
   private def contaminationPairs(train: DataFrame, ev: DataFrame): DataFrame =
@@ -101,7 +129,7 @@ object Pipeline {
        |           GROUP BY 1, 2)
        |SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 3
        |ORDER BY train_id, eval_id""") { (s, dir) =>
-    val (train, ev) = contaminationSides(s, dir)
+    val (train, ev, _) = contaminationSides(s, dir)
     contaminationPairs(train, ev)
   }
 
@@ -116,7 +144,7 @@ object Pipeline {
     * (PipelineSpec asserts equality; the driver gets the weaker rows-only
     * check since DuckDB has no bloom to mirror). */
   val q47b_contamination_bloom: Query = Query.noOracle { (s, dir) =>
-    val (train, ev) = contaminationSides(s, dir)
+    val (train, ev, _) = contaminationSides(s, dir)
     // BloomFilterMightContain only accepts a constant or scalar-subquery
     // bloom side (never a joined column), so the eval blob rides a scalar
     // subquery: executed once, its ~1 MB result is shipped to every task
@@ -277,9 +305,14 @@ object Pipeline {
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
     * (~1 MB) crosses the driver, never row data. */
   def evalBloomBlob(s: SparkSession, dir: String): Array[Byte] = {
-    val (_, ev) = contaminationSides(s, dir)
-    ev.agg(expr("graft_bloom_agg(g, 1048576L, 8388608L)").as("bf"))
+    val (_, ev, tagged) = contaminationSides(s, dir)
+    val blob = ev.agg(expr("graft_bloom_agg(g, 1048576L, 8388608L)").as("bf"))
       .head.getAs[Array[Byte]](0)
+    // a blob consumer (e.g. a long-lived streaming decontamination job)
+    // has no further use for the gram materialization — release it
+    // instead of pinning it for the session lifetime
+    tagged.unpersist()
+    blob
   }
 
   val all: Map[String, Query] = Map(

@@ -137,7 +137,14 @@ object VectorOps {
     * but for the HIGH-cosine pairs — the ones near-dup consumers act on —
     * per-table collision odds are highest (sign-LSH: (1−θ/π)^8 per
     * table, 64 tables), so recall is strongest exactly where it
-    * matters. */
+    * matters.
+    *
+    * The q28/q46 DuckDB oracles describe the EXACT branch: they hold at
+    * every oracle-gate scale (the gate only trips past 200k vectors,
+    * 40× the sf0.1 corpus). Past the gate the declared contract weakens
+    * to DedupSpec's recall bound by design — an exact 100 TB all-pairs
+    * answer does not exist on any engine, and the oracle's own quadratic
+    * join would be the first casualty. */
   private[graft] def cosinePairs(embTab: DataFrame, broadcastLimit: Long): DataFrame = {
     val e = embTab.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val pairs =

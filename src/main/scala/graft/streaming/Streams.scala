@@ -110,20 +110,15 @@ object Streams {
     * filters independently at full parallelism. Bloom false positives
     * only ever DROP extra docs (conservative for decontamination); false
     * negatives cannot occur. */
-  def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame = {
-    // sequence(0, -1) counts DOWN in Spark, so docs under 3 tokens need
-    // an explicit empty-array branch rather than an empty sequence
-    val grams = expr(
-      """CASE WHEN size(a) >= 3 THEN array_distinct(transform(
-        |  sequence(0, size(a) - 3),
-        |  i -> xxhash64(concat_ws(' ', a[i], a[i+1], a[i+2]))))
-        |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+  def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
     docs
-      .withColumn("a", split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "))
-      .withColumn("gs", grams)
+      // norm + gram definitions are shared with batch q47/q47b
+      // (Pipeline.normExprStr / trigramHashExpr) so the streaming filter
+      // can't silently drift from the contamination check it mirrors
+      .withColumn("a", split(expr(graft.queries.Pipeline.normExprStr), " "))
+      .withColumn("gs", expr(graft.queries.Pipeline.trigramHashExpr))
       .filter(!exists(col("gs"), g => call_function("graft_bloom_contains", lit(evalBloom), g)))
       .drop("a", "gs")
-  }
 
   final case class UserStats(user_id: Long, n: Long, total: Double, last_us: Long)
 

@@ -22,11 +22,28 @@ class PipelineSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("decontaminate drops every q47-contaminated train doc (gram parity)") {
+    // pins the batch-vs-streaming gram definition: every train doc that
+    // q47 reports as contaminated shares >= 3 rare eval grams, each of
+    // which is in the bloom blob — so the decontamination filter MUST
+    // drop it. A drift in either side's normalization or trigram
+    // construction breaks this containment.
+    val blob = Pipeline.evalBloomBlob(spark, dir)
+    val kept = graft.streaming.Streams.decontaminate(
+        engine.Tables.table(spark, dir, "documents").select("doc_id", "text"), blob)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = Pipeline.q47_contamination.fn(spark, dir)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "fixture should contain contaminated train docs")
+    assert((contaminated & kept).isEmpty,
+      s"contaminated train docs survived the filter: ${(contaminated & kept).toSeq.sorted}")
+  }
+
   test("q48 packing accounts for every document and token exactly once") {
     val docs = engine.Tables.table(spark, dir, "documents")
     val nDocs = docs.count()
     val nTokens = docs
-      .select(size(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).cast("long").as("ntok"))
+      .select(size(split(expr(Pipeline.normExprStr), " ")).cast("long").as("ntok"))
       .agg(sum("ntok")).head.getLong(0)
     val packs = Pipeline.q48_chunk_pack.fn(spark, dir)
       .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head
@@ -34,14 +51,26 @@ class PipelineSpec extends SparkSpec {
     assert(packs.getLong(1) == nTokens, "every token is packed exactly once")
   }
 
-  test("q48 pack ids are dense from zero within each shard") {
-    val rows = Pipeline.q48_chunk_pack.fn(spark, dir)
-      .select("shard", "pack_id").collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList)
-    rows.foreach { case (shard, ids) =>
-      assert(ids == (0 until ids.length).toList,
-        s"shard $shard pack ids not dense: $ids")
+  test("q48 pack ids start at zero and stay within the shard's token budget") {
+    // NOT asserting density: a doc spanning multiple 256-token chunk
+    // boundaries legitimately leaves pack-id gaps (it belongs to the
+    // pack where it starts). The real invariants: ids start at 0, never
+    // exceed the shard's total token count / capacity, and every pack
+    // holds at least one doc and one token.
+    val byShard = Pipeline.q48_chunk_pack.fn(spark, dir)
+      .select("shard", "pack_id", "n_docs", "n_tokens").collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList)
+    byShard.foreach { case (shard, packs) =>
+      val ids = packs.map(_._1)
+      val shardTokens = packs.map(_._3).sum
+      assert(ids.min == 0, s"shard $shard first pack must be 0")
+      assert(ids.distinct.size == ids.size, s"shard $shard duplicate pack ids")
+      assert(ids.max <= shardTokens / 256,
+        s"shard $shard pack id ${ids.max} beyond token budget $shardTokens")
+      packs.foreach { case (id, d, t) =>
+        assert(d >= 1 && t >= 1, s"shard $shard pack $id empty")
+      }
     }
   }
 
@@ -63,7 +92,12 @@ class PipelineSpec extends SparkSpec {
     // independently in Scala and compare per-(split, lang) doc counts, so
     // an engine-side precedence or overflow slip can't pass unnoticed
     def split(docId: Long): String = {
-      val bucket = (((docId * 2654435761L) % 4294967296L) / 65536L) % 100L
+      // same 16-bit-split modular multiply as Pipeline.mixExpr — the
+      // direct product would overflow Long for keys >= ~3.47e9
+      val a = docId % 65536L
+      val b = (docId / 65536L) % 65536L
+      val h = (a * 2654435761L + (b * 2654435761L % 65536L) * 65536L) % 4294967296L
+      val bucket = (h / 65536L) % 100L
       if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
     }
     val expected = engine.Tables.table(spark, dir, "documents")
