@@ -300,6 +300,38 @@ object Pipeline {
     }
   }
 
+  /** Q52 — domain-mixing weights (SURVEY §2.12): the sampling-rate table
+    * a corpus mixer needs to hit a uniform per-language token budget —
+    * natural token share, the capped sampling rate
+    * min(1, target_tokens / lang_tokens), and the resulting expected
+    * token count. One aggregation plus a one-row grand-total broadcast
+    * (the q29 scalar pattern); rates are canonically rounded before the
+    * expected-count multiply so both engines floor the same product. */
+  val q52_mixture_weights: Query = Query(
+    s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+       |                    CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens
+       |             FROM documents GROUP BY lang),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+       |SELECT lang, n_docs, n_tokens,
+       |       ${croundSql("n_tokens / (tot * 1e0)")} AS natural_share,
+       |       ${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")} AS sample_rate,
+       |       CAST(floor(n_tokens * ${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")}) AS BIGINT) AS exp_tokens
+       |FROM per, tot
+       |ORDER BY lang""") { (s, dir) =>
+    val per = docs(s, dir)
+      .select(col("lang"), size(split(norm, " ")).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = per.agg(count(lit(1)).cast("long").as("k"), sum(col("n_tokens")).as("tot"))
+    val rate = cround(least(lit(1d), (col("tot") / (col("k") * lit(1d))) / col("n_tokens")))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        cround(col("n_tokens") / (col("tot") * lit(1d))).as("natural_share"),
+        rate.as("sample_rate"),
+        floor(col("n_tokens") * rate).cast("long").as("exp_tokens"))
+      .orderBy("lang")
+  }
+
   /** The q47b eval-set Bloom blob as driver-side bytes — the "model
     * state" handed to the streaming decontamination filter
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
@@ -321,5 +353,6 @@ object Pipeline {
     "q48_chunk_pack" -> q48_chunk_pack,
     "q49_split_assign" -> q49_split_assign,
     "q50_pii_mask" -> q50_pii_mask,
-    "q51_repetition" -> q51_repetition)
+    "q51_repetition" -> q51_repetition,
+    "q52_mixture_weights" -> q52_mixture_weights)
 }
