@@ -258,9 +258,22 @@ object TextOps {
     docsDf
       .select(col("doc_id"), norm.as("norm"))
       .filter(length(col("norm")) >= 5)
+      // Two deliberate choices, each worth seconds at sf0.1 and an
+      // exchange at corpus scale:
+      // 1. array_distinct BEFORE explode — doc_id is unique per row, so
+      //    per-doc dedup IS the global (doc_id, g) distinct, without the
+      //    multi-million-row shuffle + hash aggregate an explode-then-
+      //    .distinct() costs (that shuffle was 7.4 s of q25's 12 s).
+      // 2. g is the shingle's xxhash64, never the string — every
+      //    downstream df-count, rank, band, and join key is an 8-byte
+      //    long instead of a heap string; deterministic under stage
+      //    retries; collisions merge two grams with odds ~n²/2⁶⁴
+      //    (the round-2-accepted verify argument, now applied uniformly:
+      //    candidates and verify see the SAME hashed universe, so the
+      //    pipeline is internally consistent by construction).
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, length(norm) - 5), i -> substring(norm, i + 1, 5))")).as("g"))
-      .distinct()
+        explode(array_distinct(
+          expr("transform(sequence(0, length(norm) - 5), i -> xxhash64(substring(norm, i + 1, 5)))"))).as("g"))
 
   /** Jaccard threshold shared by q25/q26/q37 (Scala and oracle SQL). */
   private[graft] val JaccardTau = 0.8
@@ -312,10 +325,11 @@ object TextOps {
     * keeping numerator and denominator consistent by construction. */
   private[graft] def rawJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     import graft.functions.SortedLongIntersect.sortedIntersect
+    // g IS already the shingle's xxhash64 (shinglesOf) — the sets are
+    // built from it directly
     val docSets = sh
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("gs"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
       .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
     // SHUFFLE_HASH on the docSets side: the streamed side carries the
     // (growing) shingle arrays, and a sort-merge join would SORT that fat
@@ -493,10 +507,11 @@ object TextOps {
     memo("simhash", s, dir)(buildSimhash(s, dir).persist())
 
   private def buildSimhash(s: SparkSession, dir: String): DataFrame = {
+    // array_distinct before explode: per-doc dedup is global dedup on a
+    // unique-keyed table — no shuffle (same argument as shinglesOf)
     val toks = docs(s, dir)
-      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"filter(split($normExpr, ' '), w -> length(w) > 0)"))).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("th"))
     val bitSums = (0 until 64).map(k =>
       sum(shiftrightunsigned(col("th"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))

@@ -84,8 +84,11 @@ class DedupSpec extends SparkSpec {
     // production shingling + threshold, not a copy — so this test keeps
     // exercising exactly what q25 runs if either ever changes
     val sh = TextOps.shinglesOf(docsDf)
+    // g is the shingle's xxhash64 (long); hashed sets have the same
+    // jaccard as string sets absent collisions, which the 5-doc fixture
+    // cannot produce
     val sets = sh.collect().groupBy(_.getLong(0))
-      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
     val want = (for {
       a <- sets.keys; b <- sets.keys if a < b
       j = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
