@@ -30,7 +30,8 @@ object ProbeSpill {
     val c = cand.persist()
     step("candidates")(c.count())
     prefix.unpersist()
-    step("verify")(graft.queries.TextOps.rawJaccard(sh, c).count())
+    val sets = graft.queries.TextOps.shingleSets(spark, dir)
+    step("verify")(graft.queries.TextOps.rawJaccard(sets, c).count())
     sh.unpersist(); c.unpersist()
     graft.queries.TextOps.resetCaches()
     graft.engine.Tables.clearCache()

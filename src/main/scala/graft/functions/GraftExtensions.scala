@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomFilterMightContain(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_shingle_hashes expects exactly 2 arguments, got ${children.length}")
+        ShingleHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => {

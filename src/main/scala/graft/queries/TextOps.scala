@@ -250,6 +250,21 @@ object TextOps {
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     memo("shingles", s, dir)(shinglesOf(docs(s, dir)).persist())
 
+  /** Per-doc sorted distinct shingle-hash SETS, straight off the table
+    * scan — the verify-side twin of [[shingles]]: graft_shingle_hashes
+    * emits the whole per-doc array in one codegen pass, so building doc
+    * sets needs no explode and no groupBy exchange at all. Memoized and
+    * persisted per (session, dir). */
+  private[graft] def shingleSetsOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"), expr("graft_shingle_hashes(norm, 5)").as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
+
+  private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
+    memo("shingleSets", s, dir)(shingleSetsOf(docs(s, dir)).persist())
+
   /** The exact shingling q25/q26/q37 run — distinct 5-gram character
     * shingles of the normalized text of any (doc_id, text) frame.
     * Exposed so tests planting synthetic docs exercise the SAME
@@ -258,10 +273,10 @@ object TextOps {
     docsDf
       .select(col("doc_id"), norm.as("norm"))
       .filter(length(col("norm")) >= 5)
-      // Two deliberate choices, each worth seconds at sf0.1 and an
-      // exchange at corpus scale:
-      // 1. array_distinct BEFORE explode — doc_id is unique per row, so
-      //    per-doc dedup IS the global (doc_id, g) distinct, without the
+      // Three deliberate choices, each worth seconds at sf0.1 and an
+      // exchange (or a few million allocations) at corpus scale:
+      // 1. per-doc dedup BEFORE explode — doc_id is unique per row, so
+      //    it IS the global (doc_id, g) distinct, without the
       //    multi-million-row shuffle + hash aggregate an explode-then-
       //    .distinct() costs (that shuffle was 7.4 s of q25's 12 s).
       // 2. g is the shingle's xxhash64, never the string — every
@@ -271,9 +286,13 @@ object TextOps {
       //    (the round-2-accepted verify argument, now applied uniformly:
       //    candidates and verify see the SAME hashed universe, so the
       //    pipeline is internally consistent by construction).
+      // 3. the window-hash + dedup runs as ONE native codegen pass
+      //    ([[graft.functions.ShingleHashes]]) — the equivalent
+      //    transform(...xxhash64(substring)...) HOF is interpreted and
+      //    allocates a UTF8String per window (measured ~6 s of q25's
+      //    9 s for ~5.7M evals at sf0.1).
       .select(col("doc_id"),
-        explode(array_distinct(
-          expr("transform(sequence(0, length(norm) - 5), i -> xxhash64(substring(norm, i + 1, 5)))"))).as("g"))
+        explode(expr("graft_shingle_hashes(norm, 5)")).as("g"))
 
   /** Jaccard threshold shared by q25/q26/q37 (Scala and oracle SQL). */
   private[graft] val JaccardTau = 0.8
@@ -300,15 +319,15 @@ object TextOps {
 
   /** Exact pairwise jaccard ≥ [[JaccardTau]] over distinct 5-gram shingle
     * sets for the given candidate pairs (cols d1, d2), unrounded. This is
-    * THE verify step for every near-dup operator. Shape: per-doc shingle
-    * arrays are attached to each candidate pair by plain equi-joins on
-    * doc_id (no broadcast hint — AQE broadcasts only when the doc-set
-    * table is actually small; at corpus scale it shuffles), then a fused
-    * codegen merge walk ([[graft.functions.SortedLongIntersect]]) counts
-    * each pair's overlap. Cost scales with candidate volume × doc size —
-    * the same asymptotics as a row-level (doc, shingle) equi-join, but
-    * without exploding each pair into per-shingle rows through a
-    * shuffle+groupBy.
+    * THE verify step for every near-dup operator. `docSets` is the
+    * (doc_id, gs, n) frame from [[shingleSetsOf]] — per-doc SORTED
+    * DISTINCT shingle-hash arrays computed in one codegen pass on the
+    * scan side, so attaching them here is two plain equi-joins with no
+    * groupBy exchange anywhere; a fused codegen merge walk
+    * ([[graft.functions.SortedLongIntersect]]) counts each pair's
+    * overlap. Cost scales with candidate volume × doc size — the same
+    * asymptotics as a row-level (doc, shingle) equi-join, but without
+    * exploding each pair into per-shingle rows through a shuffle+groupBy.
     *
     * The arrays hold SORTED `xxhash64(g)` longs, not the shingle strings:
     * ~2-3× smaller shuffle payload (the round-2 driver bench showed the
@@ -319,18 +338,10 @@ object TextOps {
     * re-assign ids when a lost shuffle block is recomputed). Collision
     * odds over an n-shingle vocabulary are ≈ n²/2⁶⁴ — negligible at any
     * realistic corpus scale, and a collision only perturbs one pair's
-    * count by 1. `collect_set` + `size` make the set semantics explicit,
-    * so callers need NOT pre-distinct their (doc_id, g) rows: duplicate
-    * shingle rows collapse in the set and n counts distinct hashes,
-    * keeping numerator and denominator consistent by construction. */
-  private[graft] def rawJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    * count by 1. graft_shingle_hashes dedups inside the expression, so
+    * numerator and denominator stay consistent by construction. */
+  private[graft] def rawJaccard(docSets: DataFrame, cand: DataFrame): DataFrame = {
     import graft.functions.SortedLongIntersect.sortedIntersect
-    // g IS already the shingle's xxhash64 (shinglesOf) — the sets are
-    // built from it directly
-    val docSets = sh
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("g"))).as("gs"))
-      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
     // SHUFFLE_HASH on the docSets side: the streamed side carries the
     // (growing) shingle arrays, and a sort-merge join would SORT that fat
     // stream — measured 570 MB of sort spill at sf0.1, and exactly the
@@ -355,8 +366,8 @@ object TextOps {
   }
 
   /** [[rawJaccard]] with the canonical output shape (rounded, ordered). */
-  private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame =
-    rawJaccard(sh, cand)
+  private def verifiedJaccard(docSets: DataFrame, cand: DataFrame): DataFrame =
+    rawJaccard(docSets, cand)
       .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
       .orderBy("d1", "d2")
 
@@ -429,9 +440,9 @@ object TextOps {
     // later query share one materialization
     val sh = shingles(s, dir)
     val (cand, prefix) = ppjoinCandidates(sh)
-    // exact verification via the (doc, shingle) equi-join — candidate-
-    // volume-bound, nothing broadcast by construction
-    val out = rawJaccard(sh, cand).persist()
+    // exact verification via doc-set equi-joins — candidate-volume-bound,
+    // nothing broadcast by construction, sets computed scan-side
+    val out = rawJaccard(shingleSets(s, dir), cand).persist()
     // materialize once (this builder runs once per session/dir), then drop
     // the prefix intermediate — only the tiny pair set stays cached
     out.count()
@@ -475,7 +486,7 @@ object TextOps {
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    verifiedJaccard(sh, cand)
+    verifiedJaccard(shingleSets(s, dir), cand)
   }
 
   /** Q27 — SimHash near-dup: 64-bit signature from token hashes, banded

@@ -96,7 +96,8 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(want.nonEmpty, "test must plant at least one true near-dup pair")
     val (cand, prefix) = TextOps.ppjoinCandidates(sh)
-    val got = TextOps.rawJaccard(sh, cand).select("d1", "d2").collect()
+    val got = TextOps.rawJaccard(TextOps.shingleSetsOf(docsDf), cand)
+      .select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     prefix.unpersist()
     assert(got == want, s"pipeline $got vs brute force $want")
