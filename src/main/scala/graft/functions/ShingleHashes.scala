@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -34,7 +35,14 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) if right.foldable =>
+        // width is foldable, so its value is known at analysis — reject
+        // non-positive/null widths here instead of crashing executors
+        right.eval(null) match {
+          case w: java.lang.Integer if w > 0 => TypeCheckResult.TypeCheckSuccess
+          case w => TypeCheckResult.TypeCheckFailure(
+            s"graft_shingle_hashes width must be a positive int, got $w")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"graft_shingle_hashes expects (string, foldable int), got " +
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
@@ -72,7 +80,7 @@ object ShingleHashes {
       i += numBytesForFirstByte(bytes(i))
       nChars += 1
     }
-    if (nChars < width) return new GenericArrayData(Array.empty[Long])
+    if (nChars < width) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val offsets = new Array[Int](nChars + 1)
     var c = 0
     i = 0
@@ -100,17 +108,25 @@ object ShingleHashes {
       if (m == 0 || out(j) != out(m - 1)) { out(m) = out(j); m += 1 }
       j += 1
     }
-    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+    // UnsafeArrayData.fromPrimitiveArray keeps the longs unboxed —
+    // GenericArrayData(Array[Long]) would box every element, re-adding
+    // the per-shingle allocation this expression exists to remove
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
 
-  /** UTF-8 sequence length from the lead byte (continuation bytes never
-    * start a char; malformed input degrades to 1-byte steps). */
+  /** UTF-8 sequence length from the lead byte — the EXACT table Spark's
+    * UTF8String uses (numBytesForFirstByte), including its malformed-byte
+    * behavior: continuation bytes (0x80–0xBF) and the invalid leads
+    * 0xF5–0xFF step 1. Matching Spark byte-for-byte is what keeps this
+    * expression bit-identical to the length()/substring() HOF form even
+    * on malformed UTF-8 (Parquet does not validate string bytes). */
   private def numBytesForFirstByte(b: Byte): Int = {
     val u = b & 0xFF
-    if (u < 0x80) 1
-    else if (u < 0xC0) 1
-    else if (u < 0xE0) 2
-    else if (u < 0xF0) 3
-    else 4
+    if (u < 0xC0) 1        // ASCII, continuation bytes, and < C0 invalids
+    else if (u < 0xE0) 2   // C0–DF
+    else if (u < 0xF0) 3   // E0–EF
+    else if (u < 0xF5) 4   // F0–F4
+    else 1                 // F5–FF: invalid leads, Spark steps 1
   }
 }

@@ -243,18 +243,20 @@ object TextOps {
     dfCache.clear()
   }
 
-  /** Distinct 5-gram character shingles of the normalized text. Memoized
-    * and persisted per (session, dir): the exact (q25) and banded (q26)
-    * near-dup operators share one shuffle instead of recomputing the
-    * distinct twice. */
+  /** Distinct 5-gram character shingle hashes of the normalized text,
+    * exploded to (doc_id, g) rows. Derived from the persisted
+    * [[shingleSets]] arrays — one scan + one hash pass feeds BOTH forms
+    * (re-exploding from the cached arrays is a single Generate, far
+    * cheaper than a second normalization + hash pass over the corpus). */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
-    memo("shingles", s, dir)(shinglesOf(docs(s, dir)).persist())
+    memo("shingles", s, dir)(
+      shingleSets(s, dir).select(col("doc_id"), explode(col("gs")).as("g")))
 
   /** Per-doc sorted distinct shingle-hash SETS, straight off the table
-    * scan — the verify-side twin of [[shingles]]: graft_shingle_hashes
-    * emits the whole per-doc array in one codegen pass, so building doc
-    * sets needs no explode and no groupBy exchange at all. Memoized and
-    * persisted per (session, dir). */
+    * scan: graft_shingle_hashes emits the whole per-doc array in one
+    * codegen pass, so building doc sets needs no explode and no groupBy
+    * exchange at all. This is the ONE materialized shingle frame per
+    * (session, dir); [[shingles]] and the verify step both read it. */
   private[graft] def shingleSetsOf(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), norm.as("norm"))
@@ -269,30 +271,27 @@ object TextOps {
     * shingles of the normalized text of any (doc_id, text) frame.
     * Exposed so tests planting synthetic docs exercise the SAME
     * normalization/gram-size as the production pipeline. */
+  // Three deliberate choices in the shingle pipeline, each worth seconds
+  // at sf0.1 and an exchange (or a few million allocations) at corpus
+  // scale:
+  // 1. per-doc dedup BEFORE explode — doc_id is unique per row, so it IS
+  //    the global (doc_id, g) distinct, without the multi-million-row
+  //    shuffle + hash aggregate an explode-then-.distinct() costs (that
+  //    shuffle was 7.4 s of q25's 12 s).
+  // 2. g is the shingle's xxhash64, never the string — every downstream
+  //    df-count, rank, band, and join key is an 8-byte long instead of a
+  //    heap string; deterministic under stage retries; collisions merge
+  //    two grams with odds ~n²/2⁶⁴ (the round-2-accepted verify
+  //    argument, now applied uniformly: candidates and verify see the
+  //    SAME hashed universe, so the pipeline is internally consistent by
+  //    construction).
+  // 3. the window-hash + dedup runs as ONE native codegen pass
+  //    ([[graft.functions.ShingleHashes]]) — the equivalent
+  //    transform(...xxhash64(substring)...) HOF is interpreted and
+  //    allocates a UTF8String per window (measured ~6 s of q25's 9 s for
+  //    ~5.7M evals at sf0.1).
   private[graft] def shinglesOf(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("doc_id"), norm.as("norm"))
-      .filter(length(col("norm")) >= 5)
-      // Three deliberate choices, each worth seconds at sf0.1 and an
-      // exchange (or a few million allocations) at corpus scale:
-      // 1. per-doc dedup BEFORE explode — doc_id is unique per row, so
-      //    it IS the global (doc_id, g) distinct, without the
-      //    multi-million-row shuffle + hash aggregate an explode-then-
-      //    .distinct() costs (that shuffle was 7.4 s of q25's 12 s).
-      // 2. g is the shingle's xxhash64, never the string — every
-      //    downstream df-count, rank, band, and join key is an 8-byte
-      //    long instead of a heap string; deterministic under stage
-      //    retries; collisions merge two grams with odds ~n²/2⁶⁴
-      //    (the round-2-accepted verify argument, now applied uniformly:
-      //    candidates and verify see the SAME hashed universe, so the
-      //    pipeline is internally consistent by construction).
-      // 3. the window-hash + dedup runs as ONE native codegen pass
-      //    ([[graft.functions.ShingleHashes]]) — the equivalent
-      //    transform(...xxhash64(substring)...) HOF is interpreted and
-      //    allocates a UTF8String per window (measured ~6 s of q25's
-      //    9 s for ~5.7M evals at sf0.1).
-      .select(col("doc_id"),
-        explode(expr("graft_shingle_hashes(norm, 5)")).as("g"))
+    shingleSetsOf(docsDf).select(col("doc_id"), explode(col("gs")).as("g"))
 
   /** Jaccard threshold shared by q25/q26/q37 (Scala and oracle SQL). */
   private[graft] val JaccardTau = 0.8
