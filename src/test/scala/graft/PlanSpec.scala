@@ -197,6 +197,20 @@ class PlanSpec extends SparkSpec {
     assert(mismatches.isEmpty, mismatches.mkString("; "))
   }
 
+  test("near-dup verify joins stay hash joins — the fat stream is never sorted") {
+    // the round-2 driver regression was a sort-merge join sorting the
+    // array-carrying candidate stream (570 MB of sort spill); the
+    // SHUFFLE_HASH hints in rawJaccard pin the join strategy, and this
+    // guard pins the hints' effect so a refactor can't silently drop them
+    val df = graft.queries.TextOps.q25_jaccard_neardup.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "near-dup verify must not sort-merge the array-carrying stream")
+    graft.queries.TextOps.resetCaches()
+  }
+
   test("q47 contamination: hash joins only, no cartesian beyond the scalar cut") {
     val df = graft.queries.Pipeline.q47_contamination.fn(spark, dir)
     df.collect() // finalize the adaptive plan
