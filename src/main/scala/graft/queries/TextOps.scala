@@ -468,19 +468,27 @@ object TextOps {
     * of all pairs while 6-row bands cut that ~40× (recall at jac ≥ 0.95
     * stays ≥ 1−1e-7). With the corpus's similarity margin the verified
     * output equals q25's exact result, so it shares q25's oracle. */
-  val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
+  /** (doc_id, band, bh) LSH band buckets from exploded shingle hashes:
+    * 48 minhashes in one aggregation pass, 8 bands × 6 rows. Shared by
+    * q26 and the streaming near-dup dedup
+    * ([[graft.streaming.Streams.startNearDupDedup]]) so batch and stream
+    * bucket documents identically. */
+  private[graft] def bandedOf(sh: DataFrame): DataFrame = {
     val rBand = 6
     val nBands = 8
-    val sh = shingles(s, dir)
     val hashed = sh.select(col("doc_id"), pmod(xxhash64(col("g")), lit(MhP)).as("h"))
     val minhashes = (0 until rBand * nBands).map(i =>
       min((col("h") * lit(mhA(i)) + lit(mhB(i))) % MhP).as(s"m$i"))
     val sig = hashed.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
     val bands = (0 until nBands).map(j =>
       xxhash64(lit(j) +: (0 until rBand).map(r => col(s"m${rBand * j + r}")): _*).as(s"b$j"))
-    val banded = sig.select(col("doc_id") +: bands: _*)
+    sig.select(col("doc_id") +: bands: _*)
       .select(col("doc_id"), posexplode(array((0 until nBands).map(j => col(s"b$j")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
+    val banded = bandedOf(shingles(s, dir))
     val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))

@@ -110,6 +110,57 @@ object Streams {
     * filters independently at full parallelism. Bloom false positives
     * only ever DROP extra docs (conservative for decontamination); false
     * negatives cannot occur. */
+  /** Streaming MinHash-LSH near-dup dedup via foreachBatch — the
+    * production pattern for cross-batch near-dup state: per micro-batch,
+    * band the incoming docs with EXACTLY the q26 bucketing
+    * (TextOps.bandedOf over TextOps.shinglesOf), drop any doc whose
+    * bucket was occupied by an earlier doc — earlier batch, or a
+    * lower-doc_id row of the same batch — then append the batch's
+    * buckets to the parquet-backed seen-store and the survivors to the
+    * output. Dropped docs' buckets are recorded too (the conservative
+    * policy: a near-dup of a dropped doc is also a near-dup of what got
+    * it dropped, transitively through the shared bucket).
+    *
+    * State lives in a parquet directory, not the state store: band
+    * buckets are append-only long pairs, the per-batch check is one
+    * left-anti-shaped join per batch at full parallelism, and the store
+    * compacts/naturally partitions like any table — the same shape
+    * scales to a 100 TB corpus where per-key state-store entries would
+    * not. At-least-once on replay (idempotent store appends dedup via
+    * the bucket join).
+    *
+    * Returns the started query; stop it via the handle. */
+  def startNearDupDedup(docs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.queries.TextOps
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val bands = TextOps.bandedOf(TextOps.shinglesOf(b)).persist()
+          val storePath = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+          val store = if (fs.exists(storePath)) spark.read.parquet(storeDir)
+            else spark.emptyDataFrame
+              .withColumn("band", lit(0)).withColumn("bh", lit(0L)).limit(0)
+          val seenHit = bands.join(store.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+          val intraFirst = bands.groupBy("band", "bh").agg(min(col("doc_id")).as("first_id"))
+          val intraHit = bands.join(intraFirst, Seq("band", "bh"))
+            .filter(col("doc_id") > col("first_id"))
+          val droppedIds = seenHit.select("doc_id")
+            .unionAll(intraHit.select("doc_id")).distinct()
+          val survivors = b.join(droppedIds, Seq("doc_id"), "left_anti")
+          survivors.write.mode("append").parquet(outDir)
+          bands.select("band", "bh").write.mode("append").parquet(storeDir)
+          bands.unpersist()
+          ()
+        } finally b.unpersist()
+      }
+      .start()
+  }
+
   def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
     docs
       // norm + gram definitions are shared with batch q47/q47b

@@ -219,6 +219,39 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() > 0 && got.count() < docsBatch.count())
   }
 
+  test("streaming near-dup dedup equals a sequential replay of the corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    // truth: replay docs in doc_id order against a growing bucket set,
+    // using the SAME band hashes the stream computes (q26's bucketing)
+    val allBands = graft.queries.TextOps.bandedOf(
+        graft.queries.TextOps.shinglesOf(docsBatch))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seen = scala.collection.mutable.Set.empty[(Int, Long)]
+    val wantSurvivors = docsBatch.select("doc_id").collect().map(_.getLong(0)).sorted.filter { id =>
+      val buckets = allBands.getOrElse(id, Set.empty)
+      val dropped = buckets.exists(seen)
+      seen ++= buckets // dropped docs' buckets count too (conservative)
+      !dropped
+    }.toSet
+    assert(wantSurvivors.size < allBands.size, "fixture must contain near-dups to drop")
+    // stream the same docs in doc_id-ordered chunks
+    val tmp = java.nio.file.Files.createTempDirectory("neardup").toString
+    val stream = MemoryStream[Streams.Doc]
+    docsBatch.orderBy("doc_id").collect()
+      .map(r => Streams.Doc(r.getLong(0), r.getString(1)))
+      .grouped(120).foreach(chunk => stream.addData(chunk.toSeq))
+    val q = Streams.startNearDupDedup(stream.toDF(),
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == wantSurvivors)
+  }
+
   test("mapGroupsWithState userStats final state equals batch aggregate") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
