@@ -145,7 +145,10 @@ object Streams {
           val store = if (fs.exists(storePath)) spark.read.parquet(storeDir)
             else spark.emptyDataFrame
               .withColumn("band", lit(0)).withColumn("bh", lit(0L)).limit(0)
-          val seenHit = bands.join(store.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+          // no distinct on the store: left_semi ignores duplicate build
+          // keys, and a per-batch full-store dedup shuffle would grow
+          // with the corpus
+          val seenHit = bands.join(store.select("band", "bh"), Seq("band", "bh"), "left_semi")
           val intraFirst = bands.groupBy("band", "bh").agg(min(col("doc_id")).as("first_id"))
           val intraHit = bands.join(intraFirst, Seq("band", "bh"))
             .filter(col("doc_id") > col("first_id"))
