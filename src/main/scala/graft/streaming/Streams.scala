@@ -138,12 +138,17 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist()
+        val bands = TextOps.bandedOf(TextOps.shinglesOf(b)).persist()
         try {
-          val bands = TextOps.bandedOf(TextOps.shinglesOf(b)).persist()
           val storePath = new org.apache.hadoop.fs.Path(storeDir)
           val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
-          val store = if (fs.exists(storePath)) spark.read.parquet(storeDir)
-            else spark.emptyDataFrame
+          // explicit schema: a replay after a failed first append sees an
+          // existing dir with zero committed files, where schema
+          // inference would throw and crash-loop the stream; it also
+          // skips per-batch footer inference
+          val store = if (fs.exists(storePath))
+            spark.read.schema("band INT, bh BIGINT").parquet(storeDir)
+          else spark.emptyDataFrame
               .withColumn("band", lit(0)).withColumn("bh", lit(0L)).limit(0)
           // no distinct on the store: left_semi ignores duplicate build
           // keys, and a per-batch full-store dedup shuffle would grow
@@ -157,9 +162,8 @@ object Streams {
           val survivors = b.join(droppedIds, Seq("doc_id"), "left_anti")
           survivors.write.mode("append").parquet(outDir)
           bands.select("band", "bh").write.mode("append").parquet(storeDir)
-          bands.unpersist()
           ()
-        } finally b.unpersist()
+        } finally { bands.unpersist(); b.unpersist() }
       }
       .start()
   }

@@ -205,7 +205,12 @@ class PlanSpec extends SparkSpec {
     val df = graft.queries.TextOps.q25_jaccard_neardup.fn(spark, dir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    // require ShuffledHashJoin SPECIFICALLY: at this fixture size AQE
+    // would happily broadcast an unhinted doc-set side, so accepting
+    // BroadcastHashJoin would make the guard vacuous — dropping the
+    // hints would stay green here while the sf0.1 sort-spill shape
+    // returned
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "near-dup verify must not sort-merge the array-carrying stream")
     graft.queries.TextOps.resetCaches()

@@ -240,12 +240,17 @@ class StreamsSpec extends SparkSpec {
     // stream the same docs in doc_id-ordered chunks
     val tmp = java.nio.file.Files.createTempDirectory("neardup").toString
     val stream = MemoryStream[Streams.Doc]
-    docsBatch.orderBy("doc_id").collect()
-      .map(r => Streams.Doc(r.getLong(0), r.getString(1)))
-      .grouped(120).foreach(chunk => stream.addData(chunk.toSeq))
     val q = Streams.startNearDupDedup(stream.toDF(),
       s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
-    q.processAllAvailable()
+    // drain between chunks so each lands in its OWN micro-batch — later
+    // chunks must hit a populated seen-store, or the cross-batch path
+    // (the feature's reason to exist) goes untested
+    docsBatch.orderBy("doc_id").collect()
+      .map(r => Streams.Doc(r.getLong(0), r.getString(1)))
+      .grouped(120).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
     q.stop()
     val got = spark.read.parquet(s"$tmp/out").select("doc_id")
       .collect().map(_.getLong(0)).toSet
