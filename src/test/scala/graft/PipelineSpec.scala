@@ -110,6 +110,19 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q52 mixing weights are a valid sampling plan") {
+    val rows = Pipeline.q52_mixture_weights.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"natural shares must sum to ~1: ${shares.sum}")
+    rows.foreach { r =>
+      val (nTokens, rate, expTokens) = (r.getLong(2), r.getDouble(4), r.getLong(5))
+      assert(rate > 0.0 && rate <= 1.0, s"rate $rate out of (0, 1]")
+      assert(expTokens <= nTokens, "a capped rate can never up-sample")
+      assert(math.abs(expTokens - nTokens * rate) <= 1.0, "expected tokens = floor(tokens * rate)")
+    }
+  }
+
   test("q50 masking accounting is internally consistent") {
     val r = Pipeline.q50_pii_mask.fn(spark, dir).collect()
     assert(r.nonEmpty)
