@@ -87,10 +87,26 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},""" +
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},""" +
       s""""queries":${obj(_._2)},"spill_bytes":${obj(_._3)},""" +
       s""""shuffle_bytes":${obj(_._4)},"peak_mem_bytes":${obj(_._5)},""" +
-      s""""errors":$errs,"sf":"$sfDir"}""")
+      s""""errors":$errs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // artifact self-defense: a tail-truncated capture of the (long) full
+    // JSON loses the headline numbers, so ALSO end with a compact summary
+    // line (itself a valid {"metric":"total",...} object) and persist the
+    // full JSON to a committed path
+    val slowest = results.sortBy(-_._2).take(5)
+      .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("docs/BENCH_driver_last.json"), fullJson + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write docs/BENCH_driver_last.json: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},""" +
+      s""""errors":$errs,"slowest":$slowest,"full_json":"docs/BENCH_driver_last.json","sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -43,7 +43,7 @@ object Heroic {
     * ceiling; past it, pass false for a plain shuffle hash/sort-merge
     * join on `challenged` (the edge table then shuffles once per
     * iteration; co-partitioning static by `challenged` up front amortizes
-    * that). HeroicSpec property-tests both paths equal. */
+    * that). PropertySpec property-tests both paths equal. */
   def iterate(static: DataFrame, hs: DataFrame, alpha: Double = 0.1,
       broadcastHs: Boolean = true): DataFrame =
     static

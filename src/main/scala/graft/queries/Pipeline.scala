@@ -77,13 +77,14 @@ object Pipeline {
     * (8 bytes, collision odds ~n^2/2^64 — the q25 argument); the eval
     * boundary is a one-row aggregate joined via broadcast, never a driver
     * collect. */
-  /** Train/eval gram sides shared by q47 and q47b, plus the persisted
-    * tagged gram table so callers that materialize once (evalBloomBlob)
-    * can unpersist it. The cache is keyed by canonicalized plan, so both
-    * query variants (and a re-run in the same session) share one
-    * materialization. */
+  /** Train/eval gram sides shared by q47 and q47b. The persisted tagged
+    * gram table is registered in the [[TextOps.memo]] registry (NOT a
+    * bare .persist()), so the session-wide release paths — Bench/Verify's
+    * resetCaches between queries, evalBloomBlob's targeted evict — all
+    * see it; a bare persist here would pin the materialization for the
+    * session in any embedding application. */
   private def contaminationSides(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir)
       .select(col("doc_id"), split(norm, " ").as("a"))
       .filter(size(col("a")) >= 3)
@@ -99,15 +100,22 @@ object Pipeline {
     // side is never sorted), keeping memory bounded at any corpus size.
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 10).select("g")
     val gg = grams.join(rare.hint("shuffle_hash"), "g")
+    // eval cut contract: the last 4% of the ID RANGE — (max(doc_id)+1) *
+    // 96 div 100 — which equals the last 4% of documents only while
+    // doc_ids are (near-)contiguous, as the fixture's and any
+    // assign-at-ingest corpus's are. On a sparse-id corpus (e.g. ids are
+    // content hashes) this still splits deterministically but the eval
+    // FRACTION follows the id density, not 4% of rows; such a corpus
+    // should pass an explicit boundary or use the q49 hash-split instead.
     val cut = docs(s, dir).agg(expr("(max(doc_id)+1) * 96 div 100").as("cut"))
-    // persist the tagged gram table: the self-join below reads it twice,
-    // and without the cache the whole scan+explode+count+join chain runs
-    // once per side (measured 4x cost). Two longs per gram; bench clears
-    // caches between queries.
-    val tagged = gg.crossJoin(broadcast(cut)).persist()
+    // memoized + persisted tagged gram table: the self-join below reads it
+    // twice, and without the cache the whole scan+explode+count+join chain
+    // runs once per side (measured 4x cost). Two longs per gram.
+    val tagged = TextOps.memo("q47grams", s, dir)(
+      gg.crossJoin(broadcast(cut)).persist())
     val train = tagged.filter(col("doc_id") < col("cut")).select(col("doc_id").as("train_id"), col("g"))
     val ev = tagged.filter(col("doc_id") >= col("cut")).select(col("doc_id").as("eval_id"), col("g"))
-    (train, ev, tagged)
+    (train, ev)
   }
 
   private def contaminationPairs(train: DataFrame, ev: DataFrame): DataFrame =
@@ -129,7 +137,7 @@ object Pipeline {
        |           GROUP BY 1, 2)
        |SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 3
        |ORDER BY train_id, eval_id""") { (s, dir) =>
-    val (train, ev, _) = contaminationSides(s, dir)
+    val (train, ev) = contaminationSides(s, dir)
     contaminationPairs(train, ev)
   }
 
@@ -144,7 +152,7 @@ object Pipeline {
     * (PipelineSpec asserts equality; the driver gets the weaker rows-only
     * check since DuckDB has no bloom to mirror). */
   val q47b_contamination_bloom: Query = Query.noOracle { (s, dir) =>
-    val (train, ev, _) = contaminationSides(s, dir)
+    val (train, ev) = contaminationSides(s, dir)
     // BloomFilterMightContain only accepts a constant or scalar-subquery
     // bloom side (never a joined column), so the eval blob rides a scalar
     // subquery: executed once, its ~1 MB result is shipped to every task
@@ -337,13 +345,13 @@ object Pipeline {
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
     * (~1 MB) crosses the driver, never row data. */
   def evalBloomBlob(s: SparkSession, dir: String): Array[Byte] = {
-    val (_, ev, tagged) = contaminationSides(s, dir)
+    val (_, ev) = contaminationSides(s, dir)
     val blob = ev.agg(expr("graft_bloom_agg(g, 1048576L, 8388608L)").as("bf"))
       .head.getAs[Array[Byte]](0)
     // a blob consumer (e.g. a long-lived streaming decontamination job)
-    // has no further use for the gram materialization — release it
-    // instead of pinning it for the session lifetime
-    tagged.unpersist()
+    // has no further use for the gram materialization — release it from
+    // the registry instead of pinning it for the session lifetime
+    TextOps.evict("q47grams", s, dir)
     blob
   }
 

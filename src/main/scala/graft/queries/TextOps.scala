@@ -231,8 +231,15 @@ object TextOps {
   private val dfCache =
     scala.collection.mutable.Map.empty[(String, SparkSession, String), DataFrame]
 
-  private def memo(tag: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+  private[graft] def memo(tag: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     dfCache.synchronized(dfCache.getOrElseUpdate((tag, s, dir), build))
+
+  /** Unpersist and forget ONE memoized intermediate — for callers that
+    * know they are done with a shared frame (e.g. a blob builder handing
+    * state to a long-lived streaming job) and must not pin it for the
+    * session. The next query needing it simply rebuilds + re-memoizes. */
+  private[graft] def evict(tag: String, s: SparkSession, dir: String): Unit =
+    dfCache.synchronized(dfCache.remove((tag, s, dir))).foreach(_.unpersist())
 
   /** Unpersist and forget every memoized intermediate. The bench calls
     * this between queries so each one pays its own full cost (per-query

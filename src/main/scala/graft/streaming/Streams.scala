@@ -169,13 +169,22 @@ object Streams {
   }
 
   def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
-    docs
+    // an empty eval set has nothing to contaminate: its bloom blob is NULL
+    // (aggregate over zero rows), and filtering against it must keep every
+    // doc, not silently drop the corpus
+    if (evalBloom == null) docs
+    else docs
       // norm + gram definitions are shared with batch q47/q47b
       // (Pipeline.normExprStr / trigramHashExpr) so the streaming filter
       // can't silently drift from the contamination check it mirrors
       .withColumn("a", split(expr(graft.queries.Pipeline.normExprStr), " "))
       .withColumn("gs", expr(graft.queries.Pipeline.trigramHashExpr))
-      .filter(!exists(col("gs"), g => call_function("graft_bloom_contains", lit(evalBloom), g)))
+      // coalesce keeps NULL-text rows: split/transform of NULL makes gs
+      // NULL and !exists(NULL) is NULL — batch q47 treats gram-less docs
+      // as uncontaminated, so the stream filter must too
+      .filter(coalesce(
+        !exists(col("gs"), g => call_function("graft_bloom_contains", lit(evalBloom), g)),
+        lit(true)))
       .drop("a", "gs")
 
   final case class UserStats(user_id: Long, n: Long, total: Double, last_us: Long)

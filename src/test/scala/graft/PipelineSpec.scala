@@ -39,6 +39,22 @@ class PipelineSpec extends SparkSpec {
       s"contaminated train docs survived the filter: ${(contaminated & kept).toSeq.sorted}")
   }
 
+  test("decontaminate keeps NULL-text docs and a NULL (empty-eval) blob keeps all") {
+    import spark.implicits._
+    val blob = Pipeline.evalBloomBlob(spark, dir)
+    // NULL text => NULL gram array => the filter predicate is NULL; batch
+    // q47 treats gram-less docs as uncontaminated, so the row must SURVIVE
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+    val kept = graft.streaming.Streams.decontaminate(weird, blob)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L), s"gram-less docs must be kept, got $kept")
+    // an empty eval set aggregates to a NULL bloom blob — that means
+    // "nothing to decontaminate", never "drop everything"
+    val docs = engine.Tables.table(spark, dir, "documents").select("doc_id", "text")
+    assert(graft.streaming.Streams.decontaminate(docs, null).count() == docs.count())
+  }
+
   test("q48 packing accounts for every document and token exactly once") {
     val docs = engine.Tables.table(spark, dir, "documents")
     val nDocs = docs.count()

@@ -227,10 +227,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q47b bloom prefilter sits in the train scan, before any exchange") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
     val df = graft.queries.Pipeline.q47b_contamination_bloom.fn(spark, dir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("might_contain"), "bloom prefilter must survive optimization")
+    // position, not just presence (a regression that re-ordered the filter
+    // past the pair join would still contain the string): every
+    // might_contain Filter must sit directly on the scan side — nothing
+    // below it but the cached gram relation, no join or aggregation. The
+    // exchange feeding the pair join sits above the join inputs, so
+    // "no join below the filter" pins the filter before that exchange.
+    val bloomFilters = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, "expected a might_contain Filter node")
+    bloomFilters.foreach { f =>
+      assert(!f.child.exists { case _: Join | _: Aggregate => true; case _ => false },
+        s"bloom prefilter must precede the pair join, not follow it:\n$f")
+    }
   }
 
   test("whole-stage codegen spans the scalar battery") {
