@@ -115,57 +115,198 @@ object Streams {
     * band the incoming docs with EXACTLY the q26 bucketing
     * (TextOps.bandedOf over TextOps.shinglesOf), drop any doc whose
     * bucket was occupied by an earlier doc — earlier batch, or a
-    * lower-doc_id row of the same batch — then append the batch's
-    * buckets to the parquet-backed seen-store and the survivors to the
-    * output. Dropped docs' buckets are recorded too (the conservative
-    * policy: a near-dup of a dropped doc is also a near-dup of what got
-    * it dropped, transitively through the shared bucket).
+    * lower-doc_id row of the same batch — then record the batch's
+    * buckets in the seen-store and the survivors in the output. Dropped
+    * docs' buckets are recorded too (the conservative policy: a near-dup
+    * of a dropped doc is also a near-dup of what got it dropped,
+    * transitively through the shared bucket).
     *
-    * State lives in a parquet directory, not the state store: band
-    * buckets are append-only long pairs, the per-batch check is one
-    * left-anti-shaped join per batch at full parallelism, and the store
-    * compacts/naturally partitions like any table — the same shape
-    * scales to a 100 TB corpus where per-key state-store entries would
-    * not. At-least-once on replay (idempotent store appends dedup via
-    * the bucket join).
+    * State lives in parquet, not the state store, in the LSM shape that
+    * survives 100 TB:
+    *
+    *  - base: a table bucketed on (band, bh) holding the distinct
+    *    buckets of every compacted batch. The per-batch membership
+    *    probe co-locates against the bucket layout — the store side is
+    *    scanned in place, NEVER shuffled (the BucketingSpec property;
+    *    StreamsSpec pins it on this exact join), so per-batch shuffle
+    *    cost is O(batch), not O(corpus history).
+    *  - delta: one small parquet dir per recent batch
+    *    (delta/batch=<id>); the membership probe against it is
+    *    O(batches since compaction), and compaction (every
+    *    `compactEvery` batches) folds it into a fresh distinct base
+    *    generation, so the store's size tracks the DISTINCT bucket set,
+    *    not the append history.
+    *
+    * Replay is exactly-once end to end: survivors and the batch's delta
+    * are both written to batch=<id> paths with overwrite (a replayed
+    * batch lands on top of its own partial output); the membership
+    * probe excludes the current batch's own delta partition (a replay
+    * must not see its first attempt's bands as "earlier"); and
+    * compaction runs at the START of its designated batch — before that
+    * batch's delta exists — so a replayed compaction folds exactly what
+    * the first attempt folded. Generation discovery keys off _SUCCESS
+    * markers, and the bucketed table definition is re-declared into a
+    * fresh session's catalog on restart (bucket metadata lives in the
+    * catalog; bucket ids live in the file names). The store and the
+    * checkpoint share a lifecycle: reuse a populated store only with
+    * its own checkpoint.
     *
     * Returns the started query; stop it via the handle. */
   def startNearDupDedup(docs: DataFrame, storeDir: String, outDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.queries.TextOps
+      checkpointDir: String, compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.persist()
-        val bands = TextOps.bandedOf(TextOps.shinglesOf(b)).persist()
-        try {
-          val storePath = new org.apache.hadoop.fs.Path(storeDir)
-          val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
-          // explicit schema: a replay after a failed first append sees an
-          // existing dir with zero committed files, where schema
-          // inference would throw and crash-loop the stream; it also
-          // skips per-batch footer inference
-          val store = if (fs.exists(storePath))
-            spark.read.schema("band INT, bh BIGINT").parquet(storeDir)
-          else spark.emptyDataFrame
-              .withColumn("band", lit(0)).withColumn("bh", lit(0L)).limit(0)
-          // no distinct on the store: left_semi ignores duplicate build
-          // keys, and a per-batch full-store dedup shuffle would grow
-          // with the corpus
-          val seenHit = bands.join(store.select("band", "bh"), Seq("band", "bh"), "left_semi")
-          val intraFirst = bands.groupBy("band", "bh").agg(min(col("doc_id")).as("first_id"))
-          val intraHit = bands.join(intraFirst, Seq("band", "bh"))
-            .filter(col("doc_id") > col("first_id"))
-          val droppedIds = seenHit.select("doc_id")
-            .unionAll(intraHit.select("doc_id")).distinct()
-          val survivors = b.join(droppedIds, Seq("doc_id"), "left_anti")
-          survivors.write.mode("append").parquet(outDir)
-          bands.select("band", "bh").write.mode("append").parquet(storeDir)
-          ()
-        } finally { bands.unpersist(); b.unpersist() }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processNearDupBatch(batch, batchId, storeDir, outDir, compactEvery)
       }
       .start()
+
+  /** Buckets of the base-store table. Fixed at table-creation time (a
+    * bucketed layout is immutable); 32 matches the session shuffle
+    * parallelism — on a cluster this is sized to executor count. */
+  private[graft] val StoreBuckets = 32
+
+  private def emptyBands(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(lit(0).as("band"), lit(0L).as("bh"))
+
+  /** Catalog name for a store generation — keyed by the store path so
+    * two stores in one session can't collide, by generation so a
+    * compaction never overwrites the table it is reading. */
+  private def storeTable(storeDir: String, gen: Long): String =
+    f"graft_ndstore_${storeDir.hashCode & 0xffffffffL}%08x_${storeDir.length}%d_g$gen%d"
+
+  /** Completed base generations under the store dir, oldest first.
+    * Only dirs with a _SUCCESS marker count: a compaction that crashed
+    * mid-write leaves no marker and is invisible (its replay rewrites
+    * the dir with overwrite). */
+  private def listGens(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: org.apache.hadoop.fs.Path): Seq[Long] = {
+    if (!fs.exists(storePath)) return Nil
+    fs.listStatus(storePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("base_g")
+        && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("base_g").toLong)
+      .sorted
+  }
+
+  /** Declare generation `gen`'s bucketed table into the session catalog
+    * if absent (a restarted job has a fresh catalog; the files carry
+    * their bucket ids in their names, so the re-declared definition
+    * reads them bucketed). Returns the table name. */
+  private[graft] def ensureStoreTable(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, gen: Long): String = {
+    val tbl = storeTable(storeDir, gen)
+    if (!spark.catalog.tableExists(tbl))
+      spark.sql(
+        s"""CREATE TABLE $tbl (band INT, bh BIGINT) USING parquet
+           |CLUSTERED BY (band, bh) SORTED BY (band, bh) INTO $StoreBuckets BUCKETS
+           |LOCATION '$storeDir/base_g$gen'""".stripMargin)
+    tbl
+  }
+
+  /** The base-side membership probe, isolated so StreamsSpec can pin its
+    * plan: bands (O(batch)) left-semi the bucketed base (O(corpus)).
+    * With the base bucketed on the join key, only the bands side
+    * exchanges — the store is scanned co-located. */
+  private[graft] def baseHits(bands: DataFrame, base: DataFrame): DataFrame =
+    bands.join(base.select("band", "bh"), Seq("band", "bh"), "left_semi")
+
+  /** One micro-batch of [[startNearDupDedup]] — package-private so the
+    * spec can replay a batch directly (the crash-recovery contract:
+    * re-running any batch over any partial state of its first attempt
+    * yields the same committed outputs). */
+  private[graft] def processNearDupBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String, compactEvery: Int): Unit = {
+    import graft.queries.TextOps
+    val spark = batch.sparkSession
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaPath = new org.apache.hadoop.fs.Path(storePath, "delta")
+
+    // compaction first, BEFORE this batch's delta exists: the fold can
+    // then never contain the current batch, so a replayed compaction
+    // batch folds exactly what the first attempt folded. The gen check
+    // skips the fold when the first attempt already committed it.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+        && !listGens(fs, storePath).contains(batchId))
+      compactNearDupStore(spark, storeDir, batchId)
+
+    val b = batch.persist()
+    val bands = TextOps.bandedOf(TextOps.shinglesOf(b)).persist()
+    try {
+      val base = listGens(fs, storePath).lastOption
+        .map(g => spark.table(ensureStoreTable(spark, storeDir, g)))
+        .getOrElse(emptyBands(spark))
+      // delta dirs are enumerated explicitly, excluding the current
+      // batch's own partition: a replay must not count its first
+      // attempt's bands as "earlier docs" (that would drop the whole
+      // batch), and skipping the possibly-torn dir also means no footer
+      // of a crashed write is ever read
+      val deltaDirs =
+        if (!fs.exists(deltaPath)) Seq.empty[String]
+        else fs.listStatus(deltaPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=")
+            && st.getPath.getName != s"batch=$batchId")
+          .map(_.getPath.toString)
+      val delta =
+        if (deltaDirs.isEmpty) emptyBands(spark)
+        else spark.read.schema("band INT, bh BIGINT").parquet(deltaDirs: _*)
+      val intraFirst = bands.groupBy("band", "bh").agg(min(col("doc_id")).as("first_id"))
+      val intraHit = bands.join(intraFirst, Seq("band", "bh"))
+        .filter(col("doc_id") > col("first_id"))
+      val droppedIds = baseHits(bands, base).select("doc_id")
+        .unionAll(baseHits(bands, delta).select("doc_id"))
+        .unionAll(intraHit.select("doc_id")).distinct()
+      val survivors = b.join(droppedIds, Seq("doc_id"), "left_anti")
+      // batch=<id> paths + overwrite = exactly-once under replay: the
+      // re-run lands on top of the first attempt's (possibly partial)
+      // output instead of appending next to it
+      survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      bands.select("band", "bh").write.mode("overwrite")
+        .parquet(s"$storeDir/delta/batch=$batchId")
+      ()
+    } finally { bands.unpersist(); b.unpersist() }
+  }
+
+  /** Fold base + all delta partitions into a fresh distinct base
+    * generation bucketed on (band, bh), then drop the folded inputs.
+    * Crash-safe at every cut: the new generation is invisible until its
+    * _SUCCESS lands (a partial write is rewritten with overwrite on
+    * replay), and delta/old-gen deletion only happens after that marker,
+    * at which point the new base covers them. Package-private so the
+    * spec can exercise the fold and its growth accounting directly. */
+  private[graft] def compactNearDupStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, newGen: Long): Unit = {
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaPath = new org.apache.hadoop.fs.Path(storePath, "delta")
+    val oldGens = listGens(fs, storePath)
+    val deltaDirs =
+      if (!fs.exists(deltaPath)) Seq.empty[String]
+      else fs.listStatus(deltaPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+    if (oldGens.isEmpty && deltaDirs.isEmpty) return
+    val base = oldGens.lastOption
+      .map(g => spark.table(ensureStoreTable(spark, storeDir, g)).select("band", "bh"))
+      .getOrElse(emptyBands(spark))
+    val delta =
+      if (deltaDirs.isEmpty) emptyBands(spark)
+      else spark.read.schema("band INT, bh BIGINT").parquet(deltaDirs: _*)
+    // repartition on the bucket key first: each task then owns whole
+    // buckets and writes exactly one file per bucket (a sorted
+    // single-file bucket scans back sort-free under SMJ)
+    val folded = base.unionAll(delta).distinct()
+      .repartition(StoreBuckets, col("band"), col("bh"))
+    spark.sql(s"DROP TABLE IF EXISTS ${storeTable(storeDir, newGen)}")
+    folded.write.bucketBy(StoreBuckets, "band", "bh").sortBy("band", "bh")
+      .option("path", s"$storeDir/base_g$newGen")
+      .mode("overwrite").saveAsTable(storeTable(storeDir, newGen))
+    fs.delete(deltaPath, true)
+    oldGens.foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${storeTable(storeDir, g)}")
+      fs.delete(new org.apache.hadoop.fs.Path(storePath, s"base_g$g"), true)
+    }
   }
 
   def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =

@@ -219,7 +219,8 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() > 0 && got.count() < docsBatch.count())
   }
 
-  test("streaming near-dup dedup equals a sequential replay of the corpus") {
+  test("streaming near-dup dedup equals a sequential replay of the corpus; " +
+      "batch replay after a crash is exactly-once; compaction keeps the store distinct") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
@@ -237,24 +238,103 @@ class StreamsSpec extends SparkSpec {
       !dropped
     }.toSet
     assert(wantSurvivors.size < allBands.size, "fixture must contain near-dups to drop")
-    // stream the same docs in doc_id-ordered chunks
+    // stream the same docs in doc_id-ordered chunks; compactEvery=2 so
+    // the run exercises compaction mid-stream (batches 0..4 → folds at
+    // batch 2 and batch 4), i.e. later batches probe base AND delta
     val tmp = java.nio.file.Files.createTempDirectory("neardup").toString
     val stream = MemoryStream[Streams.Doc]
     val q = Streams.startNearDupDedup(stream.toDF(),
-      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt")
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt", compactEvery = 2)
     // drain between chunks so each lands in its OWN micro-batch — later
     // chunks must hit a populated seen-store, or the cross-batch path
     // (the feature's reason to exist) goes untested
-    docsBatch.orderBy("doc_id").collect()
+    val chunks = docsBatch.orderBy("doc_id").collect()
       .map(r => Streams.Doc(r.getLong(0), r.getString(1)))
-      .grouped(120).foreach { chunk =>
-        stream.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
+      .grouped(120).toSeq
+    chunks.foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
     q.stop()
-    val got = spark.read.parquet(s"$tmp/out").select("doc_id")
+    def readOut(): Set[Long] = spark.read.parquet(s"$tmp/out").select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(got == wantSurvivors)
+    assert(readOut() == wantSurvivors)
+
+    // --- compaction accounting: the last fold ran at batch 4, so the
+    // base generation holds the DISTINCT buckets of batches 0-3 (store
+    // size tracks the distinct bucket set, not the append history) and
+    // the delta holds only batch 4
+    val storeFs = new java.io.File(s"$tmp/store")
+    val gens = storeFs.listFiles().filter(_.getName.startsWith("base_g")).map(_.getName)
+    assert(gens.toSeq == Seq("base_g4"), s"exactly one live generation: ${gens.mkString(",")}")
+    val deltas = new java.io.File(s"$tmp/store/delta").listFiles().map(_.getName).toSet
+    assert(deltas == Set("batch=4"), s"compaction must clear folded deltas: $deltas")
+    val base = spark.read.parquet(s"$tmp/store/base_g4")
+    val rawBands = chunks.take(4).flatten
+      .flatMap(d => allBands.getOrElse(d.doc_id, Set.empty)).toSeq
+    assert(base.count() == rawBands.distinct.size,
+      "base generation must hold exactly the distinct buckets of the folded batches")
+    assert(rawBands.size > rawBands.distinct.size,
+      "fixture must contain duplicate buckets for the fold to collapse")
+
+    // --- crash-replay is exactly-once: re-running any batch over the
+    // committed state of its first attempt (the worst crash point — both
+    // writes landed, the checkpoint commit didn't) must not duplicate
+    // output. Batch 4 is also a compaction batch, so this covers the
+    // replayed-fold skip too.
+    val lastBatch = chunks.last.toSeq.toDF()
+    Streams.processNearDupBatch(lastBatch, chunks.size - 1L,
+      s"$tmp/store", s"$tmp/out", compactEvery = 2)
+    assert(readOut() == wantSurvivors, "replay after full commit must change nothing")
+    // and over PARTIAL state: first attempt crashed between the survivor
+    // write and the delta write
+    new scala.reflect.io.Directory(
+      new java.io.File(s"$tmp/store/delta/batch=${chunks.size - 1}")).deleteRecursively()
+    Streams.processNearDupBatch(lastBatch, chunks.size - 1L,
+      s"$tmp/store", s"$tmp/out", compactEvery = 2)
+    assert(readOut() == wantSurvivors, "replay after partial commit must converge")
+    assert(new java.io.File(s"$tmp/store/delta/batch=${chunks.size - 1}").exists(),
+      "replay must restore the missing delta partition")
+  }
+
+  test("near-dup membership probe co-locates with the bucketed store (no store-side exchange)") {
+    val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val bands = graft.queries.TextOps.bandedOf(graft.queries.TextOps.shinglesOf(docsBatch))
+    val tmp = java.nio.file.Files.createTempDirectory("neardup-plan").toString
+    // seed a store: one delta batch folded into a bucketed base generation
+    bands.select("band", "bh").write.parquet(s"$tmp/delta/batch=0")
+    Streams.compactNearDupStore(spark, tmp, 1L)
+    val base = spark.table(Streams.ensureStoreTable(spark, tmp, 1L))
+    // pin the at-scale plan: past the broadcast threshold the probe must
+    // co-locate against the bucket layout, shuffling ONLY the batch side.
+    // AQE off so the executed plan is a plain tree the walk below can
+    // reason about (the production path keeps AQE; co-location is a
+    // property of the scan, not of AQE).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Streams.baseHits(bands, base)
+      probe.collect()
+      val executed = probe.queryExecution.executedPlan
+      assert(executed.toString.contains("SelectedBucketsCount"),
+        s"store side must scan bucketed:\n$executed")
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def scansBase(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case s: FileSourceScanExec => s }
+          .exists(_.relation.location.rootPaths.exists(_.toString.contains("base_g1")))
+      assert(scansBase(executed), "sanity: the probe must scan the base generation")
+      val shuffledStore = executed.collect {
+        case e: ShuffleExchangeExec if scansBase(e.child) => e
+      }
+      assert(shuffledStore.isEmpty,
+        s"the store side must never shuffle (only the O(batch) bands side may):\n$executed")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("mapGroupsWithState userStats final state equals batch aggregate") {
