@@ -198,6 +198,51 @@ object Pipeline {
       .orderBy("shard", "pack_id")
   }
 
+  /** Q48b — true packing spans (the production face of q48): where q48
+    * assigns each doc to the pack it STARTS in, a packer actually splits
+    * docs across 256-token chunk boundaries. One row per (doc, pack)
+    * slice — (shard, pack_id, doc_id, off_tok, len_tok) with off_tok the
+    * slice's offset inside the pack — so full packs tile to exactly 256
+    * tokens (PipelineSpec asserts the accounting). Same per-shard window
+    * as q48 plus a sequence+explode over the packs each doc touches:
+    * still no global sort, fanout per doc = ceil(ntok/256) + 1, linear
+    * in corpus tokens. */
+  val q48b_pack_spans: Query = Query(
+    s"""WITH d AS (SELECT doc_id,
+       |                  CAST(${mixSql("doc_id")} % 32 AS INT) AS shard,
+       |                  len(string_split($normSql, ' ')) AS ntok
+       |           FROM documents),
+       |     w AS (SELECT doc_id, shard, ntok,
+       |                  coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |           FROM d),
+       |     sp AS (SELECT shard, doc_id, ntok, start_tok,
+       |                   unnest(range(CAST(start_tok // 256 AS BIGINT),
+       |                                CAST((start_tok + ntok - 1) // 256 + 1 AS BIGINT))) AS p
+       |            FROM w)
+       |SELECT shard, CAST(p AS INT) AS pack_id, doc_id,
+       |       CAST(greatest(start_tok, p * 256) - p * 256 AS BIGINT) AS off_tok,
+       |       CAST(least(start_tok + ntok, (p + 1) * 256)
+       |              - greatest(start_tok, p * 256) AS BIGINT) AS len_tok
+       |FROM sp
+       |ORDER BY shard, pack_id, off_tok""") { (s, dir) =>
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      expr(s"CAST(${mixExpr("doc_id")} % 32 AS INT)").as("shard"),
+      size(split(norm, " ")).cast("long").as("ntok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("start_tok", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      // every doc has ntok >= 1 (split of an empty string is [""]), so the
+      // pack range is never empty
+      .withColumn("p", explode(expr("sequence(start_tok div 256, (start_tok + ntok - 1) div 256)")))
+      .select(col("shard"), col("p").cast("int").as("pack_id"), col("doc_id"),
+        (greatest(col("start_tok"), col("p") * 256) - col("p") * 256).as("off_tok"),
+        (least(col("start_tok") + col("ntok"), (col("p") + 1) * 256)
+          - greatest(col("start_tok"), col("p") * 256)).as("len_tok"))
+      .orderBy("shard", "pack_id", "off_tok")
+  }
+
   /** Q49 — deterministic train/val/test split assignment (SURVEY §2.12):
     * bucket = mixed-hash(doc_id) mod 100; <90 train, <95 val, else test.
     * Re-runnable on any engine, stable under re-partitioning (pure
@@ -359,6 +404,7 @@ object Pipeline {
     "q47_contamination" -> q47_contamination,
     "q47b_contamination_bloom" -> q47b_contamination_bloom,
     "q48_chunk_pack" -> q48_chunk_pack,
+    "q48b_pack_spans" -> q48b_pack_spans,
     "q49_split_assign" -> q49_split_assign,
     "q50_pii_mask" -> q50_pii_mask,
     "q51_repetition" -> q51_repetition,

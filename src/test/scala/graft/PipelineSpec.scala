@@ -90,6 +90,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q48b spans tile every pack exactly and account for every token") {
+    val spans = Pipeline.q48b_pack_spans.fn(spark, dir)
+      .select("shard", "pack_id", "doc_id", "off_tok", "len_tok").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty)
+    // per-doc accounting: a doc's slices sum to its token count, so
+    // splitting across chunk boundaries loses and invents nothing
+    val docTokens = engine.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(expr(Pipeline.normExprStr), " ")).cast("long").as("ntok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = spans.groupBy(_._3).view.mapValues(_.map(_._5).sum)
+    assert(perDoc.toMap == docTokens, "every token lands in exactly one span")
+    assert(spans.exists(s => s._4 > 0),
+      "fixture must contain docs split across a chunk boundary")
+    // per-pack tiling: within each (shard, pack), slices start at 0,
+    // are contiguous, and full packs (every pack but the shard's last)
+    // hold exactly 256 tokens
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((shard, pack), ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0, s"pack ($shard,$pack) must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 + a._5 == b._4, s"pack ($shard,$pack) has a gap or overlap")
+        case _ =>
+      }
+    }
+    val lastPackPerShard = spans.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((shard, pack), ss) =>
+      if (pack < lastPackPerShard(shard))
+        assert(ss.map(_._5).sum == 256L, s"full pack ($shard,$pack) must hold exactly 256 tokens")
+      else
+        assert(ss.map(_._5).sum <= 256L, s"tail pack ($shard,$pack) must fit the chunk size")
+    }
+    // consistency with q48: per (shard, pack), the docs whose FIRST
+    // slice lands there are exactly q48's n_docs (q48 assigns each doc
+    // to the pack it starts in)
+    val startCounts = spans.groupBy(_._3).values
+      .map(_.minBy(_._2)).toSeq
+      .groupBy(s => (s._1, s._2)).view.mapValues(_.size.toLong).toMap
+    val q48Counts = Pipeline.q48_chunk_pack.fn(spark, dir)
+      .select("shard", "pack_id", "n_docs").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(startCounts == q48Counts,
+      "q48b first-slice packs must reproduce q48's start-pack accounting")
+  }
+
   test("q49 splits partition the corpus near the 90/5/5 target") {
     val docs = engine.Tables.table(spark, dir, "documents")
     val total = docs.count()
