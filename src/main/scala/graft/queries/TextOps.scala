@@ -549,10 +549,64 @@ object TextOps {
 
   /** Q37 — duplicate clusters: connected components over the exact
     * near-dup graph (q25 edges), the canonical output of a training-data
-    * dedup pass (keep one doc per cluster). Spark side = iterative
-    * min-label propagation over DataFrames (converges in graph-diameter
-    * iterations; near-dup components are tiny, so 2-3); the oracle
-    * computes the same components with a recursive CTE. */
+    * dedup pass (keep one doc per cluster). Spark side =
+    * [[connectedComponents]] (min-label propagation with pointer
+    * doubling, O(log diameter) rounds); the oracle computes the same
+    * components with a recursive CTE. */
+  /** Connected components over an undirected edge list (cols d1, d2):
+    * min-label propagation with a pointer-doubling shortcut. Each round
+    * does (1) a one-hop min over neighbors — the same single-action
+    * aggregation trick as before: propagated rows carry old = null, the
+    * labels side carries each vertex's previous label, so one groupBy
+    * yields the new label AND (min ignores nulls) the previous one for
+    * the convergence check — then (2) lbl := lbl(lbl), an equi-join of
+    * the label table with itself. The doubling halves the depth of any
+    * label chain each round, so convergence is O(log diameter) rounds
+    * instead of O(diameter): a pathological near-dup CHAIN (A~B~C~…,
+    * diameter n) costs ~log2(n) rounds, not n (DedupSpec pins the bound
+    * on a diameter-100 path). Monotonicity argument: lbl(v) is always
+    * the id of a vertex in v's component and only decreases, so the
+    * fixpoint labels every component with its min vertex.
+    *
+    * Returns (labels (v, lbl), rounds executed). One action per round;
+    * lineage cut every 5 rounds so recomputation after block loss stays
+    * linear. */
+  private[graft] def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
+    val bi = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(edges.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = bi.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    // the vertex count bounds the rounds (generously — doubling needs
+    // only ~log2(diameter)), so non-convergence within the bound is
+    // impossible rather than silently tolerated
+    val maxRounds = labels.count().max(1L)
+    val lblType = labels.schema("lbl").dataType
+    var persisted = labels // the persisted handle of the current generation
+    var converged = false
+    var it = 0
+    while (!converged && it < maxRounds) {
+      it += 1
+      val prop = bi.join(labels, col("a") === col("v"))
+        .select(col("b").as("v"), col("lbl"), lit(null).cast(lblType).as("old"))
+      val hop = labels.select(col("v"), col("lbl"), col("lbl").as("old"))
+        .unionAll(prop)
+        .groupBy("v").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+      // pointer doubling: every lbl value is itself a vertex (ids only
+      // ever come from the vertex set), so the inner self-join is total
+      val ptr = hop.select(col("v").as("pv"), col("lbl").as("plbl"))
+      val next = hop.join(ptr, col("lbl") === col("pv"))
+        .select(col("v"), col("plbl").as("lbl"), col("old"))
+      val cached = if (it % 5 == 0) next.localCheckpoint(true) else next.persist()
+      converged = cached.filter(col("lbl") =!= col("old")).count() == 0L
+      persisted.unpersist()
+      persisted = cached
+      labels = cached.select("v", "lbl")
+    }
+    bi.unpersist()
+    (labels, it)
+  }
+
   val q37_dup_clusters: Query = Query(
     s"""WITH RECURSIVE
        | $pairCtesSql,
@@ -566,41 +620,7 @@ object TextOps {
        |SELECT cluster_id, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM comp GROUP BY cluster_id
        |ORDER BY cluster_id""") { (s, dir) =>
-    val edges = jaccardPairs(s, dir).select("d1", "d2")
-    val bi = edges.select(col("d1").as("a"), col("d2").as("b"))
-      .unionAll(edges.select(col("d2").as("a"), col("d1").as("b")))
-      .persist()
-    var labels = bi.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")).persist()
-    // converges in <= diameter rounds; the vertex count bounds the
-    // diameter, so this cannot loop forever, and non-convergence within
-    // the bound is impossible rather than silently tolerated
-    val maxRounds = labels.count().max(1L)
-    val lblType = labels.schema("lbl").dataType
-    var persisted = labels // the persisted handle of the current generation
-    var converged = false
-    var it = 0
-    while (!converged && it < maxRounds) {
-      it += 1
-      // propagated rows carry old = null; the labels side carries each
-      // vertex's previous label, so ONE aggregation yields both the new
-      // min-label and (min ignores nulls) the previous one — convergence
-      // is read off the same materialized result, a single action per
-      // round instead of agg + a separate isEmpty probe job
-      val prop = bi.join(labels, col("a") === col("v"))
-        .select(col("b").as("v"), col("lbl"), lit(null).cast(lblType).as("old"))
-      val next = labels.select(col("v"), col("lbl"), col("lbl").as("old"))
-        .unionAll(prop)
-        .groupBy("v").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
-      // each round references the previous generation twice; cut lineage
-      // periodically so recomputation after block loss stays linear
-      val cached = if (it % 5 == 0) next.localCheckpoint(true) else next.persist()
-      converged = cached.filter(col("lbl") =!= col("old")).count() == 0L
-      persisted.unpersist()
-      persisted = cached
-      labels = cached.select("v", "lbl")
-    }
-    bi.unpersist()
+    val (labels, _) = connectedComponents(jaccardPairs(s, dir).select("d1", "d2"))
     labels
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))

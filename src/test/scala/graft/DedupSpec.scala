@@ -32,22 +32,86 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
-  test("q30 LSH ANN reaches >= 0.6 recall vs exact q17 top-5") {
+  test("connected components survive adversarial diameter (path graph, O(log n) rounds)") {
+    import spark.implicits._
+    // near-dup components are normally tiny cliques; a pathological
+    // CHAIN A~B~C~… has diameter = n and would cost n rounds under
+    // plain min-label propagation. The pointer-doubling loop must label
+    // a diameter-100 path correctly in ~log2(100) rounds.
+    val path = (0L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = TextOps.connectedComponents(path)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 101 && got.forall(_._2 == 0L),
+      "every vertex of the path must carry the component-min label")
+    // propagation distance after k rounds is d(k) = 2(d(k-1) + 1): 10
+    // rounds cover diameter ~2000, so 100 must fit well inside
+    assert(rounds <= 10, s"doubling must converge logarithmically; took $rounds rounds")
+    // disjoint chains must keep distinct labels (no cross-component bleed)
+    val two = ((0L until 50L).map(i => (i, i + 1))
+      ++ (1000L until 1050L).map(i => (i, i + 1))).toDF("d1", "d2")
+    val (labels2, _) = TextOps.connectedComponents(two)
+    val byLbl = labels2.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    assert(byLbl.keySet == Set(0L, 1000L))
+    assert(byLbl(0L).map(_._1).toSet == (0L to 50L).toSet)
+    assert(byLbl(1000L).map(_._1).toSet == (1000L to 1050L).toSet)
+  }
+
+  test("q30 LSH ANN recall gate is sharp: >= 0.78, degraded tables fail it, < 30% corpus touched") {
     val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ann = VectorOps.q30_ann_lsh.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // measured 0.80 on this fixture, deterministically (seeded planes,
+    // exact rescoring). The scaladoc's ~0.93 design point assumes
+    // neighbors at cos≈0.5; THIS fixture's top-5 sit at cos 0.27-0.39
+    // (synthetic near-random embeddings), where no (k, L) reaches 0.85
+    // under the 30% candidate ceiling below — sign-LSH selectivity
+    // (ρ = ln p_nbr/ln p_rand ≈ 0.75 here) caps recall ≈ 0.8 at 27%
+    // volume. The gate is pinned just under the measured value; the
+    // degraded-index check below is what makes it sharp.
     val recall = (exact & ann).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= 0.78, s"recall $recall")
+    // the candidate set (same lshCells the query joins on), for the
+    // ceiling and for the degraded-index comparison
+    val e = graft.engine.Tables.table(spark, dir, "embeddings")
+    val nVecs = e.count()
+    val cells = VectorOps.lshCells(e.select(col("vec_id"), col("embedding"), lit(1.0).as("nrm")))
+    val candPairs = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("tbl"), col("bkt"))
+      .join(cells.select(col("vec_id").as("cand_id"), col("tbl"), col("bkt")), Seq("tbl", "bkt"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("tbl"))
+    // recall must not be bought by degenerate buckets: no probe may
+    // touch more than ~30% of the corpus
+    val candPerProbe = candPairs.select("probe_id", "cand_id").distinct()
+      .groupBy("probe_id").count().collect().map(_.getLong(1))
+    assert(candPerProbe.nonEmpty && candPerProbe.max < (nVecs * 0.30).toLong,
+      s"a probe touched ${candPerProbe.max} of $nVecs vectors — recall via full scan")
+    // sharpness: the silent-bug class the gate exists for (losing hash
+    // tables to a bucketing slip) must FAIL it. Final recall is bounded
+    // by candidate recall, so candidate recall under half the tables
+    // dropping below the gate proves the bug could not stay green.
+    def candRecall(pairs: Set[(Long, Long)]): Double = (exact & pairs).size.toDouble / exact.size
+    val full = candPairs.select("probe_id", "cand_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val halved = candPairs.filter(col("tbl") < 32).select("probe_id", "cand_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candRecall(full) >= recall, "sanity: candidates bound final recall")
+    assert(candRecall(halved) < 0.70,
+      f"losing half the tables kept candidate recall at ${candRecall(halved)}%.2f — gate not sharp")
   }
 
-  test("q43 IVF ANN reaches >= 0.6 recall vs exact q17 top-5") {
+  test("q43 IVF ANN reaches >= 0.75 recall vs exact q17 top-5, probing a bounded corpus slice") {
     val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = VectorOps.q43_ann_ivf.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // nprobe/nlist = 4/16 bounds candidates at ~25% of the corpus; on
+    // this fixture the probed cells hold the true neighbors well above
+    // 0.75 — a silently broken quantizer (bad seeding, a Lloyd round
+    // reading stale centroids) drops far below it
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= 0.75, s"recall $recall")
   }
 
   test("q28 past-the-gate LSH fallback recovers >= 0.8 of the brute-force top-50") {
