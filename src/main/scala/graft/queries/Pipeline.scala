@@ -62,7 +62,7 @@ object Pipeline {
     val hi = s"(((($col $intDiv 65536) % 65536) * $MixM % 65536) * 65536)"
     s"((($lo + $hi) % 4294967296) $intDiv 65536)"
   }
-  private def mixExpr(col: String): String = mix(col, "div")
+  private[graft] def mixExpr(col: String): String = mix(col, "div")
   private def mixSql(col: String): String = mix(col, "//")
 
   /** Q47 — benchmark contamination check (SURVEY §2.12): the last 4% of

@@ -51,4 +51,81 @@ class SqlParitySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** Spark-SQL forms of the pipeline family, whose DuckDB oracles lean on
+    * string_split/len/'g'-flag regexes and so can't run on Spark as-is.
+    * Built from the SAME shared fragments as the DataFrame pipelines
+    * (Pipeline.normExprStr, Pipeline.mixExpr, croundSql) so the three
+    * surfaces — DataFrame, DuckDB oracle, Spark SQL — cannot drift apart
+    * silently. */
+  private def pipelineSparkSql: Map[String, String] = {
+    import graft.queries.{croundSql, Pipeline}
+    val norm = Pipeline.normExprStr
+    def mixMod(m: Int) = s"CAST(${Pipeline.mixExpr("doc_id")} % $m AS INT)"
+    val ntok = s"CAST(size(split($norm, ' ')) AS BIGINT)"
+    Map(
+      "q48_chunk_pack" ->
+        s"""WITH d AS (SELECT doc_id, ${mixMod(32)} AS shard, $ntok AS ntok FROM documents),
+           |     w AS (SELECT doc_id, shard, ntok,
+           |                  coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           |           FROM d)
+           |SELECT shard, CAST(start_tok div 256 AS INT) AS pack_id,
+           |       count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           |       min(doc_id) AS first_doc
+           |FROM w GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+      "q48b_pack_spans" ->
+        s"""WITH d AS (SELECT doc_id, ${mixMod(32)} AS shard, $ntok AS ntok FROM documents),
+           |     w AS (SELECT doc_id, shard, ntok,
+           |                  coalesce(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           |           FROM d),
+           |     sp AS (SELECT shard, doc_id, ntok, start_tok,
+           |                   explode(sequence(start_tok div 256, (start_tok + ntok - 1) div 256)) AS p
+           |            FROM w)
+           |SELECT shard, CAST(p AS INT) AS pack_id, doc_id,
+           |       greatest(start_tok, p * 256) - p * 256 AS off_tok,
+           |       least(start_tok + ntok, (p + 1) * 256) - greatest(start_tok, p * 256) AS len_tok
+           |FROM sp ORDER BY shard, pack_id, off_tok""".stripMargin,
+      "q49_split_assign" ->
+        s"""WITH d AS (SELECT doc_id, lang, n_chars, ${mixMod(100)} AS bucket, $ntok AS ntok
+           |           FROM documents)
+           |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           |       lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+           |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+      "q50_pii_mask" ->
+        // Spark's regexp_replace is global by default (no 'g' flag arg)
+        """SELECT event_type, count(*) AS n_events,
+          |       CAST(sum(length(regexp_replace(props, '[0-9]+', '#'))
+          |              - length(regexp_replace(props, '[0-9]+', ''))) AS BIGINT) AS n_runs,
+          |       CAST(sum(length(props)
+          |              - length(regexp_replace(props, '[0-9]+', ''))) AS BIGINT) AS n_masked_chars,
+          |       count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>')) AS n_distinct_masked
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q52_mixture_weights" ->
+        s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+           |                    CAST(sum(size(split($norm, ' '))) AS BIGINT) AS n_tokens
+           |             FROM documents GROUP BY lang),
+           |     tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+           |SELECT lang, n_docs, n_tokens,
+           |       ${croundSql("n_tokens / (tot * 1e0)")} AS natural_share,
+           |       ${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")} AS sample_rate,
+           |       CAST(floor(n_tokens * ${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")}) AS BIGINT) AS exp_tokens
+           |FROM per, tot ORDER BY lang""".stripMargin)
+  }
+
+  test("pipeline-family Spark SQL equals the DataFrame pipelines") {
+    Tables.registerAll(spark, dir)
+    val failures = pipelineSparkSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      try {
+        val viaSql = canon(spark.sql(sql))
+        val viaDf = canon(SparkEntry.registry(name).fn(spark, dir))
+        if (viaSql == viaDf) None else Some(s"$name: result mismatch")
+      } catch {
+        case e: Exception => Some(s"$name: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
