@@ -7,10 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions so both the Column API and `spark.sql("... graft_dot(a,b)
-  * ...")` resolve them. Installed by GraftSession via
-  * `spark.sql.extensions`. */
+  * ...")` resolve them, plus the optimizer rules the engine adds on top
+  * of Catalyst. Installed by GraftSession via `spark.sql.extensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Pure range joins (no equi key) become binned equi-joins instead of
+    // nested-loop plans; see graft.plans.RangeJoinBinning.
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
