@@ -627,8 +627,56 @@ object TextOps {
       .orderBy("cluster_id")
   }
 
+  /** Q54 — passage-level exact dedup (the practical middle ground between
+    * q16's whole-doc dedup and q25/q26's near-dup detection; cf. Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * which dedups repeated spans rather than whole documents). Each doc
+    * is cut into non-overlapping 20-word passages; a passage occurrence
+    * is a duplicate unless it is the globally-first occurrence of that
+    * passage text, ordered by (doc_id, passage_idx). Emits per-doc
+    * passage/duplicate accounting.
+    *
+    * Shapes: one groupBy(passage) with map-side-combinable min() finds
+    * first occurrences; the join back is SHUFFLE_HASH so the fat passage
+    * stream is never sorted (q47's pattern). The global order key packs
+    * (doc_id, idx) into one long — exact while idx < 2^20 (docs under
+    * ~21M words) and doc_id < 2^43. Grouping keys are the passage strings
+    * themselves: exact by construction; at petabyte scale swap the key
+    * for xxhash64(passage) (2^-64 collision odds) or re-verify matches
+    * exactly like q25's merge-walk — same plan shape either way. */
+  val q54_passage_dedup: Query = Query(
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       |     p0 AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(a)/20.0) AS BIGINT))) AS i, a
+       |            FROM d WHERE len(a) > 0),
+       |     p AS (SELECT doc_id, i, array_to_string(a[i*20+1 : i*20+20], ' ') AS ptext FROM p0),
+       |     f AS (SELECT ptext, min(doc_id*1048576 + i) AS first_okey FROM p GROUP BY ptext),
+       |     j AS (SELECT p.doc_id,
+       |                  CASE WHEN p.doc_id*1048576 + p.i = f.first_okey THEN 0 ELSE 1 END AS dup
+       |           FROM p JOIN f USING (ptext))
+       |SELECT doc_id, count(*) AS n_pass, CAST(sum(dup) AS BIGINT) AS n_dup,
+       |       ${croundSql("sum(dup) * 1.0e0 / count(*)")} AS dup_ratio
+       |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val P = 20
+    val passages = docs(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("a"))
+      .filter(size(col("a")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(a)/$P.0) as int) - 1)," +
+          s" i -> array_join(slice(a, i*$P+1, $P), ' '))")).as(Seq("i", "ptext")))
+      .withColumn("okey", col("doc_id") * 1048576L + col("i"))
+    val firsts = passages.groupBy("ptext").agg(min(col("okey")).as("first_okey"))
+    passages.join(firsts.hint("shuffle_hash"), "ptext")
+      .select(col("doc_id"),
+        when(col("okey") === col("first_okey"), 0).otherwise(1).as("dup"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pass"), sum(col("dup")).as("n_dup"),
+        cround(sum(col("dup")).cast("double") / count(lit(1))).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Query] = Map(
     "q16_dedup_exact" -> q16_dedup_exact,
+    "q54_passage_dedup" -> q54_passage_dedup,
     "q37_dup_clusters" -> q37_dup_clusters,
     "q18b_top_terms" -> q18b_top_terms,
     "q21_lang_id" -> q21_lang_id,

@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("q54 passage dedup: keeps exactly one occurrence per distinct passage, non-vacuously") {
+    val perDoc = TextOps.q54_passage_dedup.fn(spark, dir).collect()
+    val totalPass = perDoc.map(_.getLong(1)).sum
+    val totalDup = perDoc.map(_.getLong(2)).sum
+    assert(totalDup > 0, "fixture should contain duplicated aligned passages")
+    // Independent ground truth: kept occurrences (n_pass - n_dup) must
+    // equal the number of DISTINCT passage texts, recomputed here from
+    // scratch with a different plan (distinct over the exploded set).
+    val distinctPassages = graft.engine.Tables.table(spark, dir, "documents")
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))/20.0) as int) - 1)," +
+          " i -> array_join(slice(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), i*20+1, 20), ' '))")).as("p"))
+      .distinct().count()
+    assert(totalPass - totalDup == distinctPassages)
+  }
+
   test("connected components survive adversarial diameter (path graph, O(log n) rounds)") {
     import spark.implicits._
     // near-dup components are normally tiny cliques; a pathological
