@@ -274,6 +274,31 @@ object Pipeline {
       .orderBy("split", "lang")
   }
 
+  /** Q55 — deterministic corpus shuffle + sharding: the "global shuffle"
+    * every training run needs, without a global sort. Each doc hashes to
+    * h = mix(doc_id) (the q49 engine-portable Knuth mix, so ANY engine
+    * reproduces the exact order), shard = h % 8, position = row_number
+    * within the shard ordered by (h, doc_id). Reading shards round-robin
+    * by position yields a reproducible pseudo-random visit order.
+    *
+    * Scale: the window sorts per SHARD, never globally — with shards
+    * sized to executors the sort is n/shards per task, and the production
+    * sink is write.partitionBy(shard) + sortWithinPartitions(h), which
+    * never materializes a total order. Re-seeding = adding a salt
+    * constant into the mix input. */
+  val q55_shuffle_shard: Query = Query(
+    s"""WITH d AS (SELECT doc_id, ${mixSql("doc_id")} AS h FROM documents)
+       |SELECT CAST(h % 8 AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |       doc_id
+       |FROM d ORDER BY shard, pos""") { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"), expr(mixExpr("doc_id")).as("h"))
+      .withColumn("shard", (col("h") % 8).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    d.select(col("shard"), row_number().over(w).cast("long").as("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
   /** Q50 — identifier masking (SURVEY §2.12): the PII-scrub pass shape —
     * replace digit runs in event payloads with a sentinel before the text
     * reaches a training corpus; account masked runs / chars / distinct
@@ -408,5 +433,6 @@ object Pipeline {
     "q49_split_assign" -> q49_split_assign,
     "q50_pii_mask" -> q50_pii_mask,
     "q51_repetition" -> q51_repetition,
-    "q52_mixture_weights" -> q52_mixture_weights)
+    "q52_mixture_weights" -> q52_mixture_weights,
+    "q55_shuffle_shard" -> q55_shuffle_shard)
 }

@@ -185,6 +185,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q55 shuffle-shard is a permutation: dense positions per shard, visibly not id-ordered") {
+    val rows = Pipeline.q55_shuffle_shard.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.engine.Tables.table(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "every doc appears exactly once")
+    assert(rows.map(_._3).distinct.length == rows.length)
+    // positions are 1..count(shard), dense, within each shard
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"shard $shard positions not dense")
+    }
+    // the visit order must actually shuffle: within some shard, doc_ids by
+    // position are not monotone (a sorted-by-id "shuffle" is no shuffle)
+    val shuffled = rows.groupBy(_._1).values.exists { rs =>
+      val ids = rs.sortBy(_._2).map(_._3).toSeq
+      ids != ids.sorted
+    }
+    assert(shuffled, "doc_ids follow id order inside every shard — hash is not mixing")
+  }
+
   test("q50 masking accounting is internally consistent") {
     val r = Pipeline.q50_pii_mask.fn(spark, dir).collect()
     assert(r.nonEmpty)
