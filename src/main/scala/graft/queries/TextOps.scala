@@ -572,8 +572,15 @@ object TextOps {
     * lineage cut every 5 rounds so recomputation after block loss stays
     * linear. */
   private[graft] def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
-    val bi = edges.select(col("d1").as("a"), col("d2").as("b"))
-      .unionAll(edges.select(col("d2").as("a"), col("d1").as("b")))
+    // both union branches below read `edges`; without this persist an
+    // expensive edge producer (q37 feeds the whole near-dup pair
+    // pipeline in here) would run twice inside bi's first action. The
+    // count() materializes the cache BEFORE the union scans it twice —
+    // two branches racing in one job would each recompute the pipeline.
+    val e0 = edges.persist()
+    e0.count()
+    val bi = e0.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(e0.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
     var labels = bi.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
@@ -592,11 +599,20 @@ object TextOps {
       val hop = labels.select(col("v"), col("lbl"), col("lbl").as("old"))
         .unionAll(prop)
         .groupBy("v").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
-      // pointer doubling: every lbl value is itself a vertex (ids only
-      // ever come from the vertex set), so the inner self-join is total
-      val ptr = hop.select(col("v").as("pv"), col("lbl").as("plbl"))
-      val next = hop.join(ptr, col("lbl") === col("pv"))
-        .select(col("v"), col("plbl").as("lbl"), col("old"))
+      // Pointer doubling (lbl := lbl(lbl)) is what makes a pathological
+      // diameter-n chain converge in O(log n) rounds — but it costs a
+      // second shuffle join per round, pure overhead on the common case
+      // (near-dup cliques, diameter 1-2, converged in <= 3 plain rounds).
+      // So: plain propagation first, doubling from round 4 — reach then
+      // grows d -> 2d+1 per round (3, 7, 15, ...), keeping the worst case
+      // logarithmic (diameter-100 spec: <= 10 rounds incl. detection).
+      // The self-join is total because every lbl value is itself a vertex
+      // (ids only ever come from the vertex set).
+      val next = if (it < 4) hop else {
+        val ptr = hop.select(col("v").as("pv"), col("lbl").as("plbl"))
+        hop.join(ptr, col("lbl") === col("pv"))
+          .select(col("v"), col("plbl").as("lbl"), col("old"))
+      }
       val cached = if (it % 5 == 0) next.localCheckpoint(true) else next.persist()
       converged = cached.filter(col("lbl") =!= col("old")).count() == 0L
       persisted.unpersist()
@@ -604,6 +620,7 @@ object TextOps {
       labels = cached.select("v", "lbl")
     }
     bi.unpersist()
+    e0.unpersist()
     (labels, it)
   }
 
