@@ -85,30 +85,21 @@ object Heroic {
       extra: Int = 1, maxIter: Int = 100, broadcastHs: Boolean = true): FixedPoint = {
     val static = staticJoin(duels).persist(StorageLevel.MEMORY_AND_DISK)
     static.count()
-    var prev: DataFrame = null
-    var cur = initScores(duels).persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterate.loop owns the generation discipline (persist/unpersist,
+    // localCheckpoint cadence, one action per round); mse() doubles as
+    // the materializing action and the convergence measure. The MSE
+    // trajectory is part of R8's golden, so it must also accumulate on
+    // the `extra` rounds — Iterate runs `measure` there too.
     var mses = Vector.empty[Double]
-    var done = false
-    var it = 0
-    def step(): Unit = {
-      it += 1
-      var next = iterate(static, cur, alpha, broadcastHs)
-      // localCheckpoint every few generations truncates lineage; otherwise
-      // the plan grows by one join+agg per iteration
-      if (it % 5 == 0) next = next.localCheckpoint(true)
-      else next = next.persist(StorageLevel.MEMORY_AND_DISK)
+    val fix = Iterate.loop(
+        initScores(duels).persist(StorageLevel.MEMORY_AND_DISK), maxIter, extra) {
+      (cur, _) => iterate(static, cur, alpha, broadcastHs)
+    } { (cur, next) =>
       mses :+= mse(cur, next)
-      if (prev != null) prev.unpersist()
-      prev = cur
-      cur = next
+      mses.last <= eps
     }
-    while (!done && it < maxIter) {
-      step()
-      done = mses.last <= eps
-    }
-    (0 until extra).foreach(_ => step())
     static.unpersist()
-    FixedPoint(prev, cur, mses)
+    FixedPoint(fix.prev, fix.cur, mses)
   }
 
   /** T1 — global top-k by score, descending (TakeOrderedAndProject;

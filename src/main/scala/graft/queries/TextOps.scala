@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.ops.Iterate
 
 /** Text-analysis + deduplication surface over the `documents` table
   * (SURVEY.md §2.10 and the training-data-pipeline operators).
@@ -396,7 +397,7 @@ object TextOps {
     * persisted per (session, dir): q25 formats them, q37 consumes them as
     * edges. */
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     memo("jaccardPairs", s, dir)(buildJaccardPairs(s, dir))
 
   /** PPJoin candidate pairs (d1 < d2) from prefix filtering over the
@@ -553,75 +554,148 @@ object TextOps {
     * [[connectedComponents]] (min-label propagation with pointer
     * doubling, O(log diameter) rounds); the oracle computes the same
     * components with a recursive CTE. */
-  /** Connected components over an undirected edge list (cols d1, d2):
-    * min-label propagation with a pointer-doubling shortcut. Each round
-    * does (1) a one-hop min over neighbors — the same single-action
-    * aggregation trick as before: propagated rows carry old = null, the
-    * labels side carries each vertex's previous label, so one groupBy
-    * yields the new label AND (min ignores nulls) the previous one for
-    * the convergence check — then (2) lbl := lbl(lbl), an equi-join of
-    * the label table with itself. The doubling halves the depth of any
-    * label chain each round, so convergence is O(log diameter) rounds
-    * instead of O(diameter): a pathological near-dup CHAIN (A~B~C~…,
-    * diameter n) costs ~log2(n) rounds, not n (DedupSpec pins the bound
-    * on a diameter-100 path). Monotonicity argument: lbl(v) is always
-    * the id of a vertex in v's component and only decreases, so the
-    * fixpoint labels every component with its min vertex.
+  /** Connected components over an undirected edge list (cols d1, d2),
+    * in two phases.
     *
-    * Returns (labels (v, lbl), rounds executed). One action per round;
-    * lineage cut every 5 rounds so recomputation after block loss stays
-    * linear. */
-  private[graft] def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
-    // both union branches below read `edges`; without this persist an
-    // expensive edge producer (q37 feeds the whole near-dup pair
-    // pipeline in here) would run twice inside bi's first action. The
-    // count() materializes the cache BEFORE the union scans it twice —
-    // two branches racing in one job would each recompute the pipeline.
-    val e0 = edges.persist()
-    e0.count()
-    val bi = e0.select(col("d1").as("a"), col("d2").as("b"))
-      .unionAll(e0.select(col("d2").as("a"), col("d1").as("b")))
-      .persist()
-    var labels = bi.select(col("a").as("v")).distinct()
+    * Phase 1 — partition-local union-find contraction (long-typed edges
+    * only): each partition runs a classic union-find (path compression +
+    * union by min) over ITS edges and emits its spanning forest as
+    * (v → local-component-min) pointer edges. A spanning forest
+    * preserves the connectivity of its partition's edge subset, and
+    * connectivity over a union of subgraphs follows from the union of
+    * their forests — so the forest union is connectivity-equivalent to
+    * the input. This is ONE narrow pass (mapPartitions, no shuffle, the
+    * expensive upstream edge producer consumed exactly once), and since
+    * near-dup components are cliques that rarely straddle many
+    * partitions it collapses almost all structure immediately: the
+    * global loop then typically needs 1 real round + 1 detection round.
+    * Memory: per-partition table is O(distinct vertices in partition) —
+    * linear in partition bytes, the same budget as a hash-join build
+    * side, so partition sizing already bounds it at 100 TB.
+    *
+    * Phase 2 — min-label propagation with a pointer-doubling shortcut
+    * over the forest edges, via [[graft.ops.Iterate.loop]]. Each round
+    * does (1) a one-hop min over neighbors — propagated rows carry
+    * old = null, the labels side carries each vertex's previous label,
+    * so one groupBy yields the new label AND (min ignores nulls) the
+    * previous one for the convergence check — then from round 4
+    * (2) lbl := lbl(lbl), an equi-join of the label table with itself.
+    * Doubling halves label-chain depth each round, so a pathological
+    * CHAIN of diameter n (which defeats the local pre-pass when sliced
+    * across partitions) still converges in O(log n) rounds (DedupSpec
+    * pins the bound on a diameter-100 path). Monotonicity: lbl(v) is
+    * always the id of a vertex in v's component and only decreases, so
+    * the fixpoint labels every component with its min vertex. The
+    * convergence check is folded into the round's single materializing
+    * action — no separate "did anything change" pass.
+    *
+    * Between the phases sits a size gate (`driverFinishMax`, the q28
+    * pattern): a pointer forest of ≤2M edges (~100 MB collected) is
+    * finished by ONE driver-side union-find instead of 2+ full-cluster
+    * barrier rounds — the forest is already contracted, so its size is
+    * #duplicate-involved docs minus #local components, tiny relative to
+    * any corpus. Past the gate (billions of near-dup docs at 100 TB)
+    * the distributed loop below takes over unchanged; tests force it
+    * with driverFinishMax = 0 so the scale path stays exercised.
+    *
+    * Returns (labels (v, lbl), rounds executed — 0 on the driver-finish
+    * path). */
+  private[graft] def connectedComponents(edges: DataFrame,
+      driverFinishMax: Long = 2L << 20): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.LongType
+    val Array(c1, c2) = edges.columns
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val allLong = edges.schema.fields.forall(_.dataType == LongType)
+    val contracted: DataFrame =
+      if (allLong) {
+        edges.select(col(c1).as("_1"), col(c2).as("_2")).as[(Long, Long)]
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent(r) != r) r = parent(r)
+              var c = x
+              while (c != r) { val n = parent(c); parent(c) = r; c = n }
+              r
+            }
+            it.foreach { case (a, b) =>
+              if (!parent.contains(a)) parent(a) = a
+              if (!parent.contains(b)) parent(b) = b
+              val ra = find(a)
+              val rb = find(b)
+              if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+            }
+            // every vertex that is not a local root points at its root;
+            // roots of >=2-vertex components reappear as edge targets, so
+            // the vertex set survives the contraction
+            parent.keysIterator
+              .map(v => (v, find(v)))
+              .filter { case (v, r) => v != r }
+          }.toDF("a", "b")
+      } else {
+        // non-long label types skip the pre-pass (no test/query uses
+        // them today; the loop below is type-generic and still correct)
+        edges.select(col(c1).as("a"), col(c2).as("b"))
+      }
+    val forest = contracted.persist()
+    val nForest = forest.count()
+    if (allLong && nForest <= driverFinishMax) {
+      // driver finish: merge the per-partition forests with one more
+      // union-find pass (same algorithm, all edges), emit (v, root).
+      // Roots are included because every root of a >=2-vertex component
+      // appears as a pointer target.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      forest.as[(Long, Long)].collect().foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      forest.unpersist()
+      val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+      return (labels.toDF("v", "lbl"), 0)
+    }
+    val bi = forest.unionAll(forest.select(col("b").as("a"), col("a").as("b"))).persist()
+    val labels0 = bi.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
     // the vertex count bounds the rounds (generously — doubling needs
     // only ~log2(diameter)), so non-convergence within the bound is
     // impossible rather than silently tolerated
-    val maxRounds = labels.count().max(1L)
-    val lblType = labels.schema("lbl").dataType
-    var persisted = labels // the persisted handle of the current generation
-    var converged = false
-    var it = 0
-    while (!converged && it < maxRounds) {
-      it += 1
+    val maxRounds = labels0.count().max(1L)
+    val lblType = labels0.schema("lbl").dataType
+    val fix = Iterate.loop(labels0, maxRounds) { (labels, it) =>
       val prop = bi.join(labels, col("a") === col("v"))
         .select(col("b").as("v"), col("lbl"), lit(null).cast(lblType).as("old"))
       val hop = labels.select(col("v"), col("lbl"), col("lbl").as("old"))
         .unionAll(prop)
         .groupBy("v").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
-      // Pointer doubling (lbl := lbl(lbl)) is what makes a pathological
-      // diameter-n chain converge in O(log n) rounds — but it costs a
-      // second shuffle join per round, pure overhead on the common case
-      // (near-dup cliques, diameter 1-2, converged in <= 3 plain rounds).
-      // So: plain propagation first, doubling from round 4 — reach then
-      // grows d -> 2d+1 per round (3, 7, 15, ...), keeping the worst case
+      // Pointer doubling costs a second shuffle join per round — pure
+      // overhead on the common (pre-contracted, diameter 1-2) case, so:
+      // plain propagation first, doubling from round 4. Reach then grows
+      // d -> 2d+1 per round (3, 7, 15, ...), keeping the worst case
       // logarithmic (diameter-100 spec: <= 10 rounds incl. detection).
       // The self-join is total because every lbl value is itself a vertex
       // (ids only ever come from the vertex set).
-      val next = if (it < 4) hop else {
+      if (it < 4) hop
+      else {
         val ptr = hop.select(col("v").as("pv"), col("lbl").as("plbl"))
         hop.join(ptr, col("lbl") === col("pv"))
           .select(col("v"), col("plbl").as("lbl"), col("old"))
       }
-      val cached = if (it % 5 == 0) next.localCheckpoint(true) else next.persist()
-      converged = cached.filter(col("lbl") =!= col("old")).count() == 0L
-      persisted.unpersist()
-      persisted = cached
-      labels = cached.select("v", "lbl")
-    }
+    } { (_, next) => next.filter(col("lbl") =!= col("old")).count() == 0L }
     bi.unpersist()
-    e0.unpersist()
-    (labels, it)
+    forest.unpersist()
+    if (fix.prev != null) fix.prev.unpersist()
+    (fix.cur.select("v", "lbl"), fix.rounds)
   }
 
   val q37_dup_clusters: Query = Query(

@@ -54,8 +54,11 @@ class DedupSpec extends SparkSpec {
     // CHAIN A~B~C~… has diameter = n and would cost n rounds under
     // plain min-label propagation. The pointer-doubling loop must label
     // a diameter-100 path correctly in ~log2(100) rounds.
+    // driverFinishMax = 0 forces the DISTRIBUTED loop — the default
+    // size gate would finish these toy graphs on the driver and make
+    // the doubling bound vacuous
     val path = (0L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val (labels, rounds) = TextOps.connectedComponents(path)
+    val (labels, rounds) = TextOps.connectedComponents(path, driverFinishMax = 0L)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 101 && got.forall(_._2 == 0L),
       "every vertex of the path must carry the component-min label")
@@ -65,11 +68,28 @@ class DedupSpec extends SparkSpec {
     // disjoint chains must keep distinct labels (no cross-component bleed)
     val two = ((0L until 50L).map(i => (i, i + 1))
       ++ (1000L until 1050L).map(i => (i, i + 1))).toDF("d1", "d2")
-    val (labels2, _) = TextOps.connectedComponents(two)
+    val (labels2, _) = TextOps.connectedComponents(two, driverFinishMax = 0L)
     val byLbl = labels2.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
     assert(byLbl.keySet == Set(0L, 1000L))
     assert(byLbl(0L).map(_._1).toSet == (0L to 50L).toSet)
     assert(byLbl(1000L).map(_._1).toSet == (1000L to 1050L).toSet)
+  }
+
+  test("connected components: driver-finish path equals the distributed loop") {
+    import spark.implicits._
+    // mixed shapes — a clique, a cross-partition chain, an isolated pair —
+    // must label identically through both the size-gated driver finish
+    // (default gate) and the full distributed propagation loop (gate 0)
+    val edges = ((10L until 20L).flatMap(i => (i + 1 to 20L).map(j => (i, j)))
+      ++ (100L until 140L).map(i => (i, i + 1))
+      ++ Seq((500L, 501L))).toDF("d1", "d2")
+    val (viaDriver, r1) = TextOps.connectedComponents(edges)
+    val (viaLoop, _) = TextOps.connectedComponents(edges, driverFinishMax = 0L)
+    assert(r1 == 0, "small forest must take the driver-finish path")
+    val a = viaDriver.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = viaLoop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.filter(_._2 == 10L).map(_._1) == (10L to 20L).toSet)
   }
 
   test("q30 LSH ANN recall gate is sharp: >= 0.78, degraded tables fail it, < 30% corpus touched") {
