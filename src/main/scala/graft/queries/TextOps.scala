@@ -735,26 +735,41 @@ object TextOps {
     * themselves: exact by construction; at petabyte scale swap the key
     * for xxhash64(passage) (2^-64 collision odds) or re-verify matches
     * exactly like q25's merge-walk — same plan shape either way. */
-  val q54_passage_dedup: Query = Query(
-    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
-       |     p0 AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(a)/20.0) AS BIGINT))) AS i, a
-       |            FROM d WHERE len(a) > 0),
-       |     p AS (SELECT doc_id, i, array_to_string(a[i*20+1 : i*20+20], ' ') AS ptext FROM p0),
-       |     f AS (SELECT ptext, min(doc_id*1048576 + i) AS first_okey FROM p GROUP BY ptext),
-       |     j AS (SELECT p.doc_id,
-       |                  CASE WHEN p.doc_id*1048576 + p.i = f.first_okey THEN 0 ELSE 1 END AS dup
-       |           FROM p JOIN f USING (ptext))
-       |SELECT doc_id, count(*) AS n_pass, CAST(sum(dup) AS BIGINT) AS n_dup,
-       |       ${croundSql("sum(dup) * 1.0e0 / count(*)")} AS dup_ratio
-       |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+  /** (doc_id, i, ptext, okey) — every document cut into non-overlapping
+    * 20-word passages; okey packs (doc_id, idx) into one long (exact
+    * while idx < 2^20 and doc_id < 2^43). Shared by q54 (exact) and
+    * q54b (near-dup). */
+  private[graft] def passagesOf(s: SparkSession, dir: String): DataFrame = {
     val P = 20
-    val passages = docs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"), split(norm, " ").as("a"))
       .filter(size(col("a")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(a)/$P.0) as int) - 1)," +
           s" i -> array_join(slice(a, i*$P+1, $P), ' '))")).as(Seq("i", "ptext")))
       .withColumn("okey", col("doc_id") * 1048576L + col("i"))
+  }
+
+  /** Shared q54/q54b oracle CTE prefix: passages (p2, with okey and the
+    * word array) and the exact first-occurrence table (f). */
+  private val passageCtesSql =
+    s"""d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       | p0 AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(a)/20.0) AS BIGINT))) AS i, a
+       |        FROM d WHERE len(a) > 0),
+       | p2 AS (SELECT doc_id, i, array_to_string(a[i*20+1 : i*20+20], ' ') AS ptext,
+       |               doc_id*1048576 + i AS okey
+       |        FROM p0),
+       | f AS (SELECT ptext, min(okey) AS first_okey FROM p2 GROUP BY ptext)""".stripMargin
+
+  val q54_passage_dedup: Query = Query(
+    s"""WITH $passageCtesSql,
+       |     j AS (SELECT p2.doc_id,
+       |                  CASE WHEN p2.okey = f.first_okey THEN 0 ELSE 1 END AS dup
+       |           FROM p2 JOIN f USING (ptext))
+       |SELECT doc_id, count(*) AS n_pass, CAST(sum(dup) AS BIGINT) AS n_dup,
+       |       ${croundSql("sum(dup) * 1.0e0 / count(*)")} AS dup_ratio
+       |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val passages = passagesOf(s, dir)
     val firsts = passages.groupBy("ptext").agg(min(col("okey")).as("first_okey"))
     passages.join(firsts.hint("shuffle_hash"), "ptext")
       .select(col("doc_id"),
@@ -765,9 +780,99 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-rep word-trigram shingle-hash sets for q54b: one representative
+    * (min okey) per DISTINCT passage text, its distinct word-3-gram
+    * xxhash64 set as a sorted array. Word trigrams (not char 5-grams):
+    * a 20-word passage yields ≤18 of them, and cross-text trigram
+    * sharing is sparse enough that both the LSH buckets and the oracle's
+    * shared-shingle join stay near-linear. Passages under 3 words have
+    * no trigram and are exempt from near-dup detection (can't score a
+    * jaccard; both engines skip them identically). */
+  private[graft] def passageRepSets(s: SparkSession, dir: String): DataFrame = {
+    val passages = passagesOf(s, dir)
+    val reps = passages.groupBy("ptext").agg(min(col("okey")).as("okey"))
+    reps
+      .select(col("okey").as("doc_id"), split(col("ptext"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(sequence(1, size(w) - 2)," +
+          " k -> xxhash64(concat_ws(' ', slice(w, k, 3))))))").as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
+  }
+
+  /** Verified near-dup rep pairs (o1 < o2 by okey, jac ≥ [[JaccardTau]])
+    * via MinHash banding over the rep trigram sets + exact verification —
+    * the q26 pattern one level down. */
+  private[graft] def passageNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val psets = passageRepSets(s, dir).persist()
+    val banded = bandedOf(psets.select(col("doc_id"), explode(col("gs")).as("g")))
+    val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val out = rawJaccard(psets, cand).persist()
+    out.count()
+    psets.unpersist()
+    out
+  }
+
+  /** Q54b — passage dedup at near-dup strength (the Lee et al. pipeline
+    * shape, fuzzy variant): exact dedup first collapses every repeated
+    * passage text onto its first occurrence (q54's accounting), THEN
+    * MinHash+LSH near-dup runs over the surviving representatives only —
+    * a rep is additionally dropped when an earlier rep is jaccard-similar
+    * (word trigrams, τ = [[JaccardTau]]). Composing exact-then-fuzzy is
+    * what keeps this scale-sane: an exact-dup clique of k passages
+    * contributes ONE rep to the LSH join instead of k²/2 band-bucket
+    * pairs, and candidates over reps are bounded by band-bucket sizes
+    * exactly as in q26. Emits per-doc accounting: exact dups, rep
+    * near-dups, combined ratio. */
+  val q54b_passage_neardup: Query = Query(
+    s"""WITH $passageCtesSql,
+       |     reps AS (SELECT f.first_okey AS okey, string_split(f.ptext, ' ') AS w FROM f),
+       |     tg AS (SELECT DISTINCT okey, array_to_string(w[k : k+2], ' ') AS g
+       |            FROM reps, unnest(range(1, len(w) - 1)) AS t(k)
+       |            WHERE len(w) >= 3),
+       |     cnt AS (SELECT okey, count(*) AS n FROM tg GROUP BY 1),
+       |     prs AS (SELECT a.okey AS o1, b.okey AS o2, count(*) AS inter
+       |             FROM tg a JOIN tg b ON a.g = b.g AND a.okey < b.okey
+       |             GROUP BY 1, 2),
+       |     nd AS (SELECT DISTINCT o2
+       |            FROM prs JOIN cnt ca ON ca.okey = o1 JOIN cnt cb ON cb.okey = o2
+       |            WHERE inter * 1e0 / (ca.n + cb.n - inter) >= $JaccardTau),
+       |     j AS (SELECT p2.doc_id,
+       |                  CASE WHEN p2.okey <> f.first_okey THEN 1 ELSE 0 END AS exact_dup,
+       |                  CASE WHEN p2.okey = f.first_okey AND nd.o2 IS NOT NULL
+       |                       THEN 1 ELSE 0 END AS near_dup
+       |           FROM p2 JOIN f USING (ptext) LEFT JOIN nd ON nd.o2 = p2.okey)
+       |SELECT doc_id, count(*) AS n_pass,
+       |       CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+       |       CAST(sum(near_dup) AS BIGINT) AS n_neardup_rep,
+       |       ${croundSql("(sum(exact_dup) + sum(near_dup)) * 1.0e0 / count(*)")} AS dup_ratio
+       |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val passages = passagesOf(s, dir)
+    val firsts = passages.groupBy("ptext").agg(min(col("okey")).as("first_okey"))
+    val ndReps = passageNearDupPairs(s, dir)
+      .select(col("d2").as("nd_okey")).distinct()
+    passages.join(firsts.hint("shuffle_hash"), "ptext")
+      .join(ndReps, col("okey") === col("nd_okey"), "left")
+      .select(col("doc_id"),
+        when(col("okey") =!= col("first_okey"), 1).otherwise(0).as("exact_dup"),
+        when(col("okey") === col("first_okey") && col("nd_okey").isNotNull, 1)
+          .otherwise(0).as("near_dup"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pass"),
+        sum(col("exact_dup")).cast("long").as("n_exact_dup"),
+        sum(col("near_dup")).cast("long").as("n_neardup_rep"),
+        cround((sum(col("exact_dup")) + sum(col("near_dup"))).cast("double")
+          / count(lit(1))).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Query] = Map(
     "q16_dedup_exact" -> q16_dedup_exact,
     "q54_passage_dedup" -> q54_passage_dedup,
+    "q54b_passage_neardup" -> q54b_passage_neardup,
     "q37_dup_clusters" -> q37_dup_clusters,
     "q18b_top_terms" -> q18b_top_terms,
     "q21_lang_id" -> q21_lang_id,

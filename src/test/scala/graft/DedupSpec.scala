@@ -75,6 +75,29 @@ class DedupSpec extends SparkSpec {
     assert(byLbl(1000L).map(_._1).toSet == (1000L to 1050L).toSet)
   }
 
+  test("q54b banded passage near-dup pairs equal brute-force trigram jaccard, non-vacuously") {
+    import spark.implicits._
+    // brute force: ALL rep pairs sharing >= 1 trigram, exact jaccard —
+    // a different plan (shared-shingle join + groupBy, no banding) over
+    // the same rep sets. Banding must lose nothing at tau = 0.8.
+    val psets = TextOps.passageRepSets(spark, dir).persist()
+    val tg = psets.select(col("doc_id"), explode(col("gs")).as("g"))
+    val cnt = psets.select(col("doc_id"), col("n"))
+    val brute = tg.select(col("doc_id").as("o1"), col("g"))
+      .join(tg.select(col("doc_id").as("o2"), col("g")), "g")
+      .filter(col("o1") < col("o2"))
+      .groupBy("o1", "o2").agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("o1"), col("n").as("n1")), "o1")
+      .join(cnt.select(col("doc_id").as("o2"), col("n").as("n2")), "o2")
+      .filter(col("inter") * 1.0 / (col("n1") + col("n2") - col("inter")) >= TextOps.JaccardTau)
+      .select("o1", "o2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = TextOps.passageNearDupPairs(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    psets.unpersist()
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture should contain near-dup passage reps")
+  }
+
   test("connected components: driver-finish path equals the distributed loop") {
     import spark.implicits._
     // mixed shapes — a clique, a cross-partition chain, an isolated pair —

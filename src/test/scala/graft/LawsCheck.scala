@@ -25,6 +25,33 @@ object LawsCheck extends Properties("graft.laws") {
       n == 0 || GoldenFormat.pyrepr(n.toDouble) == s"$n.0"
     }
 
+  // Python str(float) = the SHORTEST correctly-rounded decimal that
+  // round-trips, in fixed notation inside [1e-4, 1e16). Round-tripping
+  // alone (property above) doesn't pin shortest-ness or the rounding
+  // direction — this closes the formatting class over random doubles,
+  // not just the handful of values the committed goldens exercise.
+  property("pyrepr is the shortest correctly-rounded fixed-notation repr") =
+    Prop.forAll(windowDoubles) { d =>
+      val s = GoldenFormat.pyrepr(d)
+      def fmt(sig: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${sig - 1}e", Double.box(d))
+      // significant digits of the emitted string
+      val sig = math.max(1,
+        s.replace("-", "").replace(".", "")
+          .dropWhile(_ == '0').reverse.dropWhile(_ == '0').length)
+      val roundTrips = java.lang.Double.parseDouble(s) == d
+      // shortest: one fewer significant digit must NOT round-trip
+      val shortest = sig == 1 || java.lang.Double.parseDouble(fmt(sig - 1)) != d
+      // correctly rounded: the emitted value IS the nearest sig-digit
+      // decimal to d (%.Ne rounds correctly), not merely some
+      // sig-digit decimal that happens to parse back to d
+      val correctlyRounded =
+        java.lang.Double.parseDouble(s) == java.lang.Double.parseDouble(fmt(sig))
+      // fixed notation with Python's integral-value ".0" suffix
+      val shape = !s.exists(c => c == 'e' || c == 'E') && s.contains('.')
+      roundTrips && shortest && correctlyRounded && shape
+    }
+
   private def cround(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
 
   // cround's documented domain is |x| < 2^51 / 10^4 ≈ 2.2e11
