@@ -410,6 +410,58 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Q56 — mixture resampling (SURVEY §2.12): EXECUTES q52's sampling
+    * plan. Every doc keeps or drops deterministically — the
+    * engine-portable Knuth mix of its doc_id (mod 10^4) against its
+    * language's capped sampling rate at 4-decimal granularity — so any
+    * engine reproduces the exact kept set: resumable, auditable, no RNG
+    * state to checkpoint. Emits per-language accounting proving the
+    * realized token rate tracks the q52 target.
+    *
+    * Shapes: one aggregation builds the rate table (languages × 1 row),
+    * which broadcasts; the keep decision is then a map-side filter on
+    * the scan — no shuffle touches row data beyond the final per-lang
+    * aggregation. The 16-bit mix hash mod 10^4 carries a small
+    * per-cell bias (65536 % 10000 ≠ 0); a production corpus would
+    * widen the mix to 64 bits — same plan, same portability. */
+  val q56_mixture_resample: Query = Query(
+    s"""WITH per AS (SELECT lang,
+       |                    CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens
+       |             FROM documents GROUP BY lang),
+       |     tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+       |     rates AS (SELECT lang,
+       |                      CAST(floor(${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")} * 10000 + 0.5e0) AS BIGINT) AS thresh
+       |               FROM per, tot),
+       |     d AS (SELECT doc_id, lang, len(string_split($normSql, ' ')) AS ntok,
+       |                  ${mixSql("doc_id")} % 10000 AS h
+       |           FROM documents),
+       |     kpt AS (SELECT d.lang, d.ntok, CASE WHEN d.h < r.thresh THEN 1 ELSE 0 END AS keep
+       |             FROM d JOIN rates r USING (lang))
+       |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       CAST(sum(keep * ntok) AS BIGINT) AS kept_tokens,
+       |       ${croundSql("sum(keep * ntok) * 1e0 / sum(ntok)")} AS realized_rate
+       |FROM kpt GROUP BY 1 ORDER BY lang""") { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(split(norm, " ")).cast("long").as("ntok"),
+      expr(s"${mixExpr("doc_id")} % 10000").as("h"))
+    val per = d.groupBy("lang").agg(sum(col("ntok")).as("n_tokens"))
+    val tot = per.agg(count(lit(1)).cast("long").as("k"), sum(col("n_tokens")).as("tot"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(cround(least(lit(1d), (col("tot") / (col("k") * lit(1d))) / col("n_tokens")))
+          * 10000 + lit(0.5)).cast("long").as("thresh"))
+    d.join(broadcast(rates), "lang")
+      .select(col("lang"), col("ntok"),
+        when(col("h") < col("thresh"), 1L).otherwise(0L).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(col("keep") * col("ntok")).cast("long").as("kept_tokens"),
+        cround(sum(col("keep") * col("ntok")) * lit(1.0) / sum(col("ntok")))
+          .as("realized_rate"))
+      .orderBy("lang")
+  }
+
   /** The q47b eval-set Bloom blob as driver-side bytes — the "model
     * state" handed to the streaming decontamination filter
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
@@ -434,5 +486,6 @@ object Pipeline {
     "q50_pii_mask" -> q50_pii_mask,
     "q51_repetition" -> q51_repetition,
     "q52_mixture_weights" -> q52_mixture_weights,
-    "q55_shuffle_shard" -> q55_shuffle_shard)
+    "q55_shuffle_shard" -> q55_shuffle_shard,
+    "q56_mixture_resample" -> q56_mixture_resample)
 }

@@ -869,6 +869,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q57 — BM25 retrieval scoring (Robertson k1 = 1.2, b = 0.75, Lucene
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))): top-10 documents for a
+    * fixed 3-term keyword query — the retrieval primitive a
+    * training-data curation stack uses for targeted corpus slicing.
+    *
+    * Shapes for 100 TB: the query-term filter runs BEFORE the tf
+    * aggregation (map-side prune of the token stream to ≤|query| terms
+    * per doc), df and the (N, avgdl) stats are 3-row/1-row broadcasts,
+    * the per-doc length table joins on doc_id as a plain equi-join
+    * (both sides shrink with the term filter via the tf side), and the
+    * global top-10 is TakeOrderedAndProject — nothing quadratic,
+    * nothing collected. Ordering is on the ROUNDED score with doc_id
+    * tiebreak so both engines rank identically even at float-ulp
+    * score ties. */
+  val q57_bm25: Query = {
+    val terms = Seq("merge", "window", "stream")
+    val termsSql = terms.map(t => s"'$t'").mkString(", ")
+    Query(
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w FROM documents),
+         |     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |     stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl * 1e0) AS avgdl FROM dl),
+         |     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |            WHERE w IN ($termsSql) GROUP BY 1, 2),
+         |     df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |     sc AS (SELECT tf.doc_id,
+         |                   sum(ln(1e0 + (n - df + 0.5e0) / (df + 0.5e0)) *
+         |                       tf * 2.2e0 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / avgdl))) AS score
+         |            FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         |            GROUP BY 1)
+         |SELECT doc_id, ${croundSql("score")} AS bm25
+         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""") { (s, dir) =>
+      val tok = docs(s, dir).select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+        avg(col("dl") * lit(1.0)).as("avgdl"))
+      val tf = tok.filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("contrib"))
+        .groupBy("doc_id").agg(sum(col("contrib")).as("score"))
+        .select(col("doc_id"), cround(col("score")).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    }
+  }
+
   val all: Map[String, Query] = Map(
     "q16_dedup_exact" -> q16_dedup_exact,
     "q54_passage_dedup" -> q54_passage_dedup,
@@ -882,5 +934,6 @@ object TextOps {
     "q24_fingerprint" -> q24_fingerprint,
     "q25_jaccard_neardup" -> q25_jaccard_neardup,
     "q26_minhash_lsh" -> q26_minhash_lsh,
-    "q27_simhash" -> q27_simhash)
+    "q27_simhash" -> q27_simhash,
+    "q57_bm25" -> q57_bm25)
 }
