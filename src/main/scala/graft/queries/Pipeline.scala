@@ -327,6 +327,20 @@ object Pipeline {
       .orderBy("event_type")
   }
 
+  /** Max run length in the sorted token array `a` == max token frequency:
+    * a single O(n) pass instead of an O(distinct·len) nested-lambda scan
+    * (higher-order lambdas are interpreted — no codegen — so the nested
+    * form measured ~10× slower). Shared by q51 and q58. */
+  private[graft] val maxRunExpr: Column = expr(
+    """aggregate(sort_array(a),
+      |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+      |  (acc, x) -> named_struct(
+      |    'prev', x,
+      |    'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+      |    'best', GREATEST(acc.best,
+      |                     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+      |  acc -> acc.best)""".stripMargin)
+
   /** Q51 — repetition-quality statistics (SURVEY §2.12): the C4/Gopher
     * family of repetition filters — per-doc distinct-token ratio and
     * top-token dominance (max token frequency / doc length), aggregated
@@ -355,16 +369,7 @@ object Pipeline {
          |FROM per GROUP BY source
          |ORDER BY source""") { (s, dir) =>
       val d = docs(s, dir).select(col("source"), split(norm, " ").as("a"))
-      // max run length in the sorted token array == max token frequency
-      val maxRun = expr(
-        """aggregate(sort_array(a),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
-          |    'best', GREATEST(acc.best,
-          |                     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
-          |  acc -> acc.best)""".stripMargin)
+      val maxRun = maxRunExpr
       val r = d.select(
         col("source"),
         cround(expr("size(array_distinct(a))") / expr("CAST(size(a) AS DOUBLE)")).as("distinct_ratio"),
@@ -462,6 +467,79 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Q58 — composite corpus quality filter (the C4/Gopher keep-or-drop
+    * pass, SURVEY §2.12): ONE scan computes every per-doc signal — token
+    * count, mean token length, distinct-token ratio, top-token dominance
+    * (the q51 O(n) sorted-run pass), stopword hits — and assigns each
+    * doc its FIRST matching drop reason in fixed priority order:
+    * too_short → bad_tok_len → repetitive → dominated → no_stopwords →
+    * kept (reason codes carry a priority prefix so output order is
+    * deterministic). Emits per-(lang, reason) doc/token accounting.
+    *
+    * Scale shape: the Spark side derives ALL signals from per-row array
+    * expressions (array_distinct / sorted-run / padded-replace counts) —
+    * a pure map with NO shuffle before the final tiny (lang, reason)
+    * aggregation, i.e. one pass over a 100 TB corpus. The oracle states
+    * the repetition signals the natural SQL way (unnest + groupBy);
+    * both reduce to exact integer ratios and identical IEEE divisions,
+    * so threshold comparisons agree bit-for-bit. Thresholds are tuned
+    * so every reason fires non-vacuously on the fixture (profiled:
+    * n_tok 10–99, avg_tok_len 3.71–5.30, distinct_ratio 0.28–1.0,
+    * top_share ≤ 0.30, zero-stopword docs exist in every lang). */
+  val q58_corpus_filter: Query = {
+    val stops = Seq("the", "a", "of", "and")
+    def hitsDiffSql(p: String) =
+      s"(length(padded) - length(replace(padded, ' $p ', '')))"
+    val stopHitsSql = stops.map(hitsDiffSql).mkString(" + ")
+    Query(
+      s"""WITH d AS (SELECT doc_id, lang, $normSql AS norm,
+         |                  string_split($normSql, ' ') AS a,
+         |                  ' ' || $normSql || ' ' AS padded
+         |           FROM documents),
+         |     tok AS (SELECT doc_id, unnest(a) AS w FROM d),
+         |     freq AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |     rep AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c FROM freq GROUP BY 1),
+         |     f AS (SELECT d.doc_id, lang, len(a) AS n_tok,
+         |                  length(replace(norm, ' ', '')) * 1e0 / len(a) AS atl,
+         |                  n_distinct * 1e0 / len(a) AS dr,
+         |                  top_c * 1e0 / len(a) AS ts,
+         |                  $stopHitsSql AS stop_hits
+         |           FROM d JOIN rep USING (doc_id)),
+         |     r AS (SELECT lang, n_tok,
+         |                  CASE WHEN n_tok < 15 THEN '1_too_short'
+         |                       WHEN atl < 3.75e0 OR atl > 5.25e0 THEN '2_bad_tok_len'
+         |                       WHEN dr < 0.30e0 THEN '3_repetitive'
+         |                       WHEN ts > 0.20e0 THEN '4_dominated'
+         |                       WHEN stop_hits = 0 THEN '5_no_stopwords'
+         |                       ELSE '6_kept' END AS reason
+         |           FROM f)
+         |SELECT lang, reason, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY lang, reason""") { (s, dir) =>
+      // plain (non-regex) replace on both engines so non-overlapping
+      // occurrence counting is semantics-identical by construction
+      def hitsDiff(p: String): Column =
+        length(col("padded")) - length(expr(s"replace(padded, ' $p ', '')"))
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), norm.as("norm"),
+        split(norm, " ").as("a"), concat(lit(" "), norm, lit(" ")).as("padded"))
+      val f = d.select(col("lang"),
+        size(col("a")).as("n_tok"),
+        (length(regexp_replace(col("norm"), " ", "")) * lit(1.0) / size(col("a"))).as("atl"),
+        (expr("size(array_distinct(a))") * lit(1.0) / size(col("a"))).as("dr"),
+        (maxRunExpr * lit(1.0) / size(col("a"))).as("ts"),
+        stops.map(hitsDiff).reduce(_ + _).as("stop_hits"))
+      f.select(col("lang"), col("n_tok"),
+          when(col("n_tok") < 15, "1_too_short")
+            .when(col("atl") < 3.75 || col("atl") > 5.25, "2_bad_tok_len")
+            .when(col("dr") < 0.30, "3_repetitive")
+            .when(col("ts") > 0.20, "4_dominated")
+            .when(col("stop_hits") === 0, "5_no_stopwords")
+            .otherwise("6_kept").as("reason"))
+        .groupBy("lang", "reason")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+        .orderBy("lang", "reason")
+    }
+  }
+
   /** The q47b eval-set Bloom blob as driver-side bytes — the "model
     * state" handed to the streaming decontamination filter
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
@@ -487,5 +565,6 @@ object Pipeline {
     "q51_repetition" -> q51_repetition,
     "q52_mixture_weights" -> q52_mixture_weights,
     "q55_shuffle_shard" -> q55_shuffle_shard,
-    "q56_mixture_resample" -> q56_mixture_resample)
+    "q56_mixture_resample" -> q56_mixture_resample,
+    "q58_corpus_filter" -> q58_corpus_filter)
 }

@@ -183,7 +183,16 @@ class PlanSpec extends SparkSpec {
       "q48_chunk_pack" -> (2, 0),
       "q49_split_assign" -> (2, 0),
       "q50_pii_mask" -> (3, 0),
-      "q51_repetition" -> (2, 0))
+      "q51_repetition" -> (2, 0),
+      // round-5 corpus ops: q58 is a pure map until its (lang, reason)
+      // agg + output sort; q56 adds the rate-table build — the per-lang
+      // agg subtree appears TWICE (the tot branch prunes to n_tokens
+      // only, so exchange reuse can't fire across the differently-pruned
+      // scans) + grand-total agg + final agg + output sort = 5. All five
+      // move ≤ language-cardinality rows except the final agg — fine at
+      // any scale; the row-data keep filter itself rides the broadcasts.
+      "q56_mixture_resample" -> (5, 2),
+      "q58_corpus_filter" -> (2, 0))
     val mismatches = expected.toSeq.sortBy(_._1).flatMap { case (name, (wantShuffle, wantBroadcast)) =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // finalize the adaptive plan
@@ -195,6 +204,28 @@ class PlanSpec extends SparkSpec {
       else Some(s"$name: expected ($wantShuffle shuffle, $wantBroadcast broadcast), got ($shuffles, $broadcasts)")
     }
     assert(mismatches.isEmpty, mismatches.mkString("; "))
+  }
+
+  test("q57 BM25: global top-10 is TakeOrdered; df/stats broadcast; no cartesian row blowup") {
+    val df = graft.queries.TextOps.q57_bm25.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), "stats must join as broadcast, not cartesian")
+    // the one-row stats frame and the |query|-row df frame ride broadcasts
+    assert(raw"BroadcastExchange \(\d+\)".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q54b passage near-dup: hash joins only, no cartesian, no sort of the fat verify stream") {
+    val df = graft.queries.TextOps.q54b_passage_neardup.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rep shingle-array attach must stay a shuffled hash join (the
+    // q25 argument: sorting the array-carrying stream is the spill risk)
+    assert(p.contains("ShuffledHashJoin"), p)
   }
 
   test("near-dup verify joins stay hash joins — the fat stream is never sorted") {
