@@ -44,6 +44,10 @@ import graft.engine.GraftSession
   * starved by the machine, not by its plan (the round-4 driver bench
   * showed shuffle-free scans at 20-60× local wall with flat
   * spill/peak-mem and no way to prove the cause from the artifact).
+  * `machine_user/sys/steal_pct` (per-query /proc/stat deltas) then split
+  * a contended window into its cause: high sys = kernel churn (page
+  * reclaim / fs), high steal = hypervisor neighbors, high user with
+  * cpu_sec flat = another process on the box.
   */
 object Bench {
 
@@ -79,13 +83,39 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Whole-machine CPU jiffies (user, system, idle, steal) from
+    * /proc/stat; per-query DELTAS of these separate the three remaining
+    * confounders load_avg conflates: our own user-space compute, kernel
+    * churn (page reclaim / fs — observed as 60%+ sys spikes with LOW
+    * user during a round-5 470 s bench flap on an otherwise idle box),
+    * and hypervisor steal. All -1 if unreadable. */
+  private def cpuJiffies(): Array[Long] =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator.next().split("\\s+")
+      // fields: cpu user nice system idle iowait irq softirq steal ...
+      Array(f(1).toLong + f(2).toLong, f(3).toLong + f(6).toLong + f(7).toLong,
+        f(4).toLong + f(5).toLong, f(8).toLong)
+    } catch { case _: Throwable => Array(-1L, -1L, -1L, -1L) }
+
+  /** (user%, sys%, steal%) of total machine CPU between two jiffy
+    * snapshots; (-1, -1, -1) when unreadable or no time elapsed. */
+  private def cpuPct(a: Array[Long], b: Array[Long]): (Double, Double, Double) = {
+    if (a(0) < 0 || b(0) < 0) return (-1.0, -1.0, -1.0)
+    val d = Array.tabulate(4)(i => (b(i) - a(i)).toDouble)
+    val tot = d.sum
+    if (tot <= 0) (-1.0, -1.0, -1.0)
+    else (100 * d(0) / tot, 100 * d(1) / tot, 100 * d(3) / tot)
+  }
+
   /** Untimed per-query setup run AFTER the cache reset — declares the
     * query incremental over the frames the warmer builds. */
   private val prewarm: Map[String, (SparkSession, String) => Unit] = Map(
     "q37_dup_clusters" -> ((s, d) => { graft.queries.TextOps.jaccardPairs(s, d); () }))
 
   private final case class Timed(name: String, secs: Double, spill: Long,
-    shuffle: Long, peakMem: Long, cpuSec: Double, gcSec: Double, load: Double)
+    shuffle: Long, peakMem: Long, cpuSec: Double, gcSec: Double, load: Double,
+    userPct: Double, sysPct: Double, stealPct: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,14 +145,16 @@ object Bench {
       prewarm.get(name).foreach(_(spark, sfDir))
       org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
       listener.reset()
+      val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
+        val (userPct, sysPct, stealPct) = cpuPct(j0, cpuJiffies())
         org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
         Some(Timed(name, secs, listener.spill.get(), listener.shuffle.get(),
           listener.peakMem.get(), listener.cpuNs.get() / 1e9,
-          listener.gcMs.get() / 1e3, loadAvg()))
+          listener.gcMs.get() / 1e3, loadAvg(), userPct, sysPct, stealPct))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failures += name
@@ -140,7 +172,9 @@ object Bench {
       s""""queries":${obj(_.secs)},"spill_bytes":${obj(_.spill)},""" +
       s""""shuffle_bytes":${obj(_.shuffle)},"peak_mem_bytes":${obj(_.peakMem)},""" +
       s""""cpu_sec":${obj(r => r3(r.cpuSec))},"gc_sec":${obj(r => r3(r.gcSec))},""" +
-      s""""load_avg":${obj(_.load)},"incremental":$incr,""" +
+      s""""load_avg":${obj(_.load)},"machine_user_pct":${obj(r => r3(r.userPct))},""" +
+      s""""machine_sys_pct":${obj(r => r3(r.sysPct))},""" +
+      s""""machine_steal_pct":${obj(r => r3(r.stealPct))},"incremental":$incr,""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     // artifact self-defense: a tail-truncated capture of the (long) full

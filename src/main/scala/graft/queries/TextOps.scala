@@ -921,8 +921,107 @@ object TextOps {
     }
   }
 
+  /** Q59 — doc-sharded inverted index: term → per-shard posting lists
+    * plus the term's global document frequency. Sharding postings by
+    * doc_id range (shard = doc_id div 100) is the load-bearing scale
+    * decision: a flat `groupBy(term).collect_list(doc_id)` puts a
+    * stopword's entire posting list — billions of ids at corpus scale —
+    * into ONE aggregation group, while here every (term, shard) group is
+    * bounded by the shard's document count no matter how common the term
+    * is (the same doc-partitioned layout every search engine shards its
+    * index by). The global df then costs only a window-sum over the
+    * already-tiny (term, shard) rows, never a second pass over the token
+    * stream. Postings are sorted within shard, so the full ordered list
+    * is the shard-order concatenation. */
+  val q59_inverted_index: Query = Query(
+    s"""WITH tok AS (SELECT DISTINCT unnest(string_split($normSql, ' ')) AS term, doc_id
+       |             FROM documents),
+       |     t AS (SELECT term, doc_id FROM tok WHERE length(term) >= 4)
+       |SELECT term, doc_id // 100 AS shard, count(*) AS n,
+       |       CAST(sum(count(*)) OVER (PARTITION BY term) AS BIGINT) AS df,
+       |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+       |FROM t GROUP BY 1, 2 ORDER BY term, shard""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // distinct BEFORE explode is free here: doc_id is unique per input
+    // row, so array_distinct on the per-doc token array IS the global
+    // (term, doc_id) distinct — no extra exchange (the q25 shingle
+    // lesson applied to words)
+    val t = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(norm, " "))).as("term"))
+      .filter(length(col("term")) >= 4)
+    t.withColumn("shard", expr("doc_id div 100"))
+      .groupBy("term", "shard")
+      .agg(count(lit(1)).as("n"),
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',')")
+          .as("postings"))
+      .withColumn("df", sum(col("n")).over(Window.partitionBy("term")))
+      .select(col("term"), col("shard"), col("n"), col("df"), col("postings"))
+      .orderBy("term", "shard")
+  }
+
+  /** Sources forming the "incoming batch" in q60 (the rest of the corpus
+    * is the already-accepted snapshot). */
+  private val incomingSources = Seq("src18", "src19")
+
+  /** Q60 — incremental near-dup deduplication: dedup an INCOMING batch
+    * against an existing corpus snapshot (the crawl-over-crawl pattern —
+    * Lee et al.'s dedup applied incrementally instead of corpus-wide).
+    * An incoming doc is dropped when it is jaccard-near-dup
+    * (≥ [[JaccardTau]]) of ANY corpus doc, or of an EARLIER (smaller
+    * doc_id) incoming doc; kept docs pass through with their source.
+    *
+    * Scale shape — the reason this operator exists apart from q25/q37:
+    * full-corpus dedup recomputes corpus×corpus pairs every run, but the
+    * incremental form only needs incoming×(corpus ∪ incoming)
+    * candidates. Both sides carry the SAME LSH band keys as q26
+    * ([[bandedOf]]), so candidates come from a (band, bh) equi-join of
+    * the small incoming band table against the full band table — at
+    * 100 TB the corpus side is a maintained artifact (written once,
+    * appended per batch; cf. the streaming seen-store,
+    * streaming/Streams.scala), and per-batch cost scales with the BATCH,
+    * not the corpus. Verification is the shared exact-jaccard merge-walk
+    * ([[rawJaccard]]) over candidate volume. */
+  val q60_incremental_neardup: Query = {
+    val incSql = incomingSources.map(s => s"'$s'").mkString(", ")
+    Query(
+      s"""WITH $pairCtesSql,
+         | inc AS (SELECT doc_id FROM documents WHERE source IN ($incSql)),
+         | dup AS (SELECT d2 AS doc FROM j WHERE jac >= $JaccardTau
+         |           AND d2 IN (SELECT doc_id FROM inc)
+         |         UNION
+         |         SELECT d1 FROM j WHERE jac >= $JaccardTau
+         |           AND d1 IN (SELECT doc_id FROM inc)
+         |           AND d2 NOT IN (SELECT doc_id FROM inc))
+         |SELECT doc_id, source FROM documents
+         |WHERE source IN ($incSql) AND doc_id NOT IN (SELECT doc FROM dup)
+         |ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val flags = d.select(col("doc_id"),
+        col("source").isin(incomingSources: _*).as("inc"))
+      val banded = bandedOf(shingles(s, dir)).join(flags, "doc_id")
+      // incoming side vs everything: corpus partners in any id order,
+      // incoming partners only when strictly earlier (first-wins)
+      val cand = banded.filter(col("inc"))
+        .select(col("doc_id").as("d1"), col("band"), col("bh"))
+        .join(banded.select(col("doc_id").as("d2"), col("inc").as("inc2"),
+          col("band"), col("bh")), Seq("band", "bh"))
+        .filter(!col("inc2") || col("d2") < col("d1"))
+        .filter(col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct()
+      val dups = rawJaccard(shingleSets(s, dir), cand)
+        .select(col("d1").as("doc_id")).distinct()
+      d.filter(col("source").isin(incomingSources: _*))
+        .join(dups, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Map[String, Query] = Map(
     "q16_dedup_exact" -> q16_dedup_exact,
+    "q59_inverted_index" -> q59_inverted_index,
+    "q60_incremental_neardup" -> q60_incremental_neardup,
     "q54_passage_dedup" -> q54_passage_dedup,
     "q54b_passage_neardup" -> q54b_passage_neardup,
     "q37_dup_clusters" -> q37_dup_clusters,

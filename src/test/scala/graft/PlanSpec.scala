@@ -228,6 +228,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q59 inverted index: sharded postings agg, no cartesian, single window over tiny rows") {
+    val df = graft.queries.TextOps.q59_inverted_index.fn(spark, dir)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val p = full.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the scale claim: postings are collected per (term, shard), never per
+    // term — the groupBy keys must include the shard (details section
+    // lives after the trees, hence the `full` match)
+    assert(raw"Keys(?: \[\d+\])?: \[term#\d+, shard".r
+      .findFirstIn(full).nonEmpty, s"postings agg must key on (term, shard):\n$full")
+    // df comes from ONE window over the post-agg rows, not a second token scan
+    assert(raw"Window \(\d+\)".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q60 incremental dedup: candidates via band equi-join, verify stays hash-join") {
+    val df = graft.queries.TextOps.q60_incremental_neardup.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the shingle-array attach keeps the rawJaccard SHUFFLE_HASH shape
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("near-dup verify joins stay hash joins — the fat stream is never sorted") {
     // the round-2 driver regression was a sort-merge join sorting the
     // array-carrying candidate stream (570 MB of sort spill); the
