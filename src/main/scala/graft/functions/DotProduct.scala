@@ -4,10 +4,11 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: dot product of two float-array columns in
-  * double precision (SURVEY.md §4.3's reserved custom-expression slot).
+/** Native Catalyst expression: dot product of two float-array (or two
+  * int8-array) columns in double precision (SURVEY.md §4.3's reserved
+  * custom-expression slot).
   *
   * Semantically identical to
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
@@ -15,18 +16,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * results — but evaluated as a fused primitive loop with real codegen
   * (`doGenCode`), so the similarity-search queries stay inside
   * whole-stage codegen with no per-element lambda allocation.
+  *
+  * The `array<tinyint>` form serves the quantized-embedding path (q61):
+  * symmetric per-vector int8 quantization leaves cosine invariant to the
+  * scale, so similarity search runs entirely on the 4×-smaller bytes —
+  * and the byte loop stays codegen'd exactly like the float one.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(FloatType, ByteType).exists(t =>
+      Seq(left, right).forall(_.dataType match {
+        case ArrayType(et, _) => et == t
+        case _ => false
+      }))
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects two array<float> arguments, got " +
+      s"graft_dot expects two array<float> or two array<tinyint> arguments, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
@@ -44,10 +54,13 @@ case class DotProduct(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
+      val bytes = elemType == ByteType
       var acc = 0.0
       var i = 0
       while (i < n) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        acc +=
+          (if (bytes) x.getByte(i).toDouble * y.getByte(i).toDouble
+           else x.getFloat(i).toDouble * y.getFloat(i).toDouble)
         i += 1
       }
       acc
@@ -59,6 +72,7 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val get = if (elemType == ByteType) "getByte" else "getFloat"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -66,7 +80,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    $acc += ((double) $a.$get($i)) * ((double) $b.$get($i));
          |  }
          |  ${ev.value} = $acc;
          |}

@@ -25,7 +25,7 @@ object TextOps {
 
   /** lower + collapse whitespace + trim; identical to the oracle's
     * trim(regexp_replace(lower(text), '\s+', ' ', 'g')). */
-  private val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+  private[graft] val normExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
   private def norm: Column = expr(normExpr)
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 

@@ -383,8 +383,49 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  /** Per-vector symmetric int8 quantization of the embeddings table:
+    * scale = max|x| / 127 (floored away from zero so an all-zero vector
+    * quantizes to zeros instead of NaN), qvec = round(x / scale) as
+    * tinyint — 4× smaller than float32 at rest and over every shuffle.
+    * Encode runs ONCE at ingest at scale (here per query); search never
+    * touches the floats again. Exposed for the spec's schema assertion
+    * (the 4× claim is the element type). */
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        greatest(expr("array_max(transform(embedding, y -> double(abs(y))))") / lit(127.0),
+          lit(1e-30)).as("scale"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(x / scale) AS tinyint))").as("qvec"))
+
+  /** Q61 — int8-quantized cosine top-5 (the storage/bandwidth path for
+    * 100 TB similarity search): same query shape as q17, but scoring
+    * runs ENTIRELY on the quantized bytes — symmetric quantization makes
+    * cosine scale-invariant (dot(q1,q2)/(‖q1‖‖q2‖): the two per-vector
+    * scales cancel), so there is no dequantize step anywhere and the
+    * byte dot product stays inside whole-stage codegen via the extended
+    * [[graft.functions.DotProduct]]. Quantization-specific (no SQL
+    * oracle); DedupSpec gates recall vs exact q17 and the cosine error
+    * bound. */
+  val q61_int8_topk: Query = Query.noOracle { (s, dir) =>
+    val q = quantized(s, dir)
+      .select(col("vec_id"), col("qvec"), norm2(col("qvec")).as("nrm"))
+    val probes = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("qvec").as("p_q"), col("nrm").as("p_nrm"))
+    val cand = q.select(col("vec_id").as("cand_id"), col("qvec").as("c_q"), col("nrm").as("c_nrm"))
+    val scored = cand.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (dot(col("p_q"), col("c_q")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("cand_id"), cround(col("cos")).as("cos_sim"))
+      .orderBy("probe_id", "rn")
+  }
+
   val all: Map[String, Query] = Map(
     "q17_cosine_topk" -> q17_cosine_topk,
+    "q61_int8_topk" -> q61_int8_topk,
     "q18_centroid" -> q18_centroid,
     "q28_cosine_top_pairs" -> q28_cosine_top_pairs,
     "q30_ann_lsh" -> q30_ann_lsh,

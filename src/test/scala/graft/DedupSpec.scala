@@ -226,6 +226,29 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"pipeline $got vs brute force $want")
   }
 
+  test("q61 int8-quantized top-k: storage is bytes, recall >= 0.9 vs exact, cosine error <= 0.02") {
+    // the 4× storage claim IS the element type — pin it
+    val qvecType = VectorOps.quantized(spark, dir).schema("qvec").dataType
+    assert(qvecType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false)
+      || qvecType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = true),
+      s"quantized vectors must be array<tinyint>, got $qvecType")
+    val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val quant = VectorOps.q61_int8_topk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // int8 over 64 dims perturbs cosine by O(1/127) — top-5 membership
+    // should survive nearly intact
+    val recall = (exact.keySet & quant.keySet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // where both agree on membership, the quantized score must sit within
+    // the quantization error bound of the exact one
+    val worst = (exact.keySet & quant.keySet)
+      .map(k => math.abs(exact(k) - quant(k))).max
+    assert(worst <= 0.02, s"max |cos - cos_q| = $worst")
+  }
+
   test("exact dedup drops a planted duplicate") {
     import spark.implicits._
     val docs = Seq(

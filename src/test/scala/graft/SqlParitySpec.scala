@@ -112,7 +112,18 @@ class SqlParitySpec extends SparkSpec {
            |       ${croundSql("n_tokens / (tot * 1e0)")} AS natural_share,
            |       ${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")} AS sample_rate,
            |       CAST(floor(n_tokens * ${croundSql("least(1e0, (tot / (k * 1e0)) / n_tokens)")}) AS BIGINT) AS exp_tokens
-           |FROM per, tot ORDER BY lang""".stripMargin)
+           |FROM per, tot ORDER BY lang""".stripMargin,
+      // q59 lives in TextOps, but its parity form shares this map: the
+      // DuckDB oracle's unnest/string_split/list() can't run on Spark
+      "q59_inverted_index" ->
+        s"""WITH t AS (SELECT doc_id, doc_id div 100 AS shard,
+           |                  explode(array_distinct(split(${graft.queries.TextOps.normExpr}, ' '))) AS term
+           |           FROM documents)
+           |SELECT term, shard, count(*) AS n,
+           |       sum(count(*)) OVER (PARTITION BY term) AS df,
+           |       array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',') AS postings
+           |FROM t WHERE length(term) >= 4
+           |GROUP BY term, shard ORDER BY term, shard""".stripMargin)
   }
 
   test("pipeline-family Spark SQL equals the DataFrame pipelines") {
