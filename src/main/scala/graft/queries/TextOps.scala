@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -118,43 +119,101 @@ object TextOps {
     }
   }
 
-  /** Q22 — per-document quality scoring: token count, mean token length,
-    * stopword ratio, composite quality in [0,1]. */
-  val q22_quality_score: Query = Query(
-    s"""WITH p AS (SELECT doc_id, $normSql AS norm, ' ' || $normSql || ' ' AS padded
+  /** Shared per-document quality signals (doc_id, source, n_tok,
+    * avg_tok_len, stop_ratio, all unrounded) — the single source of truth
+    * for q22 scoring and q63 curation, so the two can't drift. Pure
+    * per-row maps, no shuffle. */
+  private def qualitySignals(s: SparkSession, dir: String): DataFrame = {
+    val p = docs(s, dir).select(col("doc_id"), col("source"), norm.as("norm"),
+      concat(lit(" "), norm, lit(" ")).as("padded"))
+    val stopHits = expr(Seq("the", "a", "of", "and").map(hitsExpr).mkString(" + "))
+    p.select(
+      col("doc_id"), col("source"),
+      size(split(col("norm"), " ")).as("n_tok"),
+      (length(regexp_replace(col("norm"), " ", "")) * lit(1.0)
+        / size(split(col("norm"), " "))).as("avg_tok_len"),
+      (stopHits * lit(1.0) / size(split(col("norm"), " "))).as("stop_ratio"))
+  }
+
+  /** Composite quality in [0,1] over [[qualitySignals]] columns,
+    * canonically rounded so rank ties are engine-stable. */
+  private def qualityCol: Column =
+    cround(lit(0.4) * least(lit(1.0), col("n_tok") / 100.0)
+      + lit(0.3) * least(lit(1.0), col("avg_tok_len") / 8.0)
+      + lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0))
+
+  /** Oracle twin of [[qualitySignals]]: CTEs `p` and `f` (f carries
+    * doc_id, source, n_tok, avg_tok_len, stop_ratio). */
+  private val qualitySignalsSql: String =
+    s"""p AS (SELECT doc_id, source, $normSql AS norm, ' ' || $normSql || ' ' AS padded
        |           FROM documents),
-       |     f AS (SELECT doc_id,
+       |     f AS (SELECT doc_id, source,
        |                  CAST(len(string_split(norm, ' ')) AS INT) AS n_tok,
        |                  length(replace(norm, ' ', '')) * 1e0
        |                    / len(string_split(norm, ' ')) AS avg_tok_len,
        |                  (${Seq("the", "a", "of", "and").map(hitsSql).mkString(" + ")}) * 1e0
        |                    / len(string_split(norm, ' ')) AS stop_ratio
-       |           FROM p)
+       |           FROM p)"""
+
+  /** Oracle twin of [[qualityCol]]. */
+  private val qualityColSql: String =
+    """floor((0.4e0 * least(1e0, n_tok / 100e0)
+      |           + 0.3e0 * least(1e0, avg_tok_len / 8e0)
+      |           + 0.3e0 * least(1e0, stop_ratio * 5e0)) * 10000 + 0.5e0) / 10000"""
+      .stripMargin
+
+  /** Q22 — per-document quality scoring: token count, mean token length,
+    * stopword ratio, composite quality in [0,1]. */
+  val q22_quality_score: Query = Query(
+    s"""WITH $qualitySignalsSql
        |SELECT doc_id, n_tok,
        |       floor(avg_tok_len * 10000 + 0.5e0) / 10000 AS avg_tok_len,
        |       floor(stop_ratio * 10000 + 0.5e0) / 10000 AS stop_ratio,
-       |       floor((0.4e0 * least(1e0, n_tok / 100e0)
-       |           + 0.3e0 * least(1e0, avg_tok_len / 8e0)
-       |           + 0.3e0 * least(1e0, stop_ratio * 5e0)) * 10000 + 0.5e0) / 10000 AS quality
+       |       $qualityColSql AS quality
        |FROM f
        |ORDER BY doc_id""") { (s, dir) =>
-    val p = docs(s, dir).select(col("doc_id"), norm.as("norm"),
-      concat(lit(" "), norm, lit(" ")).as("padded"))
-    val stopHits = expr(Seq("the", "a", "of", "and").map(hitsExpr).mkString(" + "))
-    val f = p.select(
-      col("doc_id"),
-      size(split(col("norm"), " ")).as("n_tok"),
-      (length(regexp_replace(col("norm"), " ", "")) * lit(1.0)
-        / size(split(col("norm"), " "))).as("avg_tok_len"),
-      (stopHits * lit(1.0) / size(split(col("norm"), " "))).as("stop_ratio"))
-    f.select(
+    qualitySignals(s, dir).select(
       col("doc_id"), col("n_tok"),
       cround(col("avg_tok_len")).as("avg_tok_len"),
       cround(col("stop_ratio")).as("stop_ratio"),
-      cround(lit(0.4) * least(lit(1.0), col("n_tok") / 100.0)
-        + lit(0.3) * least(lit(1.0), col("avg_tok_len") / 8.0)
-        + lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0)).as("quality"))
+      qualityCol.as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** Q63 — per-domain quality CURATION (the data-selection step after
+    * scoring): rank every document within its source domain by the q22
+    * composite quality (ties broken by doc_id, so the cut is total and
+    * deterministic) and keep the top quarter — `rn * 4 <= cnt` keeps
+    * exactly floor(cnt/4) docs per source with no float/ceil edge cases
+    * across engines.
+    *
+    * Scale posture: the signals are per-row maps; the only shuffle is the
+    * window's partition-by-source exchange, and each source group sorts
+    * independently (no global sort). A skewed mega-domain makes that one
+    * group's sort the straggler — at 100 TB you'd first compute each
+    * source's quality threshold from a per-source quantile sketch
+    * (q38b's GK pattern), broadcast the tiny (source, cutoff) table, and
+    * keep the selection itself map-side; the window form here is the
+    * exact-rank semantics the sketch variant approximates. */
+  val q63_quality_curation: Query = Query(
+    s"""WITH $qualitySignalsSql,
+       |     q AS (SELECT source, doc_id, $qualityColSql AS quality FROM f),
+       |     r AS (SELECT source, doc_id, quality,
+       |                  CAST(row_number() OVER (PARTITION BY source
+       |                                          ORDER BY quality DESC, doc_id) AS INT) AS rn,
+       |                  count(*) OVER (PARTITION BY source) AS cnt
+       |           FROM q)
+       |SELECT source, doc_id, quality, rn
+       |FROM r WHERE rn * 4 <= cnt
+       |ORDER BY source, rn""") { (s, dir) =>
+    val q = qualitySignals(s, dir).select(col("source"), col("doc_id"), qualityCol.as("quality"))
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val cw = Window.partitionBy("source")
+    q.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .filter(col("rn") * 4 <= col("cnt"))
+      .select("source", "doc_id", "quality", "rn")
+      .orderBy("source", "rn")
   }
 
   /** Q23 — token-count statistics per source (whitespace tokenizer). */
@@ -1028,6 +1087,7 @@ object TextOps {
     "q18b_top_terms" -> q18b_top_terms,
     "q21_lang_id" -> q21_lang_id,
     "q22_quality_score" -> q22_quality_score,
+    "q63_quality_curation" -> q63_quality_curation,
     "q23_token_stats" -> q23_token_stats,
     "q23b_bpe_tokens" -> q23b_bpe_tokens,
     "q24_fingerprint" -> q24_fingerprint,

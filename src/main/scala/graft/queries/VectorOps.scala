@@ -235,6 +235,49 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Q62 — SemDeDup-style cluster-scoped semantic dedup (the published
+    * recipe: k-means the embedding space, then search for duplicates only
+    * WITHIN a cluster): fit the shared [[fitKmeans]] quantizer (q43's),
+    * index every vector under its 2 nearest cells (symmetric multi-probe,
+    * so a pair straddling a Voronoi boundary still co-occurs), and
+    * generate candidate pairs by a self-equi-join on the cell id — pair
+    * volume is Σ|cell|², not n².
+    * Verification is exact cosine at [[EmbedDupTau]] with q46's
+    * keep-first-by-id policy, so PRECISION IS 1 BY CONSTRUCTION and the
+    * drop set is provably a subset of q46's exact drop set; cross-cluster
+    * pairs are the recall loss, exactly as in the paper. DedupSpec pins
+    * the subset invariant, non-vacuous recall, the best_cos bound, and
+    * determinism. At 100 TB the cell equi-join replaces the quadratic
+    * scan the exact form needs; hot cells get split (cap the cell size by
+    * re-clustering a cell that exceeds it) and the within-cell verify can
+    * drop to the q30 LSH index. Approximate by construction → no SQL
+    * oracle. */
+  val q62_semdedup: Query = Query.noOracle { (s, dir) =>
+    val nlist = 16
+    val nprobe = 2
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cents = fitKmeans(e, nlist, rounds = 3)
+    // symmetric multi-probe: each vector indexes under its nprobe nearest
+    // cells, so a borderline pair straddling a Voronoi boundary still
+    // shares a cell — 2× the index rows, ~4× the candidate volume, still
+    // Σ|cell|² not n²; dropDuplicates collapses multi-cell collisions
+    val idx = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
+    val lhs = idx.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val rhs = idx.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    lhs.join(rhs, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .dropDuplicates("v1", "v2")
+      .select(col("v1"), col("v2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= EmbedDupTau)
+      .groupBy(col("v2").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), cround(max(col("cos"))).as("best_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Q30 — multi-table LSH ANN (the 100 TB path for Q17): L=64
     * sign-random-projection tables of k=8 bits each; a candidate is any
     * vector sharing a (table, bucket) cell with the probe, then exact
@@ -311,39 +354,29 @@ object VectorOps {
     * nprobe/nlist of the corpus joined on the cell id — an equi-join,
     * never a cross product. Approximate by construction → no SQL oracle;
     * DedupSpec gates measured recall vs exact Q17. */
-  val q43_ann_ivf: Query = Query.noOracle { (s, dir) =>
-    val nlist = 16
-    val nprobe = 4
-    val lloydRounds = 3
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+  /** Deterministic spherical k-means fit over a (vec_id, embedding, …)
+    * frame: init = the `nlist` lowest-id vectors unit-normalized (vec_id
+    * collected alongside and the order fixed on the driver — relying on
+    * limit/collect to preserve the sort would lean on an implementation
+    * detail of TakeOrderedAndProject, not a contract), then `rounds`
+    * Lloyd iterations with distributed assignment + aggregation. Each
+    * round collects only the nlist×dim centroid sums — MODEL state, not
+    * data (at 100 TB you train on a sample; assignment stays a full
+    * parallel scan). Shared by q43's IVF coarse quantizer and q62's
+    * SemDeDup clustering. */
+  private[graft] def fitKmeans(e: DataFrame, nlist: Int, rounds: Int): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       var acc = 0.0; var i = 0
       while (i < v.length) { acc += v(i) * v(i); i += 1 }
       val n = math.sqrt(acc)
       if (n == 0) v else v.map(_ / n)
     }
-    // deterministic seeding: the nlist lowest-id vectors, unit-normalized.
-    // vec_id is collected alongside and the order fixed on the driver —
-    // relying on limit/collect to preserve the sort is an implementation
-    // detail of TakeOrderedAndProject, not a contract
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(nlist)
       .select("vec_id", "embedding").collect()
       .sortBy(_.getLong(0))
       .map(r => normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
-    def assignUdf(cs: Array[Array[Double]]) = udf { (v: Array[Float]) =>
-      // cells are unit vectors, so argmax dot == argmax cosine (|v| fixed)
-      var best = 0; var bestD = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val ct = cs(c); var d = 0.0; var i = 0
-        while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
-        if (d > bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    for (_ <- 0 until lloydRounds) {
-      val sums = e.withColumn("cell", assignUdf(cents)(col("embedding")))
+    for (_ <- 0 until rounds) {
+      val sums = e.withColumn("cell", assignCellUdf(cents)(col("embedding")))
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos").agg(sum(col("col").cast("double")).as("s"))
         .collect()
@@ -355,14 +388,39 @@ object VectorOps {
       }
       cents = next
     }
-    def probeCellsUdf(cs: Array[Array[Double]], k: Int) = udf { (v: Array[Float]) =>
-      cs.indices.map { c =>
-        val ct = cs(c); var d = 0.0; var i = 0
-        while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
-        (c, d)
-      }.sortBy(-_._2).take(k).map(_._1)
+    cents
+  }
+
+  /** Nearest-centroid assignment as a fused primitive loop (cells are
+    * unit vectors, so argmax dot == argmax cosine for a fixed |v|). */
+  private[graft] def assignCellUdf(cs: Array[Array[Double]]) = udf { (v: Array[Float]) =>
+    var best = 0; var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val ct = cs(c); var d = 0.0; var i = 0
+      while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
     }
-    val index = e.withColumn("cell", assignUdf(cents)(col("embedding")))
+    best
+  }
+
+  /** Top-`k` nearest-centroid cells (multi-probe assignment): the IVF
+    * search probe set, and q62's overlapping index cells. */
+  private[graft] def probeCellsUdf(cs: Array[Array[Double]], k: Int) = udf { (v: Array[Float]) =>
+    cs.indices.map { c =>
+      val ct = cs(c); var d = 0.0; var i = 0
+      while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
+      (c, d)
+    }.sortBy(-_._2).take(k).map(_._1)
+  }
+
+  val q43_ann_ivf: Query = Query.noOracle { (s, dir) =>
+    val nlist = 16
+    val nprobe = 4
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cents = fitKmeans(e, nlist, rounds = 3)
+    val index = e.withColumn("cell", assignCellUdf(cents)(col("embedding")))
     val probes = index.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nrm").as("p_nrm"), explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
@@ -430,5 +488,6 @@ object VectorOps {
     "q28_cosine_top_pairs" -> q28_cosine_top_pairs,
     "q30_ann_lsh" -> q30_ann_lsh,
     "q43_ann_ivf" -> q43_ann_ivf,
-    "q46_embed_dedup" -> q46_embed_dedup)
+    "q46_embed_dedup" -> q46_embed_dedup,
+    "q62_semdedup" -> q62_semdedup)
 }

@@ -249,6 +249,34 @@ class DedupSpec extends SparkSpec {
     assert(worst <= 0.02, s"max |cos - cos_q| = $worst")
   }
 
+  test("q62 SemDeDup: drop set ⊂ exact q46, best_cos bounded, recall >= 0.5, deterministic") {
+    def collectDrops(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val exact = collectDrops(VectorOps.q46_embed_dedup.fn(spark, dir))
+    val sem = collectDrops(VectorOps.q62_semdedup.fn(spark, dir))
+    assert(exact.nonEmpty, "fixture must contain exact near-dup pairs at EmbedDupTau")
+    assert(sem.nonEmpty, "cluster-scoped dedup must fire non-vacuously")
+    // precision is 1 by construction: a within-cell pair is a real pair,
+    // so every SemDeDup drop must appear in the exact drop set
+    assert(sem.keySet.subsetOf(exact.keySet),
+      s"phantom drops: ${sem.keySet -- exact.keySet}")
+    // a within-cell best match can never beat the global best match
+    sem.foreach { case (v, bc) =>
+      assert(bc <= exact(v) + 1e-12, s"vec $v: within-cell best_cos $bc > exact ${exact(v)}")
+    }
+    // cross-cluster pairs are the only recall loss. This fixture is
+    // adversarial for SemDeDup — its planted pairs sit at cos 0.46–0.48,
+    // barely over tau, so they straddle Voronoi boundaries far more than
+    // real dups at ~0.95 would. Measured: nprobe=2 gives 4/7 = 0.571;
+    // single-probe gives 3/7 = 0.43 and FAILS this bound, so the bound is
+    // sharp against losing the multi-probe assignment.
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${sem.size}/${exact.size})")
+    // deterministic init + fixed Lloyd rounds => bit-stable reruns
+    val again = collectDrops(VectorOps.q62_semdedup.fn(spark, dir))
+    assert(again == sem, "SemDeDup must be deterministic across runs")
+  }
+
   test("exact dedup drops a planted duplicate") {
     import spark.implicits._
     val docs = Seq(

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.Pipeline
+import graft.queries.{Pipeline, TextOps}
 
 /** Invariants for the training-data pipeline operators (SURVEY.md §2.12)
   * beyond their DuckDB oracles: the bloom prefilter's exactness, packing
@@ -182,6 +182,35 @@ class PipelineSpec extends SparkSpec {
       assert(rate > 0.0 && rate <= 1.0, s"rate $rate out of (0, 1]")
       assert(expTokens <= nTokens, "a capped rate can never up-sample")
       assert(math.abs(expTokens - nTokens * rate) <= 1.0, "expected tokens = floor(tokens * rate)")
+    }
+  }
+
+  test("q63 curation keeps exactly floor(cnt/4) per source and never keeps worse than it drops") {
+    val all = TextOps.q22_quality_score.fn(spark, dir)
+      .join(graft.engine.Tables.table(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .select("source", "doc_id", "quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val kept = TextOps.q63_quality_curation.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(kept.nonEmpty, "curation must keep something on a 500-doc fixture")
+    // q63's quality must BE q22's quality (shared signal frame)
+    val q22Of = all.map(t => (t._1, t._2) -> t._3).toMap
+    kept.foreach { case (src, id, q, _) => assert(q22Of((src, id)) == q) }
+    val bySource = all.groupBy(_._1)
+    val keptBySource = kept.groupBy(_._1)
+    bySource.foreach { case (src, docs) =>
+      val k = keptBySource.getOrElse(src, Array.empty).toSeq
+      assert(k.size == docs.length / 4, s"$src: kept ${k.size} of ${docs.length}")
+      if (k.nonEmpty) {
+        // top-quarter cut: the worst kept quality dominates every dropped one
+        val keptIds = k.map(_._2).toSet
+        val minKept = k.map(_._3).min
+        val maxDropped = docs.filterNot(d => keptIds(d._2)).map(_._3).max
+        assert(minKept >= maxDropped - 1e-12,
+          s"$src: kept quality $minKept below dropped $maxDropped")
+        // ranks are dense 1..k
+        assert(k.map(_._4).sorted == (1 to k.size), s"$src: ranks not dense")
+      }
     }
   }
 
