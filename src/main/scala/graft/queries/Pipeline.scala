@@ -540,6 +540,124 @@ object Pipeline {
     }
   }
 
+  /** Q64 — DSIR-style importance scoring (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its unigram bag is under a TARGET
+    * domain's language model than under the raw corpus's, and keep the
+    * top-scored docs. Models are add-1-smoothed unigram LMs; the score is
+    * sum over token occurrences of ln(p_target(w)) − ln(p_raw(w)).
+    *
+    * Determinism across engines: the per-token log ratio is canonically
+    * rounded to 6 decimals, then per-doc summed as DECIMAL (exact, any
+    * partition order) and re-rounded to 4 — ln() agrees between JVM and
+    * DuckDB on these inputs (the q57 BM25 precedent) and the decimal sum
+    * removes float associativity entirely. Top-k is totally ordered by
+    * (score DESC, doc_id).
+    *
+    * Scale posture: ONE token-stream aggregation builds both models
+    * (target count and raw count in the same groupBy); scoring joins the
+    * token stream with the log-ratio table on the token — deliberately
+    * UNHINTED, because an exact-vocabulary model is not a provably
+    * bounded set (the PlanSpec broadcast guard would rightly flag it):
+    * AQE broadcasts it while it is small and falls back to a shuffle
+    * join when it is not. At 100 TB the vocabulary is hashed to a fixed
+    * 2^20-bucket feature space first (the paper's hashed n-gram trick),
+    * which IS bounded and broadcasts unconditionally — identical plan,
+    * bucket ids instead of words. */
+  val q64_dsir_score: Query = {
+    val targets = Seq("src0", "src1", "src2", "src3")
+    val targetsSql = targets.map(t => s"'$t'").mkString(", ")
+    Query(
+      s"""WITH tok AS (SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS w
+         |             FROM documents),
+         |     m AS (SELECT w, count(*) AS cr,
+         |                  CAST(sum(CASE WHEN source IN ($targetsSql) THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |           FROM tok GROUP BY 1),
+         |     tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |                    CAST(sum(cr) AS BIGINT) AS nr,
+         |                    CAST(sum(ct) AS BIGINT) AS nt FROM m),
+         |     lr AS (SELECT w, ${croundSql(
+               "ln((ct + 1) * 1e0 / (nt + v)) - ln((cr + 1) * 1e0 / (nr + v))", 6)} AS lr
+         |           FROM m, tot),
+         |     sc AS (SELECT tok.doc_id, any_value(tok.source) AS source,
+         |                   ${dsumSql("lr", 6)} AS score
+         |            FROM tok JOIN lr USING (w) GROUP BY 1)
+         |SELECT doc_id, source, ${croundSql("score")} AS dsir_score
+         |FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 20""") { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(split(norm, " ")).as("w"))
+      val m = tok.groupBy("w").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("source").isin(targets: _*), 1L).otherwise(0L)).as("ct"))
+      val tot = m.agg(count(lit(1)).cast("long").as("v"),
+        sum(col("cr")).cast("long").as("nr"), sum(col("ct")).cast("long").as("nt"))
+      val lr = m.crossJoin(broadcast(tot)).select(col("w"),
+        cround(log((col("ct") + 1) * lit(1.0) / (col("nt") + col("v")))
+          - log((col("cr") + 1) * lit(1.0) / (col("nr") + col("v"))), 6).as("lr"))
+      tok.join(lr, "w")
+        .groupBy("doc_id")
+        .agg(first(col("source")).as("source"), dsum(col("lr"), 6).as("score"))
+        .select(col("doc_id"), col("source"), cround(col("score")).as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id")).limit(20)
+    }
+  }
+
+  /** Q65 — token-budget sharding via a DISTRIBUTED PREFIX SUM: lay the
+    * q55-shuffled corpus out into shards of ~`Cap` tokens each (the
+    * "pack shards to a byte/token budget" step every corpus writer
+    * runs), where a doc's shard is floor(tokens-before-it / Cap) in the
+    * deterministic shuffle order (h = Knuth mix of doc_id, ties by
+    * doc_id).
+    *
+    * The cumulative sum is the whole point: a global-order window is a
+    * single-partition sort at scale, so instead the order space [0, 2^16)
+    * is range-cut into 16 buckets (bucket = h div 4096 — RANGE, not mod,
+    * so bucket order IS global order), each bucket cumsums independently
+    * under `Window.partitionBy(bucket)`, and the 16 per-bucket totals —
+    * model state, not data — get a partition-less window to produce
+    * bucket prefix offsets that broadcast back. cum_before(doc) =
+    * bucket_offset + within-bucket running sum. Two passes, no global
+    * sort, shard boundaries bit-identical to the serial order. The
+    * oracle states the same semantics as the naive global window. */
+  val q65_token_shard: Query = {
+    val cap = 2048L
+    Query(
+      s"""WITH d AS (SELECT doc_id, ${mixSql("doc_id")} AS h,
+         |                  len(string_split($normSql, ' ')) AS ntok
+         |           FROM documents),
+         |     c AS (SELECT doc_id, ntok,
+         |                  coalesce(sum(ntok) OVER (ORDER BY h, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |           FROM d)
+         |SELECT CAST(cum_before // $cap AS INT) AS shard,
+         |       CAST(cum_before % $cap AS BIGINT) AS shard_off,
+         |       doc_id, CAST(ntok AS BIGINT) AS ntok
+         |FROM c ORDER BY shard, shard_off, doc_id""") { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        expr(mixExpr("doc_id")).as("h"),
+        size(split(norm, " ")).cast("long").as("ntok"))
+        .withColumn("bucket", (col("h") / 4096).cast("int"))
+      val wLocal = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = d.withColumn("local_before", coalesce(sum(col("ntok")).over(wLocal), lit(0L)))
+      // 16 rows: the partition-less window is the model-state step
+      val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+      // bucket < 16 is an invariant (h < 2^16, cut at 4096), not a data
+      // filter — stated as a predicate so the broadcast-boundedness guard
+      // (PlanSpec) can PROVE the broadcast side is a bounded set
+      val offsets = d.groupBy("bucket").agg(sum(col("ntok")).as("btok"))
+        .filter(col("bucket") < 16)
+        .withColumn("offset", coalesce(sum(col("btok")).over(wOff), lit(0L)))
+        .select("bucket", "offset")
+      local.join(broadcast(offsets), "bucket")
+        .withColumn("cum_before", col("offset") + col("local_before"))
+        .select((col("cum_before") / cap).cast("int").as("shard"),
+          (col("cum_before") % cap).as("shard_off"),
+          col("doc_id"), col("ntok"))
+        .orderBy("shard", "shard_off", "doc_id")
+    }
+  }
+
   /** The q47b eval-set Bloom blob as driver-side bytes — the "model
     * state" handed to the streaming decontamination filter
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
@@ -566,5 +684,7 @@ object Pipeline {
     "q52_mixture_weights" -> q52_mixture_weights,
     "q55_shuffle_shard" -> q55_shuffle_shard,
     "q56_mixture_resample" -> q56_mixture_resample,
-    "q58_corpus_filter" -> q58_corpus_filter)
+    "q58_corpus_filter" -> q58_corpus_filter,
+    "q64_dsir_score" -> q64_dsir_score,
+    "q65_token_shard" -> q65_token_shard)
 }

@@ -246,4 +246,46 @@ class PipelineSpec extends SparkSpec {
       assert(nDistinct >= 1L && nDistinct <= nEvents)
     }
   }
+
+  test("q65 bucketed prefix sum equals the naive global-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Pipeline.q65_token_shard.fn(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(1))).toSet
+    // the serial-order reference: one global window (fine on a 500-row
+    // test fixture; the production path is exactly what it must avoid)
+    val d = engine.Tables.table(spark, dir, "documents").select(col("doc_id"),
+      expr(graft.queries.Pipeline.mixExpr("doc_id")).as("h"),
+      size(split(expr(graft.queries.Pipeline.normExprStr), " ")).cast("long").as("ntok"))
+    val w = Window.orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = d.withColumn("cum", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .select(col("doc_id"), (col("cum") / 2048).cast("int").as("shard"),
+        (col("cum") % 2048).as("off"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == naive)
+  }
+
+  test("q65 shards are contiguous, budget-bounded, and conserve tokens") {
+    val rows = Pipeline.q65_token_shard.fn(spark, dir).collect()
+    val total = engine.Tables.table(spark, dir, "documents")
+      .select(size(split(expr(graft.queries.Pipeline.normExprStr), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum == total, "every token lands in exactly one shard")
+    val shards = rows.map(_.getInt(0)).distinct.sorted
+    assert(shards.toSeq == shards.indices.toSeq, "shard ids are dense from 0")
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 2048),
+      "every start offset is inside the token budget")
+  }
+
+  test("q64 DSIR top-20 is score-ordered and enriched in target-domain docs") {
+    val rows = Pipeline.q64_dsir_score.fn(spark, dir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "descending scores")
+    val targets = Set("src0", "src1", "src2", "src3")
+    val nTarget = rows.count(r => targets(r.getString(1)))
+    // targets are 4/20 sources (= 4 expected at random in the top 20);
+    // the importance score must visibly concentrate them
+    assert(nTarget >= 6, s"only $nTarget/20 top docs from the target domain")
+  }
 }

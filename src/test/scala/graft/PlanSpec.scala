@@ -311,4 +311,24 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("* Project") || p.contains("[codegen id"), p)
   }
+
+  test("q65 prefix sum: the corpus-side window is bucket-partitioned, " +
+      "only the 16-row offsets side collapses to one partition") {
+    val df = graft.queries.Pipeline.q65_token_shard.fn(spark, dir)
+    df.collect()
+    // exchange partitionings live in the details section after the plan
+    // trees, so match the FULL formatted output (the q59 precedent)
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // exactly ONE SinglePartition exchange — the per-bucket totals (16
+    // rows, model state). A second one would mean the document stream
+    // itself was globally sorted, the thing this operator exists to avoid.
+    // The details section lists each exchange once for the final plan and
+    // once for the initial plan, so one distinct exchange = 2 hits.
+    val singles = raw"Arguments: SinglePartition".r.findAllIn(full).length
+    assert(singles >= 1 && singles <= 2, s"$singles SinglePartition exchanges:\n$full")
+    // the big-side running sum shuffles BY BUCKET (hashpartitioning on
+    // the range-cut key), keeping the cumsum parallel across 16 groups
+    assert(raw"hashpartitioning\(bucket".r.findFirstIn(full).nonEmpty, full)
+    assert(!full.contains("CartesianProduct") && !full.contains("BroadcastNestedLoopJoin"), full)
+  }
 }
