@@ -658,6 +658,113 @@ object Pipeline {
     }
   }
 
+  /** Q66 — corpus upsert (MERGE-style crawl-over-crawl snapshot
+    * refresh): fold an incoming crawl batch into the corpus snapshot and
+    * classify every document as insert (new doc_id), update (content
+    * changed), noop (re-crawled but byte-identical), or keep (not in the
+    * batch). This is the snapshot-maintenance step between crawls — q60
+    * answers "which incoming docs are near-dups of the corpus"; q66
+    * actually APPLIES a batch, the copy-on-write merge every corpus store
+    * (Delta/Iceberg MERGE INTO) runs. The batch here is carved from the
+    * documents table itself (doc_id % 3 picks re-crawls, % 10 = 9 picks
+    * genuinely new ids, % 2 revises half the re-crawled texts) so the
+    * oracle sees the same inputs.
+    *
+    * Scale shape: ONE full-outer equi-join on the primary key — no
+    * window, no skew (doc_id is unique on both sides, so every join key
+    * matches at most 1×1). At 100 TB the snapshot side is stored bucketed
+    * by doc_id, which turns the merge into a shuffle of the (much
+    * smaller) incoming batch only; change detection compares content
+    * digests (xxhash64) instead of full text so the shuffled payload per
+    * row is 8 bytes — here the texts ride along because the oracle needs
+    * engine-portable equality, and the join is the plan either way. */
+  val q66_corpus_upsert: Query = Query(
+    s"""WITH snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 9),
+       |     inc AS (SELECT doc_id,
+       |                    CASE WHEN doc_id % 2 = 0 THEN text || ' rev2' ELSE text END AS text
+       |             FROM documents WHERE doc_id % 3 = 0 OR doc_id % 10 = 9)
+       |SELECT COALESCE(s.doc_id, i.doc_id) AS doc_id,
+       |       CASE WHEN s.doc_id IS NULL THEN 'insert'
+       |            WHEN i.doc_id IS NULL THEN 'keep'
+       |            WHEN i.text = s.text THEN 'noop'
+       |            ELSE 'update' END AS action,
+       |       CAST(length(COALESCE(i.text, s.text)) AS BIGINT) AS n_chars_final
+       |FROM snap s FULL OUTER JOIN inc i ON s.doc_id = i.doc_id
+       |ORDER BY doc_id""") { (s, dir) =>
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val snap = base.filter(col("doc_id") % 10 < 9)
+    val inc = base.filter(col("doc_id") % 3 === 0 || col("doc_id") % 10 === 9)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    snap.as("s").join(inc.as("i"), col("s.doc_id") === col("i.doc_id"), "full_outer")
+      .select(
+        coalesce(col("s.doc_id"), col("i.doc_id")).as("doc_id"),
+        when(col("s.doc_id").isNull, "insert")
+          .when(col("i.doc_id").isNull, "keep")
+          .when(col("i.text") === col("s.text"), "noop")
+          .otherwise("update").as("action"),
+        length(coalesce(col("i.text"), col("s.text"))).cast("long").as("n_chars_final"))
+      .orderBy("doc_id")
+  }
+
+  /** Q67 — bigram-LM document scoring (the CCNet/RedPajama "perplexity
+    * filter" shape): train an add-one-smoothed bigram language model on
+    * the corpus itself, then score every document by its mean negative
+    * log-likelihood −(1/n)·Σ ln P(wᵢ | wᵢ₋₁) with
+    * P(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁·) + V). Reported as avg_nll
+    * rather than perplexity = exp(avg_nll): the monotone transform ranks
+    * identically and avoids trusting two engines' exp() to round alike.
+    *
+    * Determinism: each bigram's nll is rounded to 6 dp FIRST, then summed
+    * as DECIMAL(30,6) (exact, partition-order-free — the q64 trick), so
+    * the per-doc mean is bit-identical across engines and shuffle
+    * layouts.
+    *
+    * Scale shape: the model is two count aggregations (unigram contexts,
+    * bigrams) — map-side partial, no skew beyond natural token frequency;
+    * the scoring pass is ONE equi-join of the corpus bigram stream
+    * against the model table (1:1 per key — the model side is unique by
+    * (w1, w2)), then a per-doc aggregation. Nothing broadcasts unbounded:
+    * AQE broadcasts the model only while it is small; at 100 TB the
+    * standard move is hashing the vocabulary into a fixed 2^20 bucket
+    * space (as q64 documents), which bounds the model table regardless of
+    * corpus size. */
+  val q67_lm_score: Query = Query(
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       |     e AS (SELECT doc_id, a, unnest(range(len(a) - 1)) AS i FROM t WHERE len(a) >= 2),
+       |     bg AS (SELECT doc_id, a[CAST(i AS INT) + 1] AS w1, a[CAST(i AS INT) + 2] AS w2 FROM e),
+       |     c1 AS (SELECT w1 AS w, count(*) AS c FROM bg GROUP BY 1),
+       |     c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+       |     v AS (SELECT count(DISTINCT w) AS v FROM (SELECT doc_id, unnest(a) AS w FROM t)),
+       |     nll AS (SELECT w1, w2, ${croundSql("-ln((c2.c + 1) * 1e0 / (c1.c + v.v))", 6)} AS nll
+       |             FROM c2 JOIN c1 ON c1.w = c2.w1, v),
+       |     sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, ${dsumSql("nll", 6)} AS s
+       |            FROM bg JOIN nll USING (w1, w2) GROUP BY 1)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |       ${croundSql("s / n_bigrams")} AS avg_nll
+       |FROM sc ORDER BY doc_id""") { (s, dir) =>
+    val t = docs(s, dir).select(col("doc_id"), split(norm, " ").as("a"))
+      .filter(size(col("a")) >= 2)
+    val bg = t.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c1 = bg.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // one-row vocabulary size — model state, provably bounded broadcast
+    val v = docs(s, dir).select(explode(split(norm, " ")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val model = c2.join(c1, col("w1") === col("w")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        cround(-log((col("c2") + 1) * lit(1.0) / (col("c1") + col("v"))), 6).as("nll"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), dsum(col("nll"), 6).as("s"))
+      .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+        cround(col("s") / col("n_bigrams")).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** The q47b eval-set Bloom blob as driver-side bytes — the "model
     * state" handed to the streaming decontamination filter
     * ([[graft.streaming.Streams.decontaminate]]). One aggregated value
@@ -686,5 +793,7 @@ object Pipeline {
     "q56_mixture_resample" -> q56_mixture_resample,
     "q58_corpus_filter" -> q58_corpus_filter,
     "q64_dsir_score" -> q64_dsir_score,
-    "q65_token_shard" -> q65_token_shard)
+    "q65_token_shard" -> q65_token_shard,
+    "q66_corpus_upsert" -> q66_corpus_upsert,
+    "q67_lm_score" -> q67_lm_score)
 }

@@ -277,6 +277,45 @@ class PipelineSpec extends SparkSpec {
       "every start offset is inside the token budget")
   }
 
+  test("q66 upsert actions partition the merged id space correctly") {
+    val rows = Pipeline.q66_corpus_upsert.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ids = engine.Tables.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // merged output covers the snapshot ∪ batch id space exactly once
+    assert(rows.map(_._1).toSet == ids && rows.length == ids.size)
+    val byAction = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byAction.keySet == Set("insert", "update", "noop", "keep"),
+      s"all four merge actions must occur on the fixture: ${byAction.keySet}")
+    // inserts are EXACTLY the ids absent from the snapshot
+    assert(byAction("insert") == ids.filter(_ % 10 == 9))
+    // updates are exactly the revised re-crawls (even => text changed),
+    // noops the byte-identical ones — both restricted to snapshot ids
+    val recrawl = ids.filter(id => id % 3 == 0 && id % 10 != 9)
+    assert(byAction("update") == recrawl.filter(_ % 2 == 0))
+    assert(byAction("noop") == recrawl.filter(_ % 2 != 0))
+    assert(byAction("keep") == ids -- byAction("insert") -- recrawl)
+  }
+
+  test("q67 LM scores are finite, positive, and count every bigram") {
+    val rows = Pipeline.q67_lm_score.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ntok = engine.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(expr(graft.queries.Pipeline.normExprStr), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.nonEmpty)
+    // exactly the >=2-token docs are scored, each with n-1 bigrams: the
+    // scoring join lost no bigram (the model covers every corpus bigram
+    // by construction — it was trained on the same stream)
+    assert(rows.map(_._1).toSet == ntok.filter(_._2 >= 2).keySet)
+    assert(rows.forall { case (id, nb, _) => nb == ntok(id) - 1 })
+    // add-one smoothing keeps every probability in (0, 1) strictly:
+    // c2 + 1 < c1 + V always (V counts at least the two words of any
+    // bigram), so nll > 0 and finite
+    assert(rows.forall { case (_, _, s) => s > 0 && !s.isNaN && !s.isInfinite })
+  }
+
   test("q64 DSIR top-20 is score-ordered and enriched in target-domain docs") {
     val rows = Pipeline.q64_dsir_score.fn(spark, dir).collect()
     assert(rows.length == 20)
