@@ -25,7 +25,8 @@ class SqlParitySpec extends SparkSpec {
     "q01b_predicates", "q09b_limit_offset", "q33_heroic_on_orders",
     "q40_global_argmax", "q41_frequent_customers", "q42_role_counts",
     "q11c_grouping_sets", "q44_pivot_events", "q44b_unpivot_lineitem",
-    "q45_smoothed_avg", "q07c_window_battery", "q33b_heroic_deep")
+    "q45_smoothed_avg", "q07c_window_battery", "q33b_heroic_deep",
+    "q66_corpus_upsert")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
@@ -123,7 +124,24 @@ class SqlParitySpec extends SparkSpec {
            |       sum(count(*)) OVER (PARTITION BY term) AS df,
            |       array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',') AS postings
            |FROM t WHERE length(term) >= 4
-           |GROUP BY term, shard ORDER BY term, shard""".stripMargin)
+           |GROUP BY term, shard ORDER BY term, shard""".stripMargin,
+      // q67: the DuckDB oracle's string_split/len/unnest(range)/1-based
+      // list indexing become split/size/explode(sequence)/0-based here
+      "q67_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, split($norm, ' ') AS a FROM documents),
+           |     e AS (SELECT doc_id, a, explode(sequence(0, size(a) - 2)) AS i
+           |           FROM t WHERE size(a) >= 2),
+           |     bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM e),
+           |     c1 AS (SELECT w1 AS w, count(*) AS c FROM bg GROUP BY 1),
+           |     c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+           |     v AS (SELECT count(DISTINCT w) AS v FROM (SELECT explode(a) AS w FROM t)),
+           |     nll AS (SELECT w1, w2, ${croundSql("-ln((c2.c + 1) * 1e0 / (c1.c + v.v))", 6)} AS nll
+           |             FROM c2 JOIN c1 ON c1.w = c2.w1 CROSS JOIN v),
+           |     sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+           |                   CAST(sum(CAST(nll AS DECIMAL(30,6))) AS DOUBLE) AS s
+           |            FROM bg JOIN nll USING (w1, w2) GROUP BY 1)
+           |SELECT doc_id, n_bigrams, ${croundSql("s / n_bigrams")} AS avg_nll
+           |FROM sc ORDER BY doc_id""".stripMargin)
   }
 
   test("pipeline-family Spark SQL equals the DataFrame pipelines") {
