@@ -228,6 +228,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q66 upsert: one full-outer join on the key, no cartesian, filters pushed to both scans") {
+    val df = graft.queries.Pipeline.q66_corpus_upsert.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one join, and it is the FullOuter merge on the primary key
+    // (tree lines carry a trailing node id "(n)"; details headers don't,
+    // so the suffix form counts each join node once)
+    val joins = raw"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\(\d+\)".r
+      .findAllIn(p).toSeq
+    assert(joins.length == 1 && joins.head.contains("FullOuter"),
+      s"the merge must be a single full-outer join: $joins")
+  }
+
+  test("q67 LM scoring: model joins are hash/broadcast; only the one-row vocab cross-joins") {
+    val df = graft.queries.Pipeline.q67_lm_score.fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the scalar vocab-size broadcast (one row by
+    // construction: a global aggregate) — same budget as q47's scalar cut
+    assert(raw"BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
+
   test("q59 inverted index: sharded postings agg, no cartesian, single window over tiny rows") {
     val df = graft.queries.TextOps.q59_inverted_index.fn(spark, dir)
     df.collect()
