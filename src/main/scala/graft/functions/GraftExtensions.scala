@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhashes"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_minhashes expects exactly 1 argument, got ${children.length}")
+        MinHashSignature(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => {

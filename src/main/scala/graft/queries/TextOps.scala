@@ -518,14 +518,12 @@ object TextOps {
 
   /** Deterministic MinHash permutation constants under p = 2^31-1;
     * products stay below 2^62 so ANSI-mode Long arithmetic never
-    * overflows. */
-  private val MhP = 2147483647L
-  private val (mhA, mhB) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(48)(1L + math.abs(rnd.nextLong()) % (MhP - 1))
-    val b = Array.fill(48)(math.abs(rnd.nextLong()) % MhP)
-    (a, b)
-  }
+    * overflows. Single source of truth is the codegen expression
+    * ([[graft.functions.MinHashSignature]]) so the fused array path and
+    * this aggregation path cannot drift apart. */
+  private val MhP = graft.functions.MinHashSignature.P
+  private val mhA = graft.functions.MinHashSignature.a
+  private val mhB = graft.functions.MinHashSignature.b
 
   /** Q26 — MinHash + LSH banding near-dup detection, the 100 TB path for
     * q25: 48 minhashes per doc (single aggregation pass), 8 bands × 6
@@ -554,8 +552,32 @@ object TextOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
+  /** [[bandedOf]] computed directly from per-doc hash-set ARRAYS
+    * (doc_id, gs, ...): the fused graft_minhashes expression
+    * ([[graft.functions.MinHashSignature]]) replaces the explode +
+    * 48-min aggregation, so banding becomes a pure map stage with NO
+    * shuffle at all — the arrays were already materialized for the
+    * verify path, and only the 8 (doc_id, band, bh) rows per doc leave
+    * the stage. Bitwise-identical buckets to bandedOf over the exploded
+    * arrays: the expression fuses the same per-element xxhash64 + pmod +
+    * permutation minima, and the band hash is the same xxhash64 over the
+    * same (j, m…) longs. Empty sets are filtered exactly as the
+    * aggregation form's no-rows behavior. */
+  private[graft] def bandedOfSets(docSets: DataFrame): DataFrame = {
+    import graft.functions.MinHashSignature.minhashes
+    val rBand = 6
+    val nBands = 8
+    val sig = docSets.filter(size(col("gs")) > 0)
+      .select(col("doc_id"), minhashes(col("gs")).as("m"))
+    val bands = (0 until nBands).map(j =>
+      xxhash64(lit(j) +: (0 until rBand).map(r => col("m").getItem(rBand * j + r)): _*).as(s"b$j"))
+    sig.select(col("doc_id") +: bands: _*)
+      .select(col("doc_id"), posexplode(array((0 until nBands).map(j => col(s"b$j")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
   val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
-    val banded = bandedOf(shingles(s, dir))
+    val banded = bandedOfSets(shingleSets(s, dir))
     val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
@@ -864,7 +886,7 @@ object TextOps {
     * the q26 pattern one level down. */
   private[graft] def passageNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val psets = passageRepSets(s, dir).persist()
-    val banded = bandedOf(psets.select(col("doc_id"), explode(col("gs")).as("g")))
+    val banded = bandedOfSets(psets)
     val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
@@ -1058,7 +1080,7 @@ object TextOps {
       val d = docs(s, dir)
       val flags = d.select(col("doc_id"),
         col("source").isin(incomingSources: _*).as("inc"))
-      val banded = bandedOf(shingles(s, dir)).join(flags, "doc_id")
+      val banded = bandedOfSets(shingleSets(s, dir)).join(flags, "doc_id")
       // incoming side vs everything: corpus partners in any id order,
       // incoming partners only when strictly earlier (first-wins)
       val cand = banded.filter(col("inc"))

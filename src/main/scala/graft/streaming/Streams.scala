@@ -232,7 +232,9 @@ object Streams {
       compactNearDupStore(spark, storeDir, batchId)
 
     val b = batch.persist()
-    val bands = TextOps.bandedOf(TextOps.shinglesOf(b)).persist()
+    // fused array path: bitwise-identical buckets to bandedOf(shinglesOf),
+    // with no explode/aggregate shuffle inside the micro-batch
+    val bands = TextOps.bandedOfSets(TextOps.shingleSetsOf(b)).persist()
     try {
       val base = listGens(fs, storePath).lastOption
         .map(g => spark.table(ensureStoreTable(spark, storeDir, g)))
