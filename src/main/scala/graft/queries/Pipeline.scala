@@ -243,6 +243,42 @@ object Pipeline {
       .orderBy("shard", "pack_id", "off_tok")
   }
 
+  /** Q68 — sliding-window chunking with overlap (the RAG/embedding
+    * chunker): each doc's token stream is cut into 32-token windows at
+    * stride 24 (8-token overlap), so every token appears in at least one
+    * chunk and chunk boundaries never lose cross-boundary context. A doc
+    * with ntok <= 32 is one chunk; otherwise ceil((ntok-32)/24)+1
+    * chunks, the last one 9..32 tokens (stride < window forces the
+    * final offset within 24 of the end). Pure per-row fanout of
+    * ~ntok/24 — no shuffle at all before the presentation sort, so at
+    * 100 TB this is a map-only pass whose output lands partitioned
+    * exactly like its input (the chunk text is sliced from the SAME
+    * token array the count came from — one split per doc, not three). */
+  val q68_chunk_overlap: Query = Query(
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       |     c AS (SELECT doc_id, a, len(a) AS ntok,
+       |                  unnest(range(((greatest(len(a) - 32, 0) + 23) // 24) + 1)) AS k
+       |           FROM d)
+       |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       |       CAST(k * 24 AS BIGINT) AS off_tok,
+       |       CAST(least(32, ntok - k * 24) AS BIGINT) AS len_tok,
+       |       array_to_string(list_slice(a, k * 24 + 1,
+       |                                  k * 24 + least(32, ntok - k * 24)), ' ') AS chunk
+       |FROM c
+       |ORDER BY doc_id, chunk_id""") { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("a"))
+      .withColumn("ntok", size(col("a")).cast("long"))
+      .withColumn("k", explode(expr(
+        "sequence(0L, (greatest(ntok - 32L, 0L) + 23L) div 24L)")))
+      .withColumn("len_tok", least(lit(32L), col("ntok") - col("k") * 24L))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_id"),
+        (col("k") * 24L).as("off_tok"), col("len_tok"),
+        concat_ws(" ", slice(col("a"), (col("k") * 24 + 1).cast("int"),
+          col("len_tok").cast("int"))).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Q49 — deterministic train/val/test split assignment (SURVEY §2.12):
     * bucket = mixed-hash(doc_id) mod 100; <90 train, <95 val, else test.
     * Re-runnable on any engine, stable under re-partitioning (pure
@@ -795,5 +831,6 @@ object Pipeline {
     "q64_dsir_score" -> q64_dsir_score,
     "q65_token_shard" -> q65_token_shard,
     "q66_corpus_upsert" -> q66_corpus_upsert,
-    "q67_lm_score" -> q67_lm_score)
+    "q67_lm_score" -> q67_lm_score,
+    "q68_chunk_overlap" -> q68_chunk_overlap)
 }

@@ -327,4 +327,28 @@ class PipelineSpec extends SparkSpec {
     // the importance score must visibly concentrate them
     assert(nTarget >= 6, s"only $nTarget/20 top docs from the target domain")
   }
+
+  test("q68 chunks tile each doc: stride-24 offsets, full coverage, exact reassembly") {
+    val chunks = Pipeline.q68_chunk_overlap.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = engine.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), expr(graft.queries.Pipeline.normExprStr).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(chunks.nonEmpty && chunks.exists(_._2 > 0), "fixture must force multi-chunk docs")
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every doc is chunked, even 1-token ones")
+    byDoc.foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // chunk_ids are dense from 0; offsets are exactly k*24; window is
+      // min(32, remaining) — so consecutive chunks overlap by 8 tokens
+      // and the last chunk ends exactly at the doc's end
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      assert(sorted.forall { case (_, k, off, len, _) => off == k * 24L && len == math.min(32L, toks.length - off) })
+      assert(sorted.last._3 + sorted.last._4 == toks.length, "coverage reaches the end")
+      // each chunk's text IS the token slice it claims
+      assert(sorted.forall { case (_, _, off, len, text) =>
+        text == toks.slice(off.toInt, (off + len).toInt).mkString(" ") })
+    }
+  }
 }

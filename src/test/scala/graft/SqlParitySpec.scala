@@ -125,6 +125,17 @@ class SqlParitySpec extends SparkSpec {
            |       array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',') AS postings
            |FROM t WHERE length(term) >= 4
            |GROUP BY term, shard ORDER BY term, shard""".stripMargin,
+      // q68: DuckDB's list_slice/range/// become slice/sequence/div
+      "q68_chunk_overlap" ->
+        s"""WITH d AS (SELECT doc_id, split($norm, ' ') AS a FROM documents),
+           |     c AS (SELECT doc_id, a, CAST(size(a) AS BIGINT) AS ntok,
+           |                  explode(sequence(0L, (greatest(CAST(size(a) AS BIGINT) - 32L, 0L) + 23L) div 24L)) AS k
+           |           FROM d)
+           |SELECT doc_id, CAST(k AS INT) AS chunk_id, k * 24 AS off_tok,
+           |       least(32L, ntok - k * 24) AS len_tok,
+           |       array_join(slice(a, CAST(k * 24 + 1 AS INT),
+           |                        CAST(least(32L, ntok - k * 24) AS INT)), ' ') AS chunk
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
       // q67: the DuckDB oracle's string_split/len/unnest(range)/1-based
       // list indexing become split/size/explode(sequence)/0-based here
       "q67_lm_score" ->
