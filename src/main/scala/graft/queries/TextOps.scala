@@ -1112,6 +1112,90 @@ object TextOps {
     }
   }
 
+  /** Greedy leftmost non-overlapping merge of one (l, r) symbol pair —
+    * the BPE training inner loop. A UDF by the q30/q43 justification: a
+    * fused primitive while-loop over a small array, where the HOF
+    * equivalent (aggregate over indices with conditional skip-ahead) is
+    * interpreted, allocation-heavy, and cannot express the skip cleanly. */
+  private val bpeMergeUdf = udf { (syms: Seq[String], l: String, r: String) =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE merge-rule learning (Sennrich et al. 2016) over the corpus word
+    * frequencies — the tokenizer-training half of q23b's fertility
+    * metric, and the third user of the [[graft.ops.Iterate]] discipline.
+    *
+    * Distributed shape: the only corpus-scale pass is the initial word
+    * count (one token explode + one groupBy); every round after that
+    * runs on the VOCABULARY table (|distinct words| rows — millions at
+    * 100 TB, not the corpus's trillions of tokens), exploding each
+    * word's adjacent symbol pairs (fanout < word length), aggregating
+    * (l, r) sums, and taking the global argmax via TakeOrdered(1). The
+    * argmax row is model state crossing the driver (the IVF-centroid
+    * exemption); the k serial rounds are inherent — each merge rule
+    * depends on the table the previous one rewrote — so k, not bytes,
+    * is the cost to mind at scale, exactly Iterate's contract. Per
+    * round: ONE materializing action (the argmax doubles as the
+    * convergence check — stop when no pair repeats).
+    *
+    * Determinism: pair counts are exact long sums and ties break on
+    * (count DESC, l ASC, r ASC), so the learned rules are a pure
+    * function of the corpus. */
+  private[graft] def bpeMergeRules(s: SparkSession, dir: String,
+      maxMerges: Int = 12): Seq[(Int, String, String, Long)] = {
+    val pairs = expr(
+      "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")
+    def bestPair(gen: DataFrame): Option[(String, String, Long)] =
+      gen.filter(size(col("syms")) >= 2)
+        .select(explode(pairs).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect().headOption
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+    val init = docs(s, dir)
+      .select(explode(expr(s"regexp_extract_all($normExpr, '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // argmax over generation g is computed as generation g's single
+    // action (in measure) and APPLIED in the next round's step — so the
+    // loop body stays one-action-per-round with no extra barrier
+    var pending = bestPair(init)
+    if (pending.exists(_._3 >= 2)) {
+      val fix = Iterate.loop(init, maxRounds = maxMerges) { (cur, it) =>
+        val (l, r, f) = pending.get
+        merges += ((it, l, r, f))
+        cur.select(bpeMergeUdf(col("syms"), lit(l), lit(r)).as("syms"), col("freq"))
+      } { (_, next) =>
+        pending = if (merges.length == maxMerges) None else bestPair(next)
+        pending.forall(_._3 < 2)
+      }
+      fix.cur.unpersist()
+      if (fix.prev != null) fix.prev.unpersist()
+    }
+    init.unpersist()
+    merges.toSeq
+  }
+
+  /** Q69 — the learned BPE merge table: (rank, left, right, freq) for
+    * the first 12 merges. Iterative + engine-specific tie-breaking →
+    * no SQL oracle; BpeSpec gates it against a sequential reference
+    * implementation (exact merge-list equality) and pins determinism. */
+  val q69_bpe_merges: Query = Query.noOracle { (s, dir) =>
+    import s.implicits._
+    bpeMergeRules(s, dir).toDF("rank", "left", "right", "freq")
+      .orderBy("rank")
+  }
+
   val all: Map[String, Query] = Map(
     "q16_dedup_exact" -> q16_dedup_exact,
     "q59_inverted_index" -> q59_inverted_index,
@@ -1129,5 +1213,6 @@ object TextOps {
     "q25_jaccard_neardup" -> q25_jaccard_neardup,
     "q26_minhash_lsh" -> q26_minhash_lsh,
     "q27_simhash" -> q27_simhash,
-    "q57_bm25" -> q57_bm25)
+    "q57_bm25" -> q57_bm25,
+    "q69_bpe_merges" -> q69_bpe_merges)
 }
