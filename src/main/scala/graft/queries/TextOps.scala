@@ -78,6 +78,31 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
+  /** Q70 — per-language top-5 terms via the frequent-items SKETCH
+    * (approx_top_k = DataSketches ItemsSketch), q18b's approximate twin
+    * and the missing member of the sketch family (q06b HLL distinct,
+    * q38b GK percentiles). The scale argument is the whole point: q18b's
+    * exact form shuffles the ENTIRE (lang, w) token stream into a
+    * count aggregation, while the sketch keeps a bounded 8192-item
+    * summary per group that merges map-side — at 100 TB the exchange
+    * carries kilobytes of sketch per partition instead of terabytes of
+    * tokens. With vocabulary ≤ the tracked capacity the counts are
+    * exact (no evictions ever happen) and BpeSpec-style gating applies:
+    * DedupSpec asserts every returned count equals the exact count and
+    * the returned 5 are a valid top-5 (tie-agnostic — the sketch's
+    * tie order within equal counts is not the lexicographic one q18b
+    * pins, which is why this is no_oracle). */
+  val q70_topk_sketch: Query = Query.noOracle { (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"), explode(split(norm, " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .groupBy("lang")
+      .agg(expr("approx_top_k(w, 5, 8192)").as("tk"))
+      .select(col("lang"), explode(col("tk")).as("e"))
+      .select(col("lang"), col("e.item").as("w"), col("e.count").as("n"))
+      .orderBy(col("lang"), col("n").desc, col("w"))
+  }
+
   /** Marker words per language for the stopword language-ID heuristic. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "und", "die"),
@@ -1214,5 +1239,6 @@ object TextOps {
     "q26_minhash_lsh" -> q26_minhash_lsh,
     "q27_simhash" -> q27_simhash,
     "q57_bm25" -> q57_bm25,
-    "q69_bpe_merges" -> q69_bpe_merges)
+    "q69_bpe_merges" -> q69_bpe_merges,
+    "q70_topk_sketch" -> q70_topk_sketch)
 }

@@ -288,4 +288,31 @@ class DedupSpec extends SparkSpec {
     val n = docs.select(norm.as("n")).distinct().count()
     assert(n == 2, "case/whitespace variants must normalize together")
   }
+
+  test("q70 sketch top-5 is a valid exact-count top-5 per language (≡ q18b up to ties)") {
+    val sketch = TextOps.q70_topk_sketch.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // exact per-(lang, w) counts, same token definition as q18b/q70
+    val exact = engine.Tables.table(spark, dir, "documents")
+      .select(col("lang"), explode(split(expr(TextOps.normExpr), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .groupBy("lang", "w").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(sketch.nonEmpty)
+    // vocabulary is far under the 8192 tracked capacity, so the sketch
+    // never evicts: every reported count must be EXACT
+    sketch.foreach { case (lang, w, n) =>
+      assert(exact((lang, w)) == n, s"($lang,$w) sketch $n != exact")
+    }
+    // and the 5 returned per language must be a top-5 under count order
+    // (tie-agnostic: multiset of returned counts == multiset of the 5
+    // largest exact counts)
+    sketch.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == 5, s"$lang: ${rows.length} rows")
+      val got = rows.map(_._3).sorted.toSeq
+      val want = exact.collect { case ((l, _), n) if l == lang => n }
+        .toSeq.sorted(Ordering[Long].reverse).take(5).sorted
+      assert(got == want, s"$lang: counts $got not the top-5 $want")
+    }
+  }
 }
