@@ -357,4 +357,16 @@ class PlanSpec extends SparkSpec {
     assert(raw"hashpartitioning\(bucket".r.findFirstIn(full).nonEmpty, full)
     assert(!full.contains("CartesianProduct") && !full.contains("BroadcastNestedLoopJoin"), full)
   }
+
+  test("q70: the sketch aggregates partially BEFORE the lang exchange") {
+    // the scale claim: sketches merge map-side, so the shuffle carries
+    // bounded sketch state — the plan must show partial + final
+    // ObjectHashAggregate stages (TypedImperativeAggregate) around ONE
+    // lang exchange, with the token explode strictly below the partial
+    val p = plan(graft.queries.TextOps.q70_topk_sketch)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final sketch aggregate stages:\n$p")
+    assert(raw"hashpartitioning\(lang".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("approx_top_k"), p)
+  }
 }
