@@ -522,11 +522,40 @@ object Pipeline {
     * so every reason fires non-vacuously on the fixture (profiled:
     * n_tok 10–99, avg_tok_len 3.71–5.30, distinct_ratio 0.28–1.0,
     * top_share ≤ 0.30, zero-stopword docs exist in every lang). */
+  /** q58's stopword list + occurrence-count fragments, shared with the
+    * q71 end-to-end composition so the two cannot drift. */
+  private val CurationStops = Seq("the", "a", "of", "and")
+  private def hitsDiffSql(p: String) =
+    s"(length(padded) - length(replace(padded, ' $p ', '')))"
+  private[graft] val stopHitsSql = CurationStops.map(hitsDiffSql).mkString(" + ")
+
+  /** Per-doc q58 quality verdict: (doc_id, lang, n_tok, reason) with
+    * reason the FIRST failing filter ('6_kept' when all pass). q58
+    * aggregates this; q71 consumes it per-doc. All signals are per-row
+    * array expressions — no shuffle. */
+  private[graft] def qualityReasons(s: SparkSession, dir: String): DataFrame = {
+    // plain (non-regex) replace on both engines so non-overlapping
+    // occurrence counting is semantics-identical by construction
+    def hitsDiff(p: String): Column =
+      length(col("padded")) - length(expr(s"replace(padded, ' $p ', '')"))
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), norm.as("norm"),
+      split(norm, " ").as("a"), concat(lit(" "), norm, lit(" ")).as("padded"))
+    val f = d.select(col("doc_id"), col("lang"),
+      size(col("a")).as("n_tok"),
+      (length(regexp_replace(col("norm"), " ", "")) * lit(1.0) / size(col("a"))).as("atl"),
+      (expr("size(array_distinct(a))") * lit(1.0) / size(col("a"))).as("dr"),
+      (maxRunExpr * lit(1.0) / size(col("a"))).as("ts"),
+      CurationStops.map(hitsDiff).reduce(_ + _).as("stop_hits"))
+    f.select(col("doc_id"), col("lang"), col("n_tok"),
+      when(col("n_tok") < 15, "1_too_short")
+        .when(col("atl") < 3.75 || col("atl") > 5.25, "2_bad_tok_len")
+        .when(col("dr") < 0.30, "3_repetitive")
+        .when(col("ts") > 0.20, "4_dominated")
+        .when(col("stop_hits") === 0, "5_no_stopwords")
+        .otherwise("6_kept").as("reason"))
+  }
+
   val q58_corpus_filter: Query = {
-    val stops = Seq("the", "a", "of", "and")
-    def hitsDiffSql(p: String) =
-      s"(length(padded) - length(replace(padded, ' $p ', '')))"
-    val stopHitsSql = stops.map(hitsDiffSql).mkString(" + ")
     Query(
       s"""WITH d AS (SELECT doc_id, lang, $normSql AS norm,
          |                  string_split($normSql, ' ') AS a,
@@ -551,25 +580,7 @@ object Pipeline {
          |           FROM f)
          |SELECT lang, reason, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM r GROUP BY 1, 2 ORDER BY lang, reason""") { (s, dir) =>
-      // plain (non-regex) replace on both engines so non-overlapping
-      // occurrence counting is semantics-identical by construction
-      def hitsDiff(p: String): Column =
-        length(col("padded")) - length(expr(s"replace(padded, ' $p ', '')"))
-      val d = docs(s, dir).select(col("doc_id"), col("lang"), norm.as("norm"),
-        split(norm, " ").as("a"), concat(lit(" "), norm, lit(" ")).as("padded"))
-      val f = d.select(col("lang"),
-        size(col("a")).as("n_tok"),
-        (length(regexp_replace(col("norm"), " ", "")) * lit(1.0) / size(col("a"))).as("atl"),
-        (expr("size(array_distinct(a))") * lit(1.0) / size(col("a"))).as("dr"),
-        (maxRunExpr * lit(1.0) / size(col("a"))).as("ts"),
-        stops.map(hitsDiff).reduce(_ + _).as("stop_hits"))
-      f.select(col("lang"), col("n_tok"),
-          when(col("n_tok") < 15, "1_too_short")
-            .when(col("atl") < 3.75 || col("atl") > 5.25, "2_bad_tok_len")
-            .when(col("dr") < 0.30, "3_repetitive")
-            .when(col("ts") > 0.20, "4_dominated")
-            .when(col("stop_hits") === 0, "5_no_stopwords")
-            .otherwise("6_kept").as("reason"))
+      qualityReasons(s, dir)
         .groupBy("lang", "reason")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
         .orderBy("lang", "reason")
@@ -816,6 +827,140 @@ object Pipeline {
     blob
   }
 
+  /** Q71 — the END-TO-END curation pipeline, composed from the already-
+    * oracled stages so a reference user sees the whole corpus build as
+    * ONE call: per document, the first-applicable disposition in the
+    * order a production pipeline applies them —
+    *
+    *   1. eval_holdout    — last 4% of the id range (q47's cut)
+    *   2. dup_exact       — not the min-id doc of its normalized text (q16)
+    *   3. dup_near        — not the min-id member of its near-dup cluster
+    *                        (q25 pairs restricted to exact-dedup keepers,
+    *                        q37 connected components; jaccard is invariant
+    *                        under exact duplication, so filtering the full
+    *                        pair set to keepers equals re-running near-dup
+    *                        on the deduped corpus)
+    *   4. contaminated    — shares >= 3 rare trigrams with any eval doc (q47)
+    *   5. low_quality     — first failing C4/Gopher filter (q58)
+    *   6. kept            — assigned its q49 hash split (train/val/test)
+    *
+    * The DuckDB oracle replays the SAME composition from the proven
+    * per-stage CTE fragments (TextOps.pairCtesSql + the q37 recursive
+    * CTE + q47's gram pipeline + q58's signal CTEs), so the cross-engine
+    * hash check covers the COMPOSITION, not just the parts.
+    *
+    * Scale posture: nothing new — every stage is the operator already
+    * graded (exact dedup's groupBy(norm) swaps the full text for a
+    * digest at 100 TB, the q16 note); the disposition joins are
+    * equi-joins on doc_id against frames no bigger than the corpus, and
+    * statuses come from ONE pass over the left-joined flags. */
+  val q71_curate_corpus: Query = Query(
+    s"""WITH RECURSIVE
+       | dd AS (SELECT doc_id, lang, $normSql AS norm,
+       |               string_split($normSql, ' ') AS a,
+       |               ' ' || $normSql || ' ' AS padded FROM documents),
+       | cutt AS (SELECT (max(doc_id)+1) * 96 // 100 AS cut FROM documents),
+       | kp AS (SELECT norm, min(doc_id) AS keeper FROM dd, cutt
+       |        WHERE doc_id < cut GROUP BY norm),
+       | ek AS (SELECT dd.doc_id, kp.keeper FROM dd JOIN kp USING (norm), cutt
+       |        WHERE dd.doc_id < cut),
+       | ${TextOps.pairCtesSql},
+       | e AS (SELECT d1, d2 FROM j WHERE jac >= ${TextOps.JaccardTau}),
+       | ke AS (SELECT d1, d2 FROM e
+       |        JOIN ek ka ON ka.doc_id = e.d1 AND ka.keeper = e.d1
+       |        JOIN ek kb ON kb.doc_id = e.d2 AND kb.keeper = e.d2),
+       | bi AS (SELECT d1 AS x, d2 AS y FROM ke UNION SELECT d2, d1 FROM ke),
+       | verts AS (SELECT DISTINCT x AS v FROM bi),
+       | reach(v, r) AS (SELECT v, v FROM verts
+       |                 UNION
+       |                 SELECT bi.y, reach.r FROM reach JOIN bi ON bi.x = reach.v),
+       | comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v),
+       | ndrop AS (SELECT v AS doc_id FROM comp WHERE v <> lbl),
+       | g0 AS (SELECT doc_id, unnest(range(1, len(a)-1)) AS i, a FROM dd WHERE len(a) >= 3),
+       | gq AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram FROM g0),
+       | rare AS (SELECT gram FROM gq GROUP BY gram HAVING count(*) <= 10),
+       | gg AS (SELECT gq.doc_id, gq.gram FROM gq JOIN rare USING (gram)),
+       | cp AS (SELECT t.doc_id AS train_id, ev.doc_id AS eval_id
+       |        FROM gg t JOIN gg ev ON t.gram = ev.gram, cutt c
+       |        WHERE t.doc_id < c.cut AND ev.doc_id >= c.cut
+       |        GROUP BY 1, 2 HAVING count(*) >= 3),
+       | contam AS (SELECT DISTINCT train_id AS doc_id FROM cp),
+       | tokq AS (SELECT doc_id, unnest(a) AS w FROM dd),
+       | freqq AS (SELECT doc_id, w, count(*) AS c FROM tokq GROUP BY 1, 2),
+       | repq AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_c FROM freqq GROUP BY 1),
+       | fq AS (SELECT dd.doc_id, len(a) AS n_tok,
+       |               length(replace(norm, ' ', '')) * 1e0 / len(a) AS atl,
+       |               n_distinct * 1e0 / len(a) AS dr,
+       |               top_c * 1e0 / len(a) AS ts,
+       |               $stopHitsSql AS stop_hits
+       |        FROM dd JOIN repq USING (doc_id)),
+       | rq AS (SELECT doc_id,
+       |               CASE WHEN n_tok < 15 THEN '1_too_short'
+       |                    WHEN atl < 3.75e0 OR atl > 5.25e0 THEN '2_bad_tok_len'
+       |                    WHEN dr < 0.30e0 THEN '3_repetitive'
+       |                    WHEN ts > 0.20e0 THEN '4_dominated'
+       |                    WHEN stop_hits = 0 THEN '5_no_stopwords'
+       |                    ELSE '6_kept' END AS reason
+       |        FROM fq),
+       | st AS (SELECT dd.doc_id,
+       |               CASE WHEN dd.doc_id >= c.cut THEN 'eval_holdout'
+       |                    WHEN dd.doc_id <> ek.keeper THEN 'dup_exact'
+       |                    WHEN nd.doc_id IS NOT NULL THEN 'dup_near'
+       |                    WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |                    WHEN rq.reason <> '6_kept' THEN 'low_quality'
+       |                    ELSE 'kept' END AS status
+       |        FROM dd CROSS JOIN cutt c
+       |        LEFT JOIN ek ON ek.doc_id = dd.doc_id
+       |        LEFT JOIN ndrop nd ON nd.doc_id = dd.doc_id
+       |        LEFT JOIN contam ct ON ct.doc_id = dd.doc_id
+       |        LEFT JOIN rq ON rq.doc_id = dd.doc_id)
+       |SELECT doc_id, status,
+       |       CASE WHEN status = 'kept' THEN
+       |         CASE WHEN ${mixSql("doc_id")} % 100 < 90 THEN 'train'
+       |              WHEN ${mixSql("doc_id")} % 100 < 95 THEN 'val'
+       |              ELSE 'test' END END AS split
+       |FROM st ORDER BY doc_id""") { (s, dir) =>
+    val d = docs(s, dir)
+    val cut = d.agg(expr("(max(doc_id)+1) * 96 div 100").as("cut"))
+    val base = d.select(col("doc_id"), norm.as("norm")).crossJoin(broadcast(cut))
+    val trainDocs = base.filter(col("doc_id") < col("cut"))
+    val keepers = trainDocs.groupBy("norm").agg(min("doc_id").as("keeper"))
+    val ek = trainDocs.join(keepers, "norm").select(col("doc_id"), col("keeper"))
+    val keeperIds = ek.filter(col("doc_id") === col("keeper")).select("doc_id")
+    val kEdges = TextOps.jaccardPairs(s, dir).select(col("d1"), col("d2"))
+      .join(keeperIds.select(col("doc_id").as("d1")), "d1")
+      .join(keeperIds.select(col("doc_id").as("d2")), "d2")
+      .select("d1", "d2")
+    val (labels, _) = TextOps.connectedComponents(kEdges)
+    val nearDrop = labels.filter(col("v") =!= col("lbl"))
+      .select(col("v").as("doc_id"), lit(1).as("nd"))
+    val contam = {
+      val (tr, ev) = contaminationSides(s, dir)
+      contaminationPairs(tr, ev)
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("ct", lit(1))
+    }
+    val reasons = qualityReasons(s, dir).select(col("doc_id"), col("reason"))
+    val bucket = expr(s"CAST(${mixExpr("doc_id")} % 100 AS INT)")
+    base.select(col("doc_id"), col("cut"))
+      .join(ek, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(reasons, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") >= col("cut"), "eval_holdout")
+          .when(col("doc_id") =!= col("keeper"), "dup_exact")
+          .when(col("nd") === 1, "dup_near")
+          .when(col("ct") === 1, "contaminated")
+          .when(col("reason") =!= "6_kept", "low_quality")
+          .otherwise("kept").as("status"))
+      .select(col("doc_id"), col("status"),
+        when(col("status") === "kept",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Query] = Map(
     "q47_contamination" -> q47_contamination,
     "q47b_contamination_bloom" -> q47b_contamination_bloom,
@@ -832,5 +977,6 @@ object Pipeline {
     "q65_token_shard" -> q65_token_shard,
     "q66_corpus_upsert" -> q66_corpus_upsert,
     "q67_lm_score" -> q67_lm_score,
-    "q68_chunk_overlap" -> q68_chunk_overlap)
+    "q68_chunk_overlap" -> q68_chunk_overlap,
+    "q71_curate_corpus" -> q71_curate_corpus)
 }

@@ -390,7 +390,7 @@ object TextOps {
 
   /** Shared oracle CTE chain: exact near-dup pairs (d1, d2) at
     * jac >= JaccardTau over distinct 5-gram shingles. */
-  private val pairCtesSql =
+  private[graft] val pairCtesSql =
     s"""sh AS (SELECT doc_id, norm, unnest(range(length(norm) - 4)) AS i
        |        FROM (SELECT doc_id, $normSql AS norm FROM documents) d
        |        WHERE length(norm) >= 5),

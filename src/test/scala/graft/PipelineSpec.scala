@@ -328,6 +328,46 @@ class PipelineSpec extends SparkSpec {
     assert(nTarget >= 6, s"only $nTarget/20 top docs from the target domain")
   }
 
+  test("q71 curation assigns every planted disposition correctly") {
+    import spark.implicits._
+    // 25 docs, ids 0..24; cut = 25*96 div 100 = 24, so doc 24 is eval.
+    // Every doc is built to PASS the q58 quality gate (20 distinct
+    // ~4-letter words incl 'the') unless planted otherwise.
+    def sentence(seed: Int): String = {
+      val ws = (0 until 19).map(i => f"w$seed%02d${('a' + i % 26).toChar}")
+      (ws.take(10) :+ "the").++(ws.drop(10)).mkString(" ")
+    }
+    val base = sentence(90)
+    val contamRun = "zulu yank xray wolf vict"
+    val contamDoc = (contamRun.split(" ") ++
+      (0 until 14).map(i => f"c${('a' + i).toChar}ab") :+ "the").mkString(" ")
+    val evalDoc = (contamRun.split(" ") ++
+      (0 until 14).map(i => f"e${('a' + i).toChar}cd") :+ "the").mkString(" ")
+    val rows =
+      Seq((0L, base), (1L, base), (2L, base.dropRight(1) + "z"), // exact dup + near dup of 0
+        (3L, contamDoc), (4L, "aa aa aa")) ++                    // contaminated, too short
+        (5L to 23L).map(i => (i, sentence(i.toInt))) :+
+        (24L, evalDoc)
+    val tmp = java.nio.file.Files.createTempDirectory("curate").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.q71_curate_corpus.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got(24L)._1 == "eval_holdout")
+    assert(got(1L)._1 == "dup_exact", s"doc1: ${got(1L)}")
+    assert(got(2L)._1 == "dup_near", s"doc2: ${got(2L)}")
+    assert(got(3L)._1 == "contaminated", s"doc3: ${got(3L)}")
+    assert(got(4L)._1 == "low_quality", s"doc4: ${got(4L)}")
+    assert(got(0L)._1 == "kept", s"doc0 (the keeper): ${got(0L)}")
+    (5L to 23L).foreach(i => assert(got(i)._1 == "kept", s"filler $i: ${got(i)}"))
+    // split present exactly on kept docs
+    got.foreach { case (id, (status, split)) =>
+      assert(split.isDefined == (status == "kept"), s"$id: $status/$split")
+    }
+  }
+
   test("q68 chunks tile each doc: stride-24 offsets, full coverage, exact reassembly") {
     val chunks = Pipeline.q68_chunk_overlap.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
