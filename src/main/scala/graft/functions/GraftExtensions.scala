@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_simhash expects exactly 1 argument, got ${children.length}")
+        SimHash(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => {

@@ -651,21 +651,20 @@ object TextOps {
   private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
     memo("simhash", s, dir)(buildSimhash(s, dir).persist())
 
-  private def buildSimhash(s: SparkSession, dir: String): DataFrame = {
-    // array_distinct before explode: per-doc dedup is global dedup on a
-    // unique-keyed table — no shuffle (same argument as shinglesOf)
-    val toks = docs(s, dir)
+  private def buildSimhash(s: SparkSession, dir: String): DataFrame =
+    // one fused map pass ([[graft.functions.SimHash]]): per-token XXH64 +
+    // 64 ±1 counters + sign-pack, computed where the token array lives.
+    // The explode + 64-buffer HashAggregate it replaced was q27's CPU
+    // (~22 s of 27 s at sf0.1); this leaves NO shuffle before banding.
+    // array_distinct stays on the STRING tokens (dedup-then-hash, the
+    // aggregation form's exact semantics — SimHashSpec pins bitwise
+    // equality); empty token sets are filtered as before (the
+    // aggregation emitted no row for them).
+    docs(s, dir)
       .select(col("doc_id"),
-        explode(array_distinct(expr(s"filter(split($normExpr, ' '), w -> length(w) > 0)"))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("th"))
-    val bitSums = (0 until 64).map(k =>
-      sum(shiftrightunsigned(col("th"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))
-    val sig = (0 until 64)
-      .map(k => when(col(s"s$k") >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("sig"))
-  }
+        array_distinct(expr(s"filter(split($normExpr, ' '), w -> length(w) > 0)")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("sig"))
 
   /** Q37 — duplicate clusters: connected components over the exact
     * near-dup graph (q25 edges), the canonical output of a training-data
