@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNgramHashes].getName, "graft_word_ngram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_word_ngram_hashes expects exactly 2 arguments, got ${children.length}")
+        WordNgramHashes(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

@@ -32,16 +32,14 @@ object Pipeline {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   /** Word-trigram xxhash64 array over a pre-split token array column
-    * named `a`; empty for docs under 3 tokens (sequence(0, -1) counts
-    * DOWN in Spark, so the short-doc case needs an explicit branch).
-    * Single source of truth for the gram definition: batch contamination
-    * (q47/q47b) and the streaming decontamination filter both use it, so
-    * the two can't drift apart. */
-  private[graft] val trigramHashExpr: String =
-    """CASE WHEN size(a) >= 3 THEN array_distinct(transform(
-      |  sequence(0, size(a) - 3),
-      |  i -> xxhash64(concat_ws(' ', a[i], a[i+1], a[i+2]))))
-      |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    * named `a`; empty for docs under 3 tokens. Single source of truth
+    * for the gram definition: batch contamination (q47/q47b/q71) and
+    * the streaming decontamination filter both use it, so the two
+    * can't drift apart. One fused codegen pass
+    * ([[graft.functions.WordNgramHashes]]) — the HOF transform form it
+    * replaced was interpreted and allocated a UTF8String per gram
+    * (WordNgramHashesSpec pins hash-set equality with it). */
+  private[graft] val trigramHashExpr: String = "graft_word_ngram_hashes(a, 3)"
 
   /** Deterministic integer hash both engines compute identically in pure
     * BIGINT arithmetic (Knuth multiplicative over the key's low 32 bits,
