@@ -531,27 +531,35 @@ object Pipeline {
     * reason the FIRST failing filter ('6_kept' when all pass). q58
     * aggregates this; q71 consumes it per-doc. All signals are per-row
     * array expressions — no shuffle. */
-  private[graft] def qualityReasons(s: SparkSession, dir: String): DataFrame = {
+  /** Adds `n_tok` and `reason` (the q58 verdict) to any frame with a
+    * `text` column, preserving its other columns — the streaming
+    * curation filter runs this on micro-batch survivors. Works on the
+    * temp columns norm/a/padded/atl/dr/ts/stop_hits and drops them. */
+  private[graft] def withQualityReason(df: DataFrame): DataFrame = {
     // plain (non-regex) replace on both engines so non-overlapping
     // occurrence counting is semantics-identical by construction
     def hitsDiff(p: String): Column =
       length(col("padded")) - length(expr(s"replace(padded, ' $p ', '')"))
-    val d = docs(s, dir).select(col("doc_id"), col("lang"), norm.as("norm"),
-      split(norm, " ").as("a"), concat(lit(" "), norm, lit(" ")).as("padded"))
-    val f = d.select(col("doc_id"), col("lang"),
-      size(col("a")).as("n_tok"),
-      (length(regexp_replace(col("norm"), " ", "")) * lit(1.0) / size(col("a"))).as("atl"),
-      (expr("size(array_distinct(a))") * lit(1.0) / size(col("a"))).as("dr"),
-      (maxRunExpr * lit(1.0) / size(col("a"))).as("ts"),
-      CurationStops.map(hitsDiff).reduce(_ + _).as("stop_hits"))
-    f.select(col("doc_id"), col("lang"), col("n_tok"),
-      when(col("n_tok") < 15, "1_too_short")
-        .when(col("atl") < 3.75 || col("atl") > 5.25, "2_bad_tok_len")
-        .when(col("dr") < 0.30, "3_repetitive")
-        .when(col("ts") > 0.20, "4_dominated")
-        .when(col("stop_hits") === 0, "5_no_stopwords")
-        .otherwise("6_kept").as("reason"))
+    df.withColumn("norm", norm)
+      .withColumn("a", split(col("norm"), " "))
+      .withColumn("padded", concat(lit(" "), col("norm"), lit(" ")))
+      .withColumn("n_tok", size(col("a")))
+      .withColumn("atl", length(regexp_replace(col("norm"), " ", "")) * lit(1.0) / col("n_tok"))
+      .withColumn("dr", expr("size(array_distinct(a))") * lit(1.0) / col("n_tok"))
+      .withColumn("ts", maxRunExpr * lit(1.0) / col("n_tok"))
+      .withColumn("stop_hits", CurationStops.map(hitsDiff).reduce(_ + _))
+      .withColumn("reason",
+        when(col("n_tok") < 15, "1_too_short")
+          .when(col("atl") < 3.75 || col("atl") > 5.25, "2_bad_tok_len")
+          .when(col("dr") < 0.30, "3_repetitive")
+          .when(col("ts") > 0.20, "4_dominated")
+          .when(col("stop_hits") === 0, "5_no_stopwords")
+          .otherwise("6_kept"))
+      .drop("norm", "a", "padded", "atl", "dr", "ts", "stop_hits")
   }
+
+  private[graft] def qualityReasons(s: SparkSession, dir: String): DataFrame =
+    withQualityReason(docs(s, dir)).select("doc_id", "lang", "n_tok", "reason")
 
   val q58_corpus_filter: Query = {
     Query(

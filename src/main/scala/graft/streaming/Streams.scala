@@ -152,6 +152,29 @@ object Streams {
     * its own checkpoint.
     *
     * Returns the started query; stop it via the handle. */
+  /** Streaming curation — the q71 composition's streaming face: per
+    * micro-batch, near-dup dedup against the LSM seen-store (exactly
+    * the [[startNearDupDedup]] machinery, state semantics, and
+    * exactly-once replay contract — ALL batch docs' buckets enter the
+    * store, matching q71's dedup-before-filter order), then the two
+    * STATELESS filters on the survivors before they land: bloom
+    * decontamination ([[decontaminate]]) and the q58 quality verdict
+    * (Pipeline.withQualityReason) — no extra state, no extra shuffle,
+    * each micro-batch filters at full parallelism. */
+  def startCuration(docs: DataFrame, evalBloom: Array[Byte], storeDir: String,
+      outDir: String, checkpointDir: String,
+      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processNearDupBatch(batch, batchId, storeDir, outDir, compactEvery,
+          refine = sv => graft.queries.Pipeline
+            .withQualityReason(decontaminate(sv, evalBloom))
+            .filter(col("reason") === "6_kept")
+            .drop("n_tok", "reason"))
+      }
+      .start()
+
   def startNearDupDedup(docs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -216,7 +239,8 @@ object Streams {
     * re-running any batch over any partial state of its first attempt
     * yields the same committed outputs). */
   private[graft] def processNearDupBatch(batch: DataFrame, batchId: Long,
-      storeDir: String, outDir: String, compactEvery: Int): Unit = {
+      storeDir: String, outDir: String, compactEvery: Int,
+      refine: DataFrame => DataFrame = identity): Unit = {
     import graft.queries.TextOps
     val spark = batch.sparkSession
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
@@ -259,7 +283,11 @@ object Streams {
       val droppedIds = baseHits(bands, base).select("doc_id")
         .unionAll(baseHits(bands, delta).select("doc_id"))
         .unionAll(intraHit.select("doc_id")).distinct()
-      val survivors = b.join(droppedIds, Seq("doc_id"), "left_anti")
+      // refine = the caller's stateless post-dedup filters (curation);
+      // the store update below stays based on the FULL batch's bands, so
+      // dedup state is independent of what the filters later drop —
+      // q71's dedup-before-filter order
+      val survivors = refine(b.join(droppedIds, Seq("doc_id"), "left_anti"))
       // batch=<id> paths + overwrite = exactly-once under replay: the
       // re-run lands on top of the first attempt's (possibly partial)
       // output instead of appending next to it

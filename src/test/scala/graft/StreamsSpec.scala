@@ -297,6 +297,60 @@ class StreamsSpec extends SparkSpec {
       "replay must restore the missing delta partition")
   }
 
+  test("streaming curation equals near-dup replay + batch decontamination + batch quality") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    val blob = graft.queries.Pipeline.evalBloomBlob(spark, dir)
+    // truth, stage by stage with the SAME primitives the stream uses:
+    // (1) sequential near-dup replay in doc_id order (the store policy)
+    val allBands = graft.queries.TextOps.bandedOf(
+        graft.queries.TextOps.shinglesOf(docsBatch))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seen = scala.collection.mutable.Set.empty[(Int, Long)]
+    val dedupSurvivors = docsBatch.select("doc_id").collect().map(_.getLong(0)).sorted.filter { id =>
+      val dropped = allBands.getOrElse(id, Set.empty).exists(seen)
+      seen ++= allBands.getOrElse(id, Set.empty)
+      !dropped
+    }.toSet
+    // (2) batch bloom decontamination + (3) batch quality verdict
+    val want = graft.queries.Pipeline.withQualityReason(
+        Streams.decontaminate(
+          docsBatch.filter(col("doc_id").isInCollection(dedupSurvivors)), blob))
+      .filter(col("reason") === "6_kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < dedupSurvivors.size,
+      "the stateless filters must drop something beyond the dedup")
+    val tmp = java.nio.file.Files.createTempDirectory("curation").toString
+    val stream = MemoryStream[Streams.Doc]
+    val q = Streams.startCuration(stream.toDF(), blob,
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt", compactEvery = 2)
+    docsBatch.orderBy("doc_id").collect()
+      .map(r => Streams.Doc(r.getLong(0), r.getString(1)))
+      .grouped(120).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    q.stop()
+    val got = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the store saw EVERY doc's buckets (dedup-before-filter order):
+    // dropped-by-quality docs still contribute dedup state
+    val storeBands = {
+      val base = new java.io.File(s"$tmp/store").listFiles()
+        .filter(_.getName.startsWith("base_g")).map(_.getPath).toSeq
+      val deltas = Option(new java.io.File(s"$tmp/store/delta").listFiles())
+        .map(_.map(_.getPath).toSeq).getOrElse(Seq.empty)
+      spark.read.parquet((base ++ deltas): _*).count()
+    }
+    // base holds distinct folded buckets; unfolded deltas may re-list
+    // some, so coverage is >= the corpus's distinct bucket count
+    assert(storeBands >= allBands.values.flatten.toSeq.distinct.size,
+      "store must cover every doc's buckets, filtered or not")
+  }
+
   test("near-dup membership probe co-locates with the bucketed store (no store-side exchange)") {
     val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
     val bands = graft.queries.TextOps.bandedOf(graft.queries.TextOps.shinglesOf(docsBatch))
