@@ -32,15 +32,20 @@ object Tables {
     * self-contained. */
   def clearCache(): Unit = tableCache.clear()
 
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer. With
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos;
-    * truncate to microseconds (matching DuckDB's ns->us cast) and expose
-    * a proper TimestampType column. If a future Spark reads it natively
-    * as TimestampType already, pass it through. */
+  /** events.ts has shipped with three physical types across testdata
+    * regenerations: TIMESTAMP(NANOS) (arrives as Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ — the
+    * pandas/pyarrow default), and UTC micros (arrives as TimestampType).
+    * Normalize all three to TimestampType. The NTZ cast is exact because
+    * the session timezone is pinned to UTC (GraftSession), so wall-clock
+    * micros == instant micros. */
   private def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -23,8 +23,13 @@ class StreamsSpec extends SparkSpec {
 
   private def loadEvents(): Seq[Event] = {
     eventsBatch.collect().map { r =>
-      Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
-        r.getString(3), r.getDouble(4))
+      val ts = r.getAs[Any](1) match {
+        case t: Timestamp => t
+        case ldt: java.time.LocalDateTime =>
+          // NTZ wall-clock; session tz is pinned UTC so this is exact
+          Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+      }
+      Event(r.getLong(0), ts, r.getLong(2), r.getString(3), r.getDouble(4))
     }.toSeq
   }
 
