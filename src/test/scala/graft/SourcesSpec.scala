@@ -51,6 +51,34 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("events ts loads as TimestampType under all three shipped encodings; q19 agrees") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val base = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // The generator has shipped ts as TIMESTAMP(NANOS), micros-UTC and
+    // micros-NTZ across rounds; materialize each physical variant and
+    // assert Tables normalizes all of them to the same TimestampType data.
+    base.write.mode("overwrite").parquet(s"$tmp/ev_utc/events.parquet")
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$tmp/ev_ntz/events.parquet")
+    // TIMESTAMP(NANOS) arrives as Long nanos under nanosAsLong=true;
+    // writing the Long form directly exercises that reader branch.
+    base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$tmp/ev_nanos/events.parquet")
+    assert(spark.read.parquet(s"$tmp/ev_ntz/events.parquet")
+      .schema("ts").dataType == TimestampNTZType)
+    assert(spark.read.parquet(s"$tmp/ev_nanos/events.parquet")
+      .schema("ts").dataType == LongType)
+    val want = graft.queries.EventOps.q19_tumbling_hour
+      .fn(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    for (d <- Seq(s"$tmp/ev_utc", s"$tmp/ev_ntz", s"$tmp/ev_nanos")) {
+      val loaded = Tables.table(spark, d, "events")
+      assert(loaded.schema("ts").dataType == TimestampType, s"dir=$d")
+      val got = graft.queries.EventOps.q19_tumbling_hour
+        .fn(spark, d).collect().map(_.toSeq).toSeq
+      assert(got == want, s"q19 mismatch for $d")
+    }
+  }
+
   test("orc scan pushes predicates and prunes columns") {
     val src = Tables.table(spark, "/root/testdata/sf0.001", "customer")
     src.write.mode("overwrite").orc(s"$tmp/cust_orc")
