@@ -1211,11 +1211,49 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Oracle SQL for [[q69_bpe_merges]]: the 12-round merge loop unrolled
+    * as chained CTEs (the q71 replay pattern, but iteration is unrolled
+    * since each round's argmax feeds the next round's rewrite). Each
+    * word's segmentation is encoded as `<sym><sym>...`; applying merge
+    * (l, r) is then a plain left-to-right `replace('<l><r>' -> '<lr>')`,
+    * which is exactly the greedy leftmost non-overlapping merge of the
+    * Spark UDF (matches can't straddle symbols because every symbol is
+    * delimiter-bounded, and replace() never overlaps matches). Ties
+    * break (count DESC, l ASC, r ASC) in both engines, so the merge
+    * list is a pure function of the corpus. */
+  private def bpeOracleSql(maxMerges: Int): String = {
+    val head = Seq(
+      s"""words AS (SELECT w, count(*) AS freq FROM (
+         |  SELECT unnest(regexp_extract_all($normSql, '[a-z]+')) AS w FROM documents) GROUP BY w)""",
+      """v0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc, freq FROM words)""")
+    val rounds = (1 to maxMerges).flatMap { k =>
+      Seq(
+        s"""p$k AS (
+           |  SELECT l, r, cnt FROM (
+           |    SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS cnt
+           |    FROM (SELECT regexp_extract_all(enc, '<([a-z]+)>', 1) AS s, freq,
+           |                 unnest(range(1, len(regexp_extract_all(enc, '<([a-z]+)>', 1)))) AS i
+           |          FROM v${k - 1})
+           |    GROUP BY 1, 2 HAVING sum(freq) >= 2)
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""",
+        s"""v$k AS (
+           |  SELECT CASE WHEN p.l IS NOT NULL
+           |              THEN replace(enc, '<'||p.l||'><'||p.r||'>', '<'||p.l||p.r||'>')
+           |              ELSE enc END AS enc, freq
+           |  FROM v${k - 1} LEFT JOIN p$k p ON TRUE)""")
+    }
+    val union = (1 to maxMerges).map { k =>
+      s"""SELECT CAST($k AS INT) AS "rank", l AS "left", r AS "right", CAST(cnt AS BIGINT) AS freq FROM p$k"""
+    }.mkString("\nUNION ALL ")
+    ((head ++ rounds).map(_.stripMargin).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT * FROM ($union) ORDER BY "rank"""")
+  }
+
   /** Q69 — the learned BPE merge table: (rank, left, right, freq) for
-    * the first 12 merges. Iterative + engine-specific tie-breaking →
-    * no SQL oracle; BpeSpec gates it against a sequential reference
+    * the first 12 merges. Oracled via the unrolled CTE replay above;
+    * BpeSpec additionally gates the loop against a sequential reference
     * implementation (exact merge-list equality) and pins determinism. */
-  val q69_bpe_merges: Query = Query.noOracle { (s, dir) =>
+  val q69_bpe_merges: Query = Query(bpeOracleSql(maxMerges = 12)) { (s, dir) =>
     import s.implicits._
     bpeMergeRules(s, dir).toDF("rank", "left", "right", "freq")
       .orderBy("rank")
