@@ -614,13 +614,33 @@ object TextOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
+  /** Near-dup pairs via MinHash banding + exact jaccard verification —
+    * the same (d1, d2, jac) set as [[jaccardPairs]] wherever banding
+    * recall is total (the 8×6 band parameters are sized for tau = 0.8;
+    * q26's oracle — identical to q25's — pins the equality at the gate
+    * scales), found with ~10× less shuffle: the signature is one codegen
+    * pass over the persisted shingle-set arrays, so nothing
+    * (doc_id, g)-shaped is ever exchanged — only (band, bh, doc_id)
+    * triples and the verified candidate pairs move. Memoized like
+    * [[jaccardPairs]]; q26 formats it, and q71's composed pipeline uses
+    * it as its dedup edge source (the PPJoin path stays the EXACT
+    * operator, q25/q37). */
+  private[graft] def lshJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    memo("lshJaccardPairs", s, dir) {
+      val banded = bandedOfSets(shingleSets(s, dir))
+      val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
+        .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val out = rawJaccard(shingleSets(s, dir), cand).persist()
+      out.count()
+      out
+    }
+
   val q26_minhash_lsh: Query = Query(jaccardSql) { (s, dir) =>
-    val banded = bandedOfSets(shingleSets(s, dir))
-    val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    verifiedJaccard(shingleSets(s, dir), cand)
+    lshJaccardPairs(s, dir)
+      .select(col("d1"), col("d2"), cround(col("jac")).as("jaccard"))
+      .orderBy("d1", "d2")
   }
 
   /** Q27 — SimHash near-dup: 64-bit signature from token hashes, banded
