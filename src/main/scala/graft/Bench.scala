@@ -115,7 +115,26 @@ object Bench {
 
   private final case class Timed(name: String, secs: Double, spill: Long,
     shuffle: Long, peakMem: Long, cpuSec: Double, gcSec: Double, load: Double,
-    userPct: Double, sysPct: Double, stealPct: Double)
+    userPct: Double, sysPct: Double, stealPct: Double) {
+    /** User-space machine CPU NOT attributable to this query's own
+      * tasks during its window (own share ≈ cpu_sec / (wall · cores)).
+      * Driver-thread CPU is uncounted, so this over-attributes a few
+      * percent to "other" — fine for a flag thresholded at 25. */
+    def otherUserPct(cores: Int): Double =
+      if (userPct < 0 || secs <= 0) -1.0
+      else math.max(0.0, userPct - 100.0 * cpuSec / (secs * cores))
+    /** Environment-contention witness: true when the machine was doing
+      * substantial work that was not this query — foreign user-space
+      * load, kernel churn (page reclaim / fs), hypervisor steal, or a
+      * run queue far beyond the core count. 2× wall-time comparisons
+      * should discard or re-run flagged queries instead of absorbing
+      * the noise (the round-4 driver bench showed shuffle-free scans at
+      * 20-60× local wall from exactly these causes). Unknown (-1)
+      * inputs never flag. */
+    def contended(cores: Int): Boolean =
+      stealPct > 5 || sysPct > 20 || otherUserPct(cores) > 25 ||
+        load > 1.5 * cores
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +180,7 @@ object Bench {
         None
       }
     }
+    val nCores = Runtime.getRuntime.availableProcessors()
     def obj[T](f: Timed => T): String =
       results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
@@ -174,7 +194,9 @@ object Bench {
       s""""cpu_sec":${obj(r => r3(r.cpuSec))},"gc_sec":${obj(r => r3(r.gcSec))},""" +
       s""""load_avg":${obj(_.load)},"machine_user_pct":${obj(r => r3(r.userPct))},""" +
       s""""machine_sys_pct":${obj(r => r3(r.sysPct))},""" +
-      s""""machine_steal_pct":${obj(r => r3(r.stealPct))},"incremental":$incr,""" +
+      s""""machine_steal_pct":${obj(r => r3(r.stealPct))},""" +
+      s""""contended":${obj(_.contended(nCores))},""" +
+      s""""n_contended":${results.count(_.contended(nCores))},"incremental":$incr,""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     // artifact self-defense: a tail-truncated capture of the (long) full
