@@ -122,7 +122,7 @@ object Pipeline {
       .filter(col("n_shared") >= 3)
       .orderBy("train_id", "eval_id")
 
-  val q47_contamination: Query = Query(
+  private val contaminationOracleSql =
     s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
        |     g0 AS (SELECT doc_id, unnest(range(1, len(a)-1)) AS i, a FROM d WHERE len(a) >= 3),
        |     g AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram FROM g0),
@@ -134,7 +134,9 @@ object Pipeline {
        |           WHERE t.doc_id < c.cut AND e.doc_id >= c.cut
        |           GROUP BY 1, 2)
        |SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 3
-       |ORDER BY train_id, eval_id""") { (s, dir) =>
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  val q47_contamination: Query = Query(contaminationOracleSql) { (s, dir) =>
     val (train, ev) = contaminationSides(s, dir)
     contaminationPairs(train, ev)
   }
@@ -146,10 +148,11 @@ object Pipeline {
     * the bloom prefilter drops ~all train grams map-side so only the
     * (tiny) plausible-overlap stream reaches the exchange. Bloom filters
     * have no false negatives, and false positives are discarded by the
-    * exact join that follows, so the result is IDENTICAL to q47
-    * (PipelineSpec asserts equality; the driver gets the weaker rows-only
-    * check since DuckDB has no bloom to mirror). */
-  val q47b_contamination_bloom: Query = Query.noOracle { (s, dir) =>
+    * exact join that follows, so the result is IDENTICAL to q47 — which
+    * is why it carries q47's oracle verbatim (the prefilter is a
+    * physical optimization, not a semantic one; PipelineSpec asserts the
+    * equality independently). */
+  val q47b_contamination_bloom: Query = Query(contaminationOracleSql) { (s, dir) =>
     val (train, ev) = contaminationSides(s, dir)
     // BloomFilterMightContain only accepts a constant or scalar-subquery
     // bloom side (never a joined column), so the eval blob rides a scalar
