@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import graft.engine.{GraftSession, Tables}
 

@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
 
 /** Ad-hoc helper (not part of the driver contract): dump named queries'
   * results to parquet for a local DuckDB oracle diff without running the

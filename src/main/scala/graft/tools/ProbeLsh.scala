@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.functions._
 

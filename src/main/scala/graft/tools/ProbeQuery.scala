@@ -1,5 +1,6 @@
-package graft
+package graft.tools
 
+import graft.SparkEntry
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 import graft.engine.GraftSession

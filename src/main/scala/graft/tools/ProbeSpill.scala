@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import java.util.concurrent.atomic.AtomicLong
 
