@@ -1193,8 +1193,54 @@ object TextOps {
     * Determinism: pair counts are exact long sums and ties break on
     * (count DESC, l ASC, r ASC), so the learned rules are a pure
     * function of the corpus. */
+  /** Driver-local merge loop for the size-gated finish below: the same
+    * argmax tie-break ((cnt DESC, l ASC, r ASC) — exact long sums) and
+    * the same greedy leftmost non-overlapping rewrite as the
+    * distributed rounds, so the two paths are interchangeable bit for
+    * bit (BpeSpec runs both against the sequential reference). */
+  private def bpeMergeLocal(vocab: Array[(Array[String], Long)],
+      maxMerges: Int): Seq[(Int, String, String, Long)] = {
+    var table = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    while (!done && merges.length < maxMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        var i = 1
+        while (i < syms.length) {
+          val k = (syms(i - 1), syms(i))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, e @ ((l, r), c)) =>
+          if (acc.forall { case ((al, ar), ac) =>
+            c > ac || (c == ac && (l < al || (l == al && r < ar)))
+          }) Some(e) else acc
+      }
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          merges += ((merges.length + 1, l, r, c))
+          table = table.map { case (syms, f) =>
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
   private[graft] def bpeMergeRules(s: SparkSession, dir: String,
-      maxMerges: Int = 12): Seq[(Int, String, String, Long)] = {
+      maxMerges: Int = 12,
+      driverFinishMax: Long = 1L << 20): Seq[(Int, String, String, Long)] = {
     val pairs = expr(
       "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))")
     def bestPair(gen: DataFrame): Option[(String, String, Long)] =
@@ -1210,6 +1256,20 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
       .persist()
+    // Size-gated driver finish (the q37 forest gate / IVF-centroid
+    // exemption): after the one corpus-scale pass, the state is the
+    // VOCABULARY table. When it fits the driver budget (~tens of MB at
+    // the default gate), 12 serial distributed rounds — each a full
+    // explode + exchange + argmax job — collapse into one collect and a
+    // microsecond-scale local loop. Past the gate (100 TB corpora with
+    // unbounded token universes) the Iterate rounds below run unchanged.
+    val nVocab = init.count()
+    if (nVocab <= driverFinishMax) {
+      val vocab = init.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      init.unpersist()
+      return bpeMergeLocal(vocab, maxMerges)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // argmax over generation g is computed as generation g's single
     // action (in measure) and APPLIED in the next round's step — so the

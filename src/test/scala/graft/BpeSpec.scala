@@ -57,12 +57,26 @@ class BpeSpec extends SparkSpec {
       (3L, "widest widest widest")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
     docsDf.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val got = TextOps.bpeMergeRules(spark, tmp, maxMerges = 8)
     val want = referenceBpe(
       Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
-    assert(got == want, s"\ngot  $got\nwant $want")
+    // both engine paths: the size-gated driver finish (default) and the
+    // distributed Iterate rounds (gate forced to 0)
+    val gotLocal = TextOps.bpeMergeRules(spark, tmp, maxMerges = 8)
+    val gotDist = TextOps.bpeMergeRules(spark, tmp, maxMerges = 8, driverFinishMax = 0L)
+    assert(gotLocal == want, s"\ngot  $gotLocal\nwant $want")
+    assert(gotDist == want, s"\ngot  $gotDist\nwant $want")
     // spot-check the textbook head: "es" (9) then "est" (9) lead
-    assert(got.take(2).map(m => (m._2, m._3)) == Seq(("e", "s"), ("es", "t")))
+    assert(gotLocal.take(2).map(m => (m._2, m._3)) == Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("q69 distributed path equals the sequential reference on sf0.001") {
+    val freqs = engine.Tables.table(spark, dir, "documents")
+      .select(explode(expr(s"regexp_extract_all(${TextOps.normExpr}, '[a-z]+', 0)")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceBpe(freqs, 12)
+    val got = TextOps.bpeMergeRules(spark, dir, maxMerges = 12, driverFinishMax = 0L)
+    assert(want.nonEmpty && got == want, s"\ngot  ${got.take(4)}…\nwant ${want.take(4)}…")
   }
 
   test("q69 equals the sequential reference on sf0.001") {
