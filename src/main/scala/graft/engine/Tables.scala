@@ -24,7 +24,11 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.getOrElseUpdate((spark, dir, name), {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events") normalizeEvents(df) else df
+      name match {
+        case "events" => normalizeEvents(df)
+        case "embeddings" => normalizeEmbeddings(df)
+        case _ => df
+      }
     })
 
   /** Drop the memoized DataFrames (plan objects only — nothing is
@@ -46,6 +50,20 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** embeddings.embedding is list<float> today, but the generator has
+    * already changed a column's physical type twice across rounds
+    * (events.ts) — and the whole vector surface (codegen DotProduct,
+    * the IVF/LSH UDFs) binds to Array[Float]. Fold a double-typed
+    * regeneration back to float so an upstream pandas default switch
+    * can't break every embedding query at analysis time. */
+  private def normalizeEmbeddings(df: DataFrame): DataFrame =
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
       case _ => df
     }
 

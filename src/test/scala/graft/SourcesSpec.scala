@@ -79,6 +79,24 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("embeddings load under float and double encodings; q17 agrees") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val base = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    base.write.mode("overwrite").parquet(s"$tmp/emb_f/embeddings.parquet")
+    base.withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$tmp/emb_d/embeddings.parquet")
+    assert(spark.read.parquet(s"$tmp/emb_d/embeddings.parquet")
+      .schema("embedding").dataType == ArrayType(DoubleType, true))
+    def q17(d: String) = graft.queries.VectorOps.q17_cosine_topk
+      .fn(spark, d).collect().map(_.toSeq).toSeq
+    val want = q17("/root/testdata/sf0.001")
+    for (d <- Seq(s"$tmp/emb_f", s"$tmp/emb_d")) {
+      assert(Tables.table(spark, d, "embeddings")
+        .schema("embedding").dataType == ArrayType(FloatType, true), s"dir=$d")
+      assert(q17(d) == want, s"q17 mismatch for $d")
+    }
+  }
+
   test("orc scan pushes predicates and prunes columns") {
     val src = Tables.table(spark, "/root/testdata/sf0.001", "customer")
     src.write.mode("overwrite").orc(s"$tmp/cust_orc")
