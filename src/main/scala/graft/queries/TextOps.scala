@@ -1301,11 +1301,16 @@ object TextOps {
     * delimiter-bounded, and replace() never overlaps matches). Ties
     * break (count DESC, l ASC, r ASC) in both engines, so the merge
     * list is a pure function of the corpus. */
-  private def bpeOracleSql(maxMerges: Int): String = {
+  /** The shared unrolled CTE chain: word frequencies, encoded
+    * generation tables v0..v{maxMerges} (each carrying the original
+    * word through the rewrites), and per-round argmax rows
+    * p1..p{maxMerges}. q69's tail unions the p_k; q72's tail reads the
+    * FINAL generation's segmentation. */
+  private def bpeChainCtes(maxMerges: Int): String = {
     val head = Seq(
       s"""words AS (SELECT w, count(*) AS freq FROM (
          |  SELECT unnest(regexp_extract_all($normSql, '[a-z]+')) AS w FROM documents) GROUP BY w)""",
-      """v0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc, freq FROM words)""")
+      """v0 AS (SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS enc, freq FROM words)""")
     val rounds = (1 to maxMerges).flatMap { k =>
       Seq(
         s"""p$k AS (
@@ -1317,17 +1322,36 @@ object TextOps {
            |    GROUP BY 1, 2 HAVING sum(freq) >= 2)
            |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""",
         s"""v$k AS (
-           |  SELECT CASE WHEN p.l IS NOT NULL
+           |  SELECT w, CASE WHEN p.l IS NOT NULL
            |              THEN replace(enc, '<'||p.l||'><'||p.r||'>', '<'||p.l||p.r||'>')
            |              ELSE enc END AS enc, freq
            |  FROM v${k - 1} LEFT JOIN p$k p ON TRUE)""")
     }
+    (head ++ rounds).map(_.stripMargin).mkString(",\n")
+  }
+
+  private def bpeOracleSql(maxMerges: Int): String = {
     val union = (1 to maxMerges).map { k =>
       s"""SELECT CAST($k AS INT) AS "rank", l AS "left", r AS "right", CAST(cnt AS BIGINT) AS freq FROM p$k"""
     }.mkString("\nUNION ALL ")
-    ((head ++ rounds).map(_.stripMargin).mkString("WITH ", ",\n", "\n") +
-      s"""SELECT * FROM ($union) ORDER BY "rank"""")
+    s"WITH ${bpeChainCtes(maxMerges)}\n" +
+      s"""SELECT * FROM ($union) ORDER BY "rank""""
   }
+
+  /** Oracle for [[q72_bpe_encode]]: the same learned chain, then the
+    * final generation's per-word piece count joined back to the doc
+    * token stream. */
+  private def bpeEncodeOracleSql(maxMerges: Int): String =
+    s"""WITH ${bpeChainCtes(maxMerges)},
+       | seg AS (SELECT w, len(regexp_extract_all(enc, '<([a-z]+)>', 1)) AS n_pieces
+       |         FROM v$maxMerges),
+       | dw AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+')) AS w
+       |        FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens,
+       |       ${croundSql("CAST(sum(n_pieces) AS DOUBLE) / count(*)")} AS fertility
+       |FROM dw JOIN seg USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Q69 — the learned BPE merge table: (rank, left, right, freq) for
     * the first 12 merges. Oracled via the unrolled CTE replay above;
@@ -1337,6 +1361,49 @@ object TextOps {
     import s.implicits._
     bpeMergeRules(s, dir).toDF("rank", "left", "right", "freq")
       .orderBy("rank")
+  }
+
+  /** Q72 — tokenizer APPLICATION: encode the corpus with the q69-learned
+    * merge table and report per-doc word/BPE-piece counts and fertility
+    * (pieces per word), the metric that decides whether a trained
+    * tokenizer fits a corpus.
+    *
+    * Distributed shape: the merge rules are model state (≤ 12 tiny rows,
+    * the IVF-centroid exemption) carried in the UDF closure; encoding is
+    * applied to the DISTINCT-WORD table, not the token stream — the
+    * rank-ordered greedy merges run once per vocabulary entry (millions
+    * at 100 TB), and the corpus-scale side is one equi-join of (doc_id,
+    * w) tokens against the encoded vocab (AQE broadcasts it while it
+    * fits) plus one per-doc sum. No round barriers, no corpus-width
+    * rewrites. */
+  val q72_bpe_encode: Query = Query(bpeEncodeOracleSql(maxMerges = 12)) { (s, dir) =>
+    val rules = bpeMergeRules(s, dir).map { case (_, l, r, _) => (l, r) }
+    val nPieces = udf { (w: String) =>
+      var syms: Array[String] = w.split("")
+      rules.foreach { case (l, r) =>
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val words = docs(s, dir).select(col("doc_id"),
+      explode(expr(s"regexp_extract_all($normExpr, '[a-z]+', 0)")).as("w"))
+    val vocabEnc = words.select("w").distinct()
+      .withColumn("n_pieces", nPieces(col("w")))
+    words.join(vocabEnc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        cround(col("n_bpe_tokens").cast("double") / col("n_words")))
+      .select("doc_id", "n_words", "n_bpe_tokens", "fertility")
+      .orderBy("doc_id")
   }
 
   val all: Map[String, Query] = Map(
@@ -1358,5 +1425,6 @@ object TextOps {
     "q27_simhash" -> q27_simhash,
     "q57_bm25" -> q57_bm25,
     "q69_bpe_merges" -> q69_bpe_merges,
+    "q72_bpe_encode" -> q72_bpe_encode,
     "q70_topk_sketch" -> q70_topk_sketch)
 }
