@@ -1363,6 +1363,58 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Q73 — exact substring-level dedup (the "dedup makes LMs better"
+    * mode, at rolling-window granularity): a 20-token window is
+    * duplicated when its text occurs ≥ 2 times anywhere in the corpus;
+    * a token is duplicated when any duplicated window covers it. Emits
+    * per-doc token counts and the duplicated-token fraction — the
+    * number a curation pass thresholds to drop boilerplate-heavy docs.
+    *
+    * Distributed shape: windows travel as 16-byte md5 digests (the
+    * q16 digest-key move — the 20-word text never leaves the scan),
+    * the ≥2 count is a partial-agg'd groupBy on the digest, and
+    * coverage is a ±k position explode + distinct with NO join wider
+    * than (doc_id, digest). The digest exchange is ~n_tok rows × 16 B —
+    * the inherent cost of exact substring dedup; at 100 TB the standard
+    * prefilter (seen-digest bloom from a first pass) bolts onto the
+    * same plan in front of the exchange, exactly like q47b's. */
+  val q73_substring_dedup: Query = Query(
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       |     t AS (SELECT doc_id, a, len(a) AS n FROM d),
+       |     w AS (SELECT doc_id, i, md5(array_to_string(a[i:i+19], ' ')) AS h
+       |           FROM (SELECT doc_id, a, unnest(range(1, n - 18)) AS i FROM t WHERE n >= 20)),
+       |     dh AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+       |     dw AS (SELECT doc_id, i FROM w JOIN dh USING (h)),
+       |     cov AS (SELECT DISTINCT doc_id, tp
+       |             FROM (SELECT doc_id, unnest(range(i, i + 20)) AS tp FROM dw)),
+       |     cnt AS (SELECT doc_id, count(*) AS n_dup_tok FROM cov GROUP BY 1)
+       |SELECT t.doc_id, CAST(n AS BIGINT) AS n_tok,
+       |       CAST(coalesce(n_dup_tok, 0) AS BIGINT) AS n_dup_tok,
+       |       ${croundSql("coalesce(n_dup_tok, 0) * 1e0 / n")} AS dup_frac
+       |FROM t LEFT JOIN cnt USING (doc_id)
+       |ORDER BY doc_id""") { (s, dir) =>
+    val k = 20
+    val toks = docs(s, dir)
+      .select(col("doc_id"), split(norm, " ").as("a"))
+      .select(col("doc_id"), col("a"), size(col("a")).as("n"))
+    val wins = toks.filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> struct(i AS i, unhex(md5(array_join(slice(a, i, $k), ' '))) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val covered = wins.join(dupH, "h")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+    toks.select(col("doc_id"), col("n"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+        coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"),
+        cround(coalesce(col("n_dup_tok"), lit(0L)).cast("double") / col("n")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Q72 — tokenizer APPLICATION: encode the corpus with the q69-learned
     * merge table and report per-doc word/BPE-piece counts and fertility
     * (pieces per word), the metric that decides whether a trained
@@ -1426,5 +1478,6 @@ object TextOps {
     "q57_bm25" -> q57_bm25,
     "q69_bpe_merges" -> q69_bpe_merges,
     "q72_bpe_encode" -> q72_bpe_encode,
+    "q73_substring_dedup" -> q73_substring_dedup,
     "q70_topk_sketch" -> q70_topk_sketch)
 }
