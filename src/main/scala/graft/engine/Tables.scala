@@ -27,6 +27,8 @@ object Tables {
       name match {
         case "events" => normalizeEvents(df)
         case "embeddings" => normalizeEmbeddings(df)
+        case "orders" => toNtz(df, "o_orderdate")
+        case "lineitem" => toNtz(df, "l_shipdate")
         case _ => df
       }
     })
@@ -50,6 +52,21 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** The date-ish columns (o_orderdate, l_shipdate) are micros-NTZ
+    * today and the relational queries bind to TIMESTAMP_NTZ literals —
+    * the mirror image of the events risk. Fold a UTC-micros or
+    * nanos-as-Long regeneration back to NTZ (exact under the UTC
+    * session pin). */
+  private def toNtz(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampNTZType))
       case _ => df
     }
 

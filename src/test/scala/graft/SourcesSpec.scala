@@ -97,6 +97,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("orders/lineitem dates load under NTZ and UTC encodings; q03 agrees") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val src = "/root/testdata/sf0.001"
+    val d = s"$tmp/rel_utc"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")) {
+      val base = Tables.table(spark, src, t)
+      val out = t match {
+        case "orders" => base.withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        case "lineitem" => base.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+        case _ => base
+      }
+      out.write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    assert(Tables.table(spark, d, "orders")
+      .schema("o_orderdate").dataType == TimestampNTZType)
+    def q03(dir: String) = graft.queries.Relational.q03_segment_orders
+      .fn(spark, dir).collect().map(_.toSeq).toSeq
+    assert(q03(d) == q03(src))
+  }
+
   test("orc scan pushes predicates and prunes columns") {
     val src = Tables.table(spark, "/root/testdata/sf0.001", "customer")
     src.write.mode("overwrite").orc(s"$tmp/cust_orc")
