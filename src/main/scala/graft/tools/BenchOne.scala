@@ -1,4 +1,5 @@
-package graft
+package graft.tools
+import graft.SparkEntry
 /** Ad-hoc single-query timing helper (not part of the driver contract). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
