@@ -1401,10 +1401,16 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, n - ${k - 1}), i -> struct(i AS i, unhex(md5(array_join(slice(a, i, $k), ' '))) AS h))")).as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
-    val dupH = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("h")
-    val covered = wins.join(dupH, "h")
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("tp"))
+    // one aggregation finds the duplicated digests AND carries their
+    // window positions through, so the expensive window-digest scan runs
+    // once (a count-then-join formulation re-scans it); groups are ~1-2
+    // windows each, so the collected lists stay row-sized
+    val covered = wins.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("i"))).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(col("ws")).as("w"))
+      .select(col("w.doc_id").as("doc_id"),
+        explode(sequence(col("w.i"), col("w.i") + lit(k - 1))).as("tp"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
     toks.select(col("doc_id"), col("n"))
