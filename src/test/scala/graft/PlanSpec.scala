@@ -358,6 +358,28 @@ class PlanSpec extends SparkSpec {
     assert(!full.contains("CartesianProduct") && !full.contains("BroadcastNestedLoopJoin"), full)
   }
 
+  test("q72: vocab encoding joins hash/broadcast only — no cartesian, no corpus-width rewrite") {
+    val p = plan(graft.queries.TextOps.q72_bpe_encode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the merge rules are closure state: no extra scan of documents
+    // beyond the token stream + the distinct-vocab derivation (formatted
+    // mode lists each scan once in the details section as "(n) Scan")
+    assert(raw"\(\d+\) Scan parquet".r.findAllIn(p).length <= 2,
+      s"unexpected extra scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab side should broadcast at this scale:\n$p")
+  }
+
+  test("q73: duplicate-window detection aggregates partially before the digest exchange") {
+    val p = plan(graft.queries.TextOps.q73_substring_dedup)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the collect_list dedup agg must have partial+final stages so the
+    // exchange ships grouped (digest -> positions) state, and the window
+    // text itself must never appear past the scan (digests only)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final digest aggregate:\n$p")
+    assert(raw"hashpartitioning\(h".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("q70: the sketch aggregates partially BEFORE the lang exchange") {
     // the scale claim: sketches merge map-side, so the shuffle carries
     // bounded sketch state — the plan must show partial + final
