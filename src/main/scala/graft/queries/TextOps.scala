@@ -1378,23 +1378,12 @@ object TextOps {
     * the inherent cost of exact substring dedup; at 100 TB the standard
     * prefilter (seen-digest bloom from a first pass) bolts onto the
     * same plan in front of the exchange, exactly like q47b's. */
-  val q73_substring_dedup: Query = Query(
-    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
-       |     t AS (SELECT doc_id, a, len(a) AS n FROM d),
-       |     w AS (SELECT doc_id, i, md5(array_to_string(a[i:i+19], ' ')) AS h
-       |           FROM (SELECT doc_id, a, unnest(range(1, n - 18)) AS i FROM t WHERE n >= 20)),
-       |     dh AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
-       |     dw AS (SELECT doc_id, i FROM w JOIN dh USING (h)),
-       |     cov AS (SELECT DISTINCT doc_id, tp
-       |             FROM (SELECT doc_id, unnest(range(i, i + 20)) AS tp FROM dw)),
-       |     cnt AS (SELECT doc_id, count(*) AS n_dup_tok FROM cov GROUP BY 1)
-       |SELECT t.doc_id, CAST(n AS BIGINT) AS n_tok,
-       |       CAST(coalesce(n_dup_tok, 0) AS BIGINT) AS n_dup_tok,
-       |       ${croundSql("coalesce(n_dup_tok, 0) * 1e0 / n")} AS dup_frac
-       |FROM t LEFT JOIN cnt USING (doc_id)
-       |ORDER BY doc_id""") { (s, dir) =>
-    val k = 20
-    val toks = docs(s, dir)
+  /** Engine body of q73 over an arbitrary documents frame (PropertySpec
+    * drives it with shuffled partitionings: the collect_list in the
+    * duplicate-window aggregation is order-nondeterministic, but only
+    * its SET of elements is consumed, so the output must be invariant). */
+  private[graft] def substringDedupOf(docsDf: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docsDf
       .select(col("doc_id"), split(norm, " ").as("a"))
       .select(col("doc_id"), col("a"), size(col("a")).as("n"))
     val wins = toks.filter(col("n") >= k)
@@ -1419,6 +1408,24 @@ object TextOps {
         coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"),
         cround(coalesce(col("n_dup_tok"), lit(0L)).cast("double") / col("n")).as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  val q73_substring_dedup: Query = Query(
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+       |     t AS (SELECT doc_id, a, len(a) AS n FROM d),
+       |     w AS (SELECT doc_id, i, md5(array_to_string(a[i:i+19], ' ')) AS h
+       |           FROM (SELECT doc_id, a, unnest(range(1, n - 18)) AS i FROM t WHERE n >= 20)),
+       |     dh AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+       |     dw AS (SELECT doc_id, i FROM w JOIN dh USING (h)),
+       |     cov AS (SELECT DISTINCT doc_id, tp
+       |             FROM (SELECT doc_id, unnest(range(i, i + 20)) AS tp FROM dw)),
+       |     cnt AS (SELECT doc_id, count(*) AS n_dup_tok FROM cov GROUP BY 1)
+       |SELECT t.doc_id, CAST(n AS BIGINT) AS n_tok,
+       |       CAST(coalesce(n_dup_tok, 0) AS BIGINT) AS n_dup_tok,
+       |       ${croundSql("coalesce(n_dup_tok, 0) * 1e0 / n")} AS dup_frac
+       |FROM t LEFT JOIN cnt USING (doc_id)
+       |ORDER BY doc_id""") { (s, dir) =>
+    substringDedupOf(docs(s, dir))
   }
 
   /** Q72 — tokenizer APPLICATION: encode the corpus with the q69-learned

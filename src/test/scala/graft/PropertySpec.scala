@@ -108,6 +108,16 @@ class PropertySpec extends SparkSpec {
     assert(base == re, "decimal-sum aggregation must be partitioning-invariant")
   }
 
+  test("q73 substring dedup is invariant under repartitioning (collect_list set-use guard)") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.engine.Tables.table(spark, dir, "documents")
+    val base = graft.queries.TextOps.substringDedupOf(d).collect().toSeq
+    for (p <- Seq(1, 7, 61)) {
+      val re = graft.queries.TextOps.substringDedupOf(d.repartition(p)).collect().toSeq
+      assert(re == base, s"output changed under repartition($p)")
+    }
+  }
+
   test("repartitionByRange + sortWithinPartitions equals global orderBy") {
     val dir = "/root/testdata/sf0.001"
     val orders = graft.engine.Tables.table(spark, dir, "orders")
