@@ -1382,14 +1382,24 @@ object TextOps {
     * drives it with shuffled partitionings: the collect_list in the
     * duplicate-window aggregation is order-nondeterministic, but only
     * its SET of elements is consumed, so the output must be invariant). */
-  private[graft] def substringDedupOf(docsDf: DataFrame, k: Int = 20): DataFrame = {
-    val toks = docsDf
+  /** (doc_id, a, n) token frame for the substring-window family. */
+  private[graft] def substringToks(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), split(norm, " ").as("a"))
       .select(col("doc_id"), col("a"), size(col("a")).as("n"))
-    val wins = toks.filter(col("n") >= k)
+
+  /** Rolling k-token windows as (doc_id, i, h) with h = 16-byte md5 of
+    * the window text — computed scan-side off the token frame; the text
+    * never leaves the projection. Shared by q73 and its streaming face. */
+  private[graft] def substringWindows(toks: DataFrame, k: Int = 20): DataFrame =
+    toks.filter(col("n") >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, n - ${k - 1}), i -> struct(i AS i, unhex(md5(array_join(slice(a, i, $k), ' '))) AS h))")).as("w"))
       .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+
+  private[graft] def substringDedupOf(docsDf: DataFrame, k: Int = 20): DataFrame = {
+    val toks = substringToks(docsDf)
+    val wins = substringWindows(toks, k)
     // one aggregation finds the duplicated digests AND carries their
     // window positions through, so the expensive window-digest scan runs
     // once (a count-then-join formulation re-scans it); groups are ~1-2

@@ -339,6 +339,133 @@ object Streams {
     }
   }
 
+  /** Streaming face of q73 (exact substring dedup): drop an incoming doc
+    * when ≥ `tau` of its tokens are covered by 20-token windows that are
+    * already in the seen-store (any earlier batch — including windows of
+    * docs that were themselves dropped) or duplicated WITHIN the batch
+    * (≥ 2 occurrences, q73's in-corpus rule). Store layout, compaction,
+    * exactly-once replay and bucketed membership probes are the
+    * near-dup store's, with (h BINARY) window digests as the key. */
+  def startSubstringDedup(docs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String, compactEvery: Int = 8,
+      tau: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processSubstringBatch(batch, batchId, storeDir, outDir, compactEvery, tau)
+      }
+      .start()
+
+  private def emptyDigests(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(lit(Array.empty[Byte]).as("h"))
+
+  private def substringStoreTable(storeDir: String, gen: Long): String =
+    f"graft_ssstore_${storeDir.hashCode & 0xffffffffL}%08x_${storeDir.length}%d_g$gen%d"
+
+  private[graft] def ensureSubstringStoreTable(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, gen: Long): String = {
+    val tbl = substringStoreTable(storeDir, gen)
+    if (!spark.catalog.tableExists(tbl))
+      spark.sql(
+        s"""CREATE TABLE $tbl (h BINARY) USING parquet
+           |CLUSTERED BY (h) SORTED BY (h) INTO $StoreBuckets BUCKETS
+           |LOCATION '$storeDir/base_g$gen'""".stripMargin)
+    tbl
+  }
+
+  /** One micro-batch of [[startSubstringDedup]] — same replay contract
+    * as [[processNearDupBatch]]: re-running any batch over any partial
+    * state of its first attempt yields the same committed outputs. */
+  private[graft] def processSubstringBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String, compactEvery: Int, tau: Double): Unit = {
+    import graft.queries.TextOps
+    val spark = batch.sparkSession
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaPath = new org.apache.hadoop.fs.Path(storePath, "delta")
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+        && !listGens(fs, storePath).contains(batchId))
+      compactSubstringStore(spark, storeDir, batchId)
+    val b = batch.persist()
+    val toks = TextOps.substringToks(b)
+    val wins = TextOps.substringWindows(toks).persist()
+    try {
+      val base = listGens(fs, storePath).lastOption
+        .map(g => spark.table(ensureSubstringStoreTable(spark, storeDir, g)))
+        .getOrElse(emptyDigests(spark))
+      val deltaDirs =
+        if (!fs.exists(deltaPath)) Seq.empty[String]
+        else fs.listStatus(deltaPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=")
+            && st.getPath.getName != s"batch=$batchId")
+          .map(_.getPath.toString)
+      val delta =
+        if (deltaDirs.isEmpty) emptyDigests(spark)
+        else spark.read.schema("h BINARY").parquet(deltaDirs: _*)
+      // duplicated windows: seen in the store (bucketed co-located probe,
+      // only the batch side exchanges) or ≥2 occurrences within the batch
+      val seenHit = wins.join(base.select("h"), Seq("h"), "left_semi")
+        .select("doc_id", "i")
+        .unionAll(wins.join(delta.select("h"), Seq("h"), "left_semi")
+          .select("doc_id", "i"))
+      val intraHit = wins.groupBy("h")
+        .agg(collect_list(struct(col("doc_id"), col("i"))).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(col("ws")).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.i").as("i"))
+      val k = 20
+      val coverage = seenHit.unionAll(intraHit)
+        .distinct()
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("tp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+      val droppedIds = toks.select(col("doc_id"), col("n"))
+        .join(coverage, Seq("doc_id"))
+        .filter(col("n_dup_tok").cast("double") / col("n") >= tau)
+        .select("doc_id")
+      val survivors = b.join(droppedIds, Seq("doc_id"), "left_anti")
+      survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      // the store ingests ALL batch windows — dedup state is independent
+      // of what the threshold drops, the near-dup store's rule
+      wins.select("h").distinct().write.mode("overwrite")
+        .parquet(s"$storeDir/delta/batch=$batchId")
+      ()
+    } finally { wins.unpersist(); b.unpersist() }
+  }
+
+  /** [[compactNearDupStore]] for the digest store: fold base + deltas
+    * into one distinct bucketed generation, then drop the folded inputs. */
+  private[graft] def compactSubstringStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, newGen: Long): Unit = {
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val deltaPath = new org.apache.hadoop.fs.Path(storePath, "delta")
+    val oldGens = listGens(fs, storePath)
+    val deltaDirs =
+      if (!fs.exists(deltaPath)) Seq.empty[String]
+      else fs.listStatus(deltaPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+    if (oldGens.isEmpty && deltaDirs.isEmpty) return
+    val base = oldGens.lastOption
+      .map(g => spark.table(ensureSubstringStoreTable(spark, storeDir, g)).select("h"))
+      .getOrElse(emptyDigests(spark))
+    val delta =
+      if (deltaDirs.isEmpty) emptyDigests(spark)
+      else spark.read.schema("h BINARY").parquet(deltaDirs: _*)
+    val folded = base.unionAll(delta).distinct()
+      .repartition(StoreBuckets, col("h"))
+    spark.sql(s"DROP TABLE IF EXISTS ${substringStoreTable(storeDir, newGen)}")
+    folded.write.bucketBy(StoreBuckets, "h").sortBy("h")
+      .option("path", s"$storeDir/base_g$newGen")
+      .mode("overwrite").saveAsTable(substringStoreTable(storeDir, newGen))
+    fs.delete(deltaPath, true)
+    oldGens.foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${substringStoreTable(storeDir, g)}")
+      fs.delete(new org.apache.hadoop.fs.Path(storePath, s"base_g$g"), true)
+    }
+  }
+
   def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
     // an empty eval set has nothing to contaminate: its bloom blob is NULL
     // (aggregate over zero rows), and filtering against it must keep every

@@ -302,6 +302,63 @@ class StreamsSpec extends SparkSpec {
       "replay must restore the missing delta partition")
   }
 
+  test("streaming substring dedup equals a sequential chunk replay; compaction keeps the digest store distinct") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val tau = 0.5
+    val docsBatch = Tables.table(spark, dir, "documents").select("doc_id", "text")
+    // truth: the SAME window primitives the stream uses, replayed
+    // chunk by chunk against a growing seen-digest set
+    val winRows = graft.queries.TextOps.substringWindows(
+        graft.queries.TextOps.substringToks(docsBatch))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    val winsByDoc = winRows.groupBy(_._1)
+      .view.mapValues(_.map(w => (w._2, w._3))).toMap
+    val nByDoc = graft.queries.TextOps.substringToks(docsBatch)
+      .select("doc_id", "n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k = 20
+    val chunkIds = docsBatch.select("doc_id").collect().map(_.getLong(0))
+      .sorted.grouped(120).toSeq
+    val seenH = scala.collection.mutable.Set.empty[Seq[Byte]]
+    val wantSurvivors = scala.collection.mutable.Set.empty[Long]
+    for (chunk <- chunkIds) {
+      val counts = chunk.flatMap(id => winsByDoc.getOrElse(id, Array.empty[(Int, Seq[Byte])]))
+        .groupBy(_._2).view.mapValues(_.length).toMap
+      for (id <- chunk) {
+        val ws = winsByDoc.getOrElse(id, Array.empty[(Int, Seq[Byte])])
+        val dupPos = ws.filter { case (_, h) => seenH.contains(h) || counts(h) >= 2 }
+          .flatMap { case (i, _) => i until (i + k) }.toSet
+        if (dupPos.size.toDouble / nByDoc(id) < tau) wantSurvivors += id
+      }
+      chunk.foreach(id => winsByDoc.getOrElse(id, Array.empty[(Int, Seq[Byte])])
+        .foreach { case (_, h) => seenH += h })
+    }
+    assert(wantSurvivors.nonEmpty && wantSurvivors.size < nByDoc.size,
+      "fixture must contain substring-dup docs to drop")
+    // stream the same docs in the same chunks; compactEvery=2 exercises
+    // the digest-store fold mid-stream
+    val tmp = java.nio.file.Files.createTempDirectory("substream").toString
+    val stream = MemoryStream[Streams.Doc]
+    val q = Streams.startSubstringDedup(stream.toDF(),
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt", compactEvery = 2, tau = tau)
+    val byId = docsBatch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunkIds.foreach { chunk =>
+      stream.addData(chunk.toSeq.map(id => Streams.Doc(id, byId(id))))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == wantSurvivors.toSet)
+    // compaction accounting: one live generation, only post-fold deltas
+    val gens = new java.io.File(s"$tmp/store").listFiles()
+      .filter(_.getName.startsWith("base_g")).map(_.getName).toSeq
+    assert(gens == Seq("base_g4"), s"exactly one live generation: $gens")
+    val baseH = spark.read.parquet(s"$tmp/store/base_g4")
+    assert(baseH.count() == baseH.distinct().count(), "folded store must be distinct")
+  }
+
   test("streaming curation equals near-dup replay + batch decontamination + batch quality") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
