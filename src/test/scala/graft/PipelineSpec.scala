@@ -60,9 +60,9 @@ class PipelineSpec extends SparkSpec {
     val nDocs = docs.count()
     val nTokens = docs
       .select(size(split(expr(Pipeline.normExprStr), " ")).cast("long").as("ntok"))
-      .agg(sum("ntok")).head.getLong(0)
+      .agg(sum("ntok")).head().getLong(0)
     val packs = Pipeline.q48_chunk_pack.fn(spark, dir)
-      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head()
     assert(packs.getLong(0) == nDocs, "every doc lands in exactly one pack")
     assert(packs.getLong(1) == nTokens, "every token is packed exactly once")
   }
@@ -269,7 +269,7 @@ class PipelineSpec extends SparkSpec {
     val rows = Pipeline.q65_token_shard.fn(spark, dir).collect()
     val total = engine.Tables.table(spark, dir, "documents")
       .select(size(split(expr(graft.queries.Pipeline.normExprStr), " ")).cast("long").as("n"))
-      .agg(sum(col("n"))).head.getLong(0)
+      .agg(sum(col("n"))).head().getLong(0)
     assert(rows.map(_.getLong(3)).sum == total, "every token lands in exactly one shard")
     val shards = rows.map(_.getInt(0)).distinct.sorted
     assert(shards.toSeq == shards.indices.toSeq, "shard ids are dense from 0")

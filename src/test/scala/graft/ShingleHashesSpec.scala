@@ -42,7 +42,7 @@ class ShingleHashesSpec extends SparkSpec {
   test("strings shorter than the width yield an empty array") {
     import spark.implicits._
     val r = Seq("abcd").toDF("norm")
-      .select(size(expr("graft_shingle_hashes(norm, 5)")).as("n")).head.getInt(0)
+      .select(size(expr("graft_shingle_hashes(norm, 5)")).as("n")).head().getInt(0)
     assert(r == 0)
   }
 }

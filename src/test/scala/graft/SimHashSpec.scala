@@ -52,7 +52,7 @@ class SimHashSpec extends SparkSpec {
     assert(fused(3L) == -1L)
     // single token: signature IS the token's hash bit pattern
     val h = df.filter($"doc_id" === 2L)
-      .select(xxhash64(element_at(col("toks"), 1))).head.getLong(0)
+      .select(xxhash64(element_at(col("toks"), 1))).head().getLong(0)
     assert(fused(2L) == h)
   }
 }
