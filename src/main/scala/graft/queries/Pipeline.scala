@@ -911,16 +911,33 @@ object Pipeline {
        |                    WHEN stop_hits = 0 THEN '5_no_stopwords'
        |                    ELSE '6_kept' END AS reason
        |        FROM fq),
+       | ssc AS (SELECT dd.doc_id, a FROM dd CROSS JOIN cutt c
+       |         LEFT JOIN ek ON ek.doc_id = dd.doc_id
+       |         LEFT JOIN ndrop nd ON nd.doc_id = dd.doc_id
+       |         WHERE dd.doc_id >= c.cut
+       |            OR (dd.doc_id = ek.keeper AND nd.doc_id IS NULL)),
+       | ss_t AS (SELECT doc_id, a, len(a) AS n FROM ssc),
+       | ss_w AS (SELECT doc_id, i, md5(array_to_string(a[i:i+19], ' ')) AS h
+       |          FROM (SELECT doc_id, a, unnest(range(1, n - 18)) AS i FROM ss_t WHERE n >= 20)),
+       | ss_dh AS (SELECT h FROM ss_w GROUP BY h HAVING count(*) >= 2),
+       | ss_dw AS (SELECT doc_id, i FROM ss_w JOIN ss_dh USING (h)),
+       | ss_cov AS (SELECT DISTINCT doc_id, tp
+       |            FROM (SELECT doc_id, unnest(range(i, i + 20)) AS tp FROM ss_dw)),
+       | ss_cnt AS (SELECT doc_id, count(*) AS n_dup_tok FROM ss_cov GROUP BY 1),
+       | ssd AS (SELECT t.doc_id FROM ss_t t LEFT JOIN ss_cnt USING (doc_id)
+       |         WHERE ${croundSql("coalesce(n_dup_tok, 0) * 1e0 / n")} >= 0.5),
        | st AS (SELECT dd.doc_id,
        |               CASE WHEN dd.doc_id >= c.cut THEN 'eval_holdout'
        |                    WHEN dd.doc_id <> ek.keeper THEN 'dup_exact'
        |                    WHEN nd.doc_id IS NOT NULL THEN 'dup_near'
+       |                    WHEN sd.doc_id IS NOT NULL THEN 'dup_substring'
        |                    WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
        |                    WHEN rq.reason <> '6_kept' THEN 'low_quality'
        |                    ELSE 'kept' END AS status
        |        FROM dd CROSS JOIN cutt c
        |        LEFT JOIN ek ON ek.doc_id = dd.doc_id
        |        LEFT JOIN ndrop nd ON nd.doc_id = dd.doc_id
+       |        LEFT JOIN ssd sd ON sd.doc_id = dd.doc_id
        |        LEFT JOIN contam ct ON ct.doc_id = dd.doc_id
        |        LEFT JOIN rq ON rq.doc_id = dd.doc_id)
        |SELECT doc_id, status,
@@ -934,7 +951,10 @@ object Pipeline {
     val base = d.select(col("doc_id"), norm.as("norm")).crossJoin(broadcast(cut))
     val trainDocs = base.filter(col("doc_id") < col("cut"))
     val keepers = trainDocs.groupBy("norm").agg(min("doc_id").as("keeper"))
-    val ek = trainDocs.join(keepers, "norm").select(col("doc_id"), col("keeper"))
+    // two consumers each (disposition join + substring scope): persist
+    // the tiny per-doc frames so the norm groupBy and the LSH + label
+    // propagation subtrees run once
+    val ek = trainDocs.join(keepers, "norm").select(col("doc_id"), col("keeper")).persist()
     val keeperIds = ek.filter(col("doc_id") === col("keeper")).select("doc_id")
     // LSH-banded pair finder, not the PPJoin one: identical verified
     // pair set (both hash the same oracle), ~10× less shuffle — the
@@ -946,7 +966,7 @@ object Pipeline {
       .select("d1", "d2")
     val (labels, _) = TextOps.connectedComponents(kEdges)
     val nearDrop = labels.filter(col("v") =!= col("lbl"))
-      .select(col("v").as("doc_id"), lit(1).as("nd"))
+      .select(col("v").as("doc_id"), lit(1).as("nd")).persist()
     val contam = {
       val (tr, ev) = contaminationSides(s, dir)
       contaminationPairs(tr, ev)
@@ -954,16 +974,54 @@ object Pipeline {
         .withColumn("ct", lit(1))
     }
     val reasons = qualityReasons(s, dir).select(col("doc_id"), col("reason"))
+    // substring-dup stage over the DEDUP SURVIVORS (eval holdout +
+    // exact keepers not near-dropped): counting windows of already-
+    // dropped duplicates would flag every keeper via its own dropped
+    // copies. q73's machinery verbatim; threshold on the canonical
+    // rounded fraction so the oracle comparison is bit-identical.
+    // materialized once: the near-dup labels feed BOTH the disposition
+    // join and the substring scope below — without the persist the
+    // whole LSH + label-propagation subtree executes twice
+    val dedupSurvivorIds = base.select(col("doc_id"), col("cut"))
+      .join(ek, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .filter(col("doc_id") >= col("cut")
+        || (col("doc_id") === col("keeper") && col("nd").isNull))
+      .select("doc_id")
+      .persist()
+    // windows stay a scan-side pass over the full corpus (no join
+    // barrier in front of the md5 projection); the survivor scope is a
+    // semi-join on the digest rows, same semantics as scoping the docs
+    val survivorToks = TextOps.substringToks(d)
+      .join(dedupSurvivorIds, Seq("doc_id"), "left_semi")
+    val substringDrop = {
+      val k = 20
+      val wins = TextOps.substringWindows(survivorToks, k)
+      val covered = wins.groupBy("h")
+        .agg(collect_list(struct(col("doc_id"), col("i"))).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(col("ws")).as("w"))
+        .select(col("w.doc_id").as("doc_id"),
+          explode(sequence(col("w.i"), col("w.i") + lit(k - 1))).as("tp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tok"))
+      survivorToks.select(col("doc_id"), col("n"))
+        .join(covered, Seq("doc_id"))
+        .filter(cround(col("n_dup_tok").cast("double") / col("n")) >= 0.5)
+        .select(col("doc_id"), lit(1).as("sd"))
+    }
     val bucket = expr(s"CAST(${mixExpr("doc_id")} % 100 AS INT)")
     base.select(col("doc_id"), col("cut"))
       .join(ek, Seq("doc_id"), "left")
       .join(nearDrop, Seq("doc_id"), "left")
+      .join(substringDrop, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(reasons, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("doc_id") >= col("cut"), "eval_holdout")
           .when(col("doc_id") =!= col("keeper"), "dup_exact")
           .when(col("nd") === 1, "dup_near")
+          .when(col("sd") === 1, "dup_substring")
           .when(col("ct") === 1, "contaminated")
           .when(col("reason") =!= "6_kept", "low_quality")
           .otherwise("kept").as("status"))

@@ -330,8 +330,8 @@ class PipelineSpec extends SparkSpec {
 
   test("q71 curation assigns every planted disposition correctly") {
     import spark.implicits._
-    // 25 docs, ids 0..24; cut = 25*96 div 100 = 24, so doc 24 is eval.
-    // Every doc is built to PASS the q58 quality gate (20 distinct
+    // 26 docs, ids 0..25; cut = 26*96 div 100 = 24, so docs 24-25 are
+    // eval. Every doc is built to PASS the q58 quality gate (20 distinct
     // ~4-letter words incl 'the') unless planted otherwise.
     def sentence(seed: Int): String = {
       val ws = (0 until 19).map(i => f"w$seed%02d${('a' + i % 26).toChar}")
@@ -343,11 +343,19 @@ class PipelineSpec extends SparkSpec {
       (0 until 14).map(i => f"c${('a' + i).toChar}ab") :+ "the").mkString(" ")
     val evalDoc = (contamRun.split(" ") ++
       (0 until 14).map(i => f"e${('a' + i).toChar}cd") :+ "the").mkString(" ")
+    // substring-dup pair: a shared 20-token run R (one full window) plus
+    // 5 unique tokens each — 20/25 = 0.8 >= tau duplicated-token
+    // fraction, while char-5-gram jaccard stays well under 0.8 so the
+    // pair is NOT a near-dup (the stage must fire on its own)
+    val runR = ((0 until 19).map(i =>
+      f"rr${('a' + i % 26).toChar}${('a' + (i * 7) % 26).toChar}") :+ "the").mkString(" ")
+    val subA = (0 until 5).map(i => s"u22${('a' + i).toChar}").mkString(" ") + " " + runR
+    val subB = runR + " " + (0 until 5).map(i => s"v23${('a' + i).toChar}").mkString(" ")
     val rows =
       Seq((0L, base), (1L, base), (2L, base.dropRight(1) + "z"), // exact dup + near dup of 0
         (3L, contamDoc), (4L, "aa aa aa")) ++                    // contaminated, too short
-        (5L to 23L).map(i => (i, sentence(i.toInt))) :+
-        (24L, evalDoc)
+        (5L to 21L).map(i => (i, sentence(i.toInt))) ++
+        Seq((22L, subA), (23L, subB), (24L, evalDoc), (25L, sentence(85)))
     val tmp = java.nio.file.Files.createTempDirectory("curate").toString
     rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -356,12 +364,17 @@ class PipelineSpec extends SparkSpec {
     val got = Pipeline.q71_curate_corpus.fn(spark, tmp).collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
     assert(got(24L)._1 == "eval_holdout")
+    assert(got(25L)._1 == "eval_holdout")
     assert(got(1L)._1 == "dup_exact", s"doc1: ${got(1L)}")
     assert(got(2L)._1 == "dup_near", s"doc2: ${got(2L)}")
+    assert(got(22L)._1 == "dup_substring", s"doc22: ${got(22L)}")
+    assert(got(23L)._1 == "dup_substring", s"doc23: ${got(23L)}")
     assert(got(3L)._1 == "contaminated", s"doc3: ${got(3L)}")
     assert(got(4L)._1 == "low_quality", s"doc4: ${got(4L)}")
+    // doc0 stays kept: its dropped exact/near copies are OUT of the
+    // substring-dup scope, so their shared window can't flag the keeper
     assert(got(0L)._1 == "kept", s"doc0 (the keeper): ${got(0L)}")
-    (5L to 23L).foreach(i => assert(got(i)._1 == "kept", s"filler $i: ${got(i)}"))
+    (5L to 21L).foreach(i => assert(got(i)._1 == "kept", s"filler $i: ${got(i)}"))
     // split present exactly on kept docs
     got.foreach { case (id, (status, split)) =>
       assert(split.isDefined == (status == "kept"), s"$id: $status/$split")
