@@ -29,7 +29,7 @@ object Pipeline {
     * re-spelling the regex. */
   private[graft] val normExprStr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
   private def norm: Column = expr(normExprStr)
-  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  private[graft] val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   /** Word-trigram xxhash64 array over a pre-split token array column
     * named `a`; empty for docs under 3 tokens. Single source of truth
@@ -61,7 +61,7 @@ object Pipeline {
     s"((($lo + $hi) % 4294967296) $intDiv 65536)"
   }
   private[graft] def mixExpr(col: String): String = mix(col, "div")
-  private def mixSql(col: String): String = mix(col, "//")
+  private[graft] def mixSql(col: String): String = mix(col, "//")
 
   /** Q47 — benchmark contamination check (SURVEY §2.12): the last 4% of
     * doc_ids form the held-out eval set; report (train, eval) pairs

@@ -51,6 +51,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("binaryFile source ingests raw media blobs with path/length metadata") {
+    // the multimodal ingest path upstream of q31: raw image/audio blobs
+    // land as files; binaryFile turns a directory into (path, length,
+    // content) rows which then join typed metadata by filename — all
+    // distributed, content never through the driver
+    val mediaDir = Files.createDirectory(java.nio.file.Paths.get(s"$tmp/media"))
+    val payloads = (1 to 5).map { i =>
+      val bytes = Array.tabulate[Byte](i * 10)(j => ((i * 31 + j) % 127).toByte)
+      Files.write(mediaDir.resolve(f"blob_$i%03d.bin"), bytes)
+      (f"blob_$i%03d.bin", bytes)
+    }
+    val rows = spark.read.format("binaryFile").load(s"$tmp/media")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(payloads.map(_._1)))
+    rows.zip(payloads).foreach { case ((n, len, content), (_, expected)) =>
+      assert(len == expected.length, n)
+      assert(content.sameElements(expected), s"$n content mismatch")
+    }
+  }
+
   test("events ts loads as TimestampType under all three shipped encodings; q19 agrees") {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val base = Tables.table(spark, "/root/testdata/sf0.001", "events")
