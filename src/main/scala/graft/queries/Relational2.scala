@@ -124,8 +124,43 @@ object Relational2 {
       .orderBy("doc_id", "rn")
   }
 
+  /** Q78 — mergeable distinct-count sketches across shards (SURVEY
+    * §2.12): per-language DataSketches HLL sketches of the distinct
+    * term set, then ONE `hll_union_agg` over the five sketch rows for
+    * the corpus-wide estimate — the pre-aggregate-then-merge shape that
+    * makes distinct counting shippable at 100 TB: each shard/partition
+    * emits a kilobyte sketch, and any rollup (per-lang, per-source,
+    * grand total) is a union of sketches, never a re-scan. The exact
+    * distinct rides alongside for the error contract. `approx_count_
+    * distinct` (q06b) gives one estimate per group; the sketch column
+    * here is reusable STATE — persistable, incrementally unionable
+    * with tomorrow's crawl, exactly the q60 incremental pattern but for
+    * cardinality.
+    *
+    * No SQL oracle (sketch bytes are engine-specific); PropertySpec
+    * gates estimate==exact at test-scale cardinality (HLL is exact
+    * below its promotion threshold), union-of-shards == direct
+    * whole-corpus sketch, and partition invariance. The grand-total
+    * exact count crosses a one-row frame (AllPlansSpec whitelist). */
+  val q78_hll_shards: Query = Query.noOracle { (s, dir) =>
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), coalesce(col("text"), lit("")).as("text"))
+      .select(col("lang"), explode(split(expr(Pipeline.normExprStr), " ")).as("term"))
+    val perLang = toks.groupBy("lang")
+      .agg(expr("hll_sketch_agg(term, 12)").as("sk"), countDistinct(col("term")).as("exact"))
+    val langs = perLang.select(col("lang").as("scope"),
+      expr("hll_sketch_estimate(sk)").as("est"), col("exact"))
+    val totalRow = perLang
+      .agg(expr("hll_union_agg(sk, true)").as("sk"))
+      .select(expr("hll_sketch_estimate(sk)").as("est"))
+      .crossJoin(toks.agg(countDistinct(col("term")).as("exact")))
+      .select(lit("ALL").as("scope"), col("est"), col("exact"))
+    langs.unionAll(totalRow).orderBy("scope")
+  }
+
   val all: Map[String, Query] = Map(
     "q01b_predicates" -> q01b_predicates,
+    "q78_hll_shards" -> q78_hll_shards,
     "q06b_approx_distinct" -> q06b_approx_distinct,
     "q10b_setops_bag" -> q10b_setops_bag,
     "q11b_cube_pricing" -> q11b_cube_pricing,

@@ -566,4 +566,48 @@ object Streams {
           upd
       }
   }
+
+  final case class LangDoc(lang: String, doc_id: Long, n_chars: Long)
+  final case class SampleEntry(lang: String, rn: Int, doc_id: Long, w: Long, est_w: Double)
+
+  /** Streaming form of q74's weighted priority sample: keyed state holds
+    * the current top-(k+1) priorities per language — a BOUNDED k+1-tuple
+    * heap regardless of how many documents stream past — and each
+    * micro-batch emits the updated top-k with the max(w, tau) estimator
+    * (Update mode). Because priority sampling is a pure top-k over a
+    * per-doc priority, the streaming sample after any prefix equals the
+    * batch q74 over that prefix exactly (StreamsSpec asserts final
+    * stream ≡ batch on a chunked replay, including est_w).
+    *
+    * Priorities replicate queries/Layout.q74 bit-for-bit: the same
+    * arithmetic mix hash in Long arithmetic, the same single IEEE
+    * division. Input docs are assumed at-most-once per doc_id (upstream
+    * exact dedup — q16's stream form — provides that). */
+  def prioritySampleStream(docs: Dataset[LangDoc], k: Int = 40): Dataset[SampleEntry] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def mix(key: Long): Long = { // = Pipeline.mixExpr, in Long arithmetic
+      val M = 2654435761L
+      val lo = (key % 65536L) * M
+      val hi = (((key / 65536L) % 65536L) * M % 65536L) * 65536L
+      ((lo + hi) % 4294967296L) / 65536L
+    }
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[List[(Double, Long, Long)], SampleEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[LangDoc], state: GroupState[List[(Double, Long, Long)]]) =>
+          val incoming = batch.map { d =>
+            (2.0 * d.n_chars / (2L * mix(d.doc_id) + 1L), d.doc_id, d.n_chars)
+          }
+          val merged = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy { case (p, id, _) => (-p, id) }
+            .take(k + 1)
+          state.update(merged)
+          val tau = merged.drop(k).headOption.map(_._1)
+          merged.take(k).zipWithIndex.map { case ((_, id, w), i) =>
+            val est = math.max(w.toDouble, tau.getOrElse(w.toDouble))
+            SampleEntry(lang, i + 1, id, w, math.floor(est * 10000 + 0.5) / 10000)
+          }.iterator
+      }
+  }
 }

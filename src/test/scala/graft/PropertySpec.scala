@@ -193,4 +193,30 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("q78 HLL shard sketches: exact at test cardinality, union == direct sketch, partition-invariant") {
+    import org.apache.spark.sql.functions.{coalesce, col, explode, expr, lit, split}
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.Relational2.q78_hll_shards.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // below the coupon-list promotion threshold HLL is exact: the
+    // estimate must EQUAL the exact distinct count, per scope and total
+    out.foreach { case (scope, est, exact) =>
+      assert(est == exact, s"$scope: est $est vs exact $exact")
+    }
+    assert(out.map(_._1).contains("ALL") && out.length > 1)
+    // mergeability: the union of per-lang sketches must estimate the
+    // same as one sketch built directly over the whole corpus
+    val toks = graft.engine.Tables.table(spark, dir, "documents")
+      .select(col("lang"), coalesce(col("text"), lit("")).as("text"))
+      .select(explode(split(expr(graft.queries.Pipeline.normExprStr), " ")).as("term"))
+    val direct = toks.agg(expr("hll_sketch_estimate(hll_sketch_agg(term, 12))").as("est"))
+      .collect()(0).getLong(0)
+    assert(out.find(_._1 == "ALL").get._2 == direct, "union-of-shards != direct sketch")
+    // partition invariance: sketch merge order must not matter
+    val re = graft.queries.Relational2.q78_hll_shards
+      .fn(spark, dir).repartition(13).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == out.toSet)
+  }
 }

@@ -478,4 +478,32 @@ class StreamsSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("streaming priority sample over a chunked replay equals batch q74, incl. the estimator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => Streams.LangDoc(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = MemoryStream[Streams.LangDoc]
+    docs.grouped(150).foreach(chunk => stream.addData(chunk))
+    val q = Streams.prioritySampleStream(stream.toDS())
+      .writeStream.format("memory").queryName("t_psample").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per (lang, rn) = the final sample (the sample only
+    // ever improves, so rn slots never disappear)
+    val got = spark.table("t_psample").withColumn("seq", monotonically_increasing_id())
+      .orderBy(col("seq").desc).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("rn")))
+      .map { case (k, rows) =>
+        val r = rows.minBy(-_.getAs[Long]("seq"))
+        k -> (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Double]("est_w"))
+      }
+    val want = graft.queries.Layout.q74_priority_sample.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got == want)
+  }
 }
