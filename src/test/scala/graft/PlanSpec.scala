@@ -131,9 +131,12 @@ class PlanSpec extends SparkSpec {
     //    past BruteForceBroadcastLimit nothing broadcasts (DedupSpec);
     //  - heroic queries: avg/hs are one row per player; past broadcast
     //    scale Heroic.iterate(broadcastHs = false) is the documented,
-    //    property-tested shuffle fallback (PropertySpec).
+    //    property-tested shuffle fallback (PropertySpec);
+    //  - q77: the med/mad stat frames are one row per language (group
+    //    cardinality, not corpus size — LayoutSpec gates the semantics).
     val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
-      "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders")
+      "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
+      "q77_robust_clip")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !exempt(name)
