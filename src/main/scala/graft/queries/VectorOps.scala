@@ -486,6 +486,158 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  // ── Q79: product-quantization ANN (FAISS-style ADC + exact re-rank) ──
+
+  /** Train per-subspace L2 k-means codebooks for product quantization:
+    * the 64-dim space splits into `m` orthogonal subspaces of dim/m
+    * elements; each gets its own `ksub`-centroid codebook. Deterministic
+    * init = the `ksub` lowest-vec_id vectors' subvectors (same discipline
+    * as [[fitKmeans]]), then `rounds` Lloyd iterations with distributed
+    * assignment + aggregation. Each round collects only m×ksub×(dim/m) =
+    * dim×ksub doubles of MODEL state (64×256 = 16k doubles, ~128 KB
+    * here) — at 100 TB you train on a sample; assignment stays a full
+    * parallel scan.
+    * Returns codebooks(sub)(code) = centroid subvector. */
+  private[graft] def fitPq(e: DataFrame, m: Int, ksub: Int, rounds: Int): Array[Array[Array[Double]]] = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var cb: Array[Array[Array[Double]]] = {
+      val seed = e.orderBy("vec_id").limit(ksub)
+        .select("vec_id", "embedding").collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      Array.tabulate(m, ksub)((j, k) => seed(k).slice(j * dsub, (j + 1) * dsub))
+    }
+    for (_ <- 0 until rounds) {
+      // one job refits ALL subspaces: explode embedding elements, key each
+      // by (its subspace's assigned code, global position), sum + count
+      val sums = e.withColumn("codes", encodePqUdf(cb)(col("embedding")))
+        .select(col("codes"), posexplode(col("embedding")))
+        .select(element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+          col("pos"), col("col").cast("double").as("v"))
+        .groupBy("code", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val code = r.getByte(0) & 0xff; val pos = r.getInt(1)
+        next(pos / dsub)(code)(pos % dsub) = r.getDouble(2) / r.getLong(3)
+      }
+      cb = next // empty (sub, code) cells keep their previous centroid
+    }
+    cb
+  }
+
+  /** PQ encode: vector → `m` 8-bit codes (one byte each, read back
+    * unsigned): per subspace, the L2-nearest codebook entry. A fused primitive loop for
+    * the same reason as [[assignCellUdf]] — the interpreted HOF
+    * formulation would allocate per element. */
+  private[graft] def encodePqUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+    val m = cb.length; val dsub = cb(0)(0).length
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb(j).length) {
+        val ct = cb(j)(k); var d = 0.0; var i = 0
+        while (i < dsub) {
+          val diff = v(j * dsub + i).toDouble - ct(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    // Seq[Byte], not Array[Byte]: the latter maps to BINARY, this to
+    // array<tinyint> — which element_at and the schema claim need
+    out.toIndexedSeq
+  }
+
+  /** Per-probe ADC lookup table, flattened to m×ksub doubles:
+    * lut(j*ksub + k) = dot(probe_subⱼ, codebook(j)(k)). Tiny (128 doubles
+    * here) — rides along on the broadcast probe rows. */
+  private def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+    val m = cb.length; val ksub = cb(0).length; val dsub = cb(0)(0).length
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var k = 0
+      while (k < ksub) {
+        val ct = cb(j)(k); var d = 0.0; var i = 0
+        while (i < dsub) { d += v(j * dsub + i).toDouble * ct(i); i += 1 }
+        out(j * ksub + k) = d
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** ‖reconstruction‖ from codes alone: subspaces are an orthogonal
+    * decomposition, so ‖concat of centroids‖² = Σⱼ ‖centroidⱼ‖² — read
+    * from a precomputed m×ksub squared-norm table, never touching the
+    * floats. */
+  private def pqRecNormUdf(cb: Array[Array[Array[Double]]]) = {
+    val n2 = cb.map(_.map(ct => ct.map(x => x * x).sum))
+    udf { (codes: Seq[Byte]) =>
+      var acc = 0.0; var j = 0
+      while (j < codes.length) { acc += n2(j)(codes(j) & 0xff); j += 1 }
+      math.sqrt(acc)
+    }
+  }
+
+  /** ADC approximate dot: Σⱼ lut(j*ksub + codeⱼ) — m table lookups per
+    * (probe, candidate), no float math on the candidate side. */
+  private def adcDotUdf(ksub: Int) = udf { (lut: Seq[Double], codes: Seq[Byte]) =>
+    var acc = 0.0; var j = 0
+    while (j < codes.length) { acc += lut(j * ksub + (codes(j) & 0xff)); j += 1 }
+    acc
+  }
+
+  /** Q79 — product-quantization ANN (the memory-bandwidth scale path for
+    * 100 TB similarity search, complementing Q30 LSH / Q43 IVF / Q61
+    * int8): vectors compress 32× to m=8 byte codes; search scans the
+    * CODES with per-probe ADC lookup tables (approx cosine = ADC dot /
+    * (probe norm × reconstruction norm)), shortlists the top 40 per
+    * probe, then re-ranks the shortlist EXACTLY — full vectors are
+    * fetched only for shortlist×probes rows via a broadcast semi-join,
+    * so the float corpus is read once at encode time and never again in
+    * the scan. Approximate by construction → no SQL oracle; DedupSpec
+    * gates recall vs exact Q17 plus the 32× code-size claim. */
+  val q79_pq_ann: Query = Query.noOracle { (s, dir) =>
+    val m = 8; val ksub = 256; val shortlist = 40
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cb = fitPq(e, m, ksub, rounds = 3)
+    // encode once: 8 bytes of codes + one precomputed reconstruction norm
+    val codes = e.select(col("vec_id"), encodePqUdf(cb)(col("embedding")).as("codes"))
+      .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
+        col("nrm").as("p_nrm"))
+    val scored = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (adcDotUdf(ksub)(col("lut"), col("codes")) / (col("p_nrm") * col("rnrm"))).as("adc"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("cand_id"))
+    val short = scored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist).select("probe_id", "cand_id")
+    // exact re-rank over the shortlist only
+    val pv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("cand_id"), cround(col("cos")).as("cos_sim"))
+      .orderBy("probe_id", "rn")
+  }
+
   val all: Map[String, Query] = Map(
     "q17_cosine_topk" -> q17_cosine_topk,
     "q61_int8_topk" -> q61_int8_topk,
@@ -494,5 +646,6 @@ object VectorOps {
     "q30_ann_lsh" -> q30_ann_lsh,
     "q43_ann_ivf" -> q43_ann_ivf,
     "q46_embed_dedup" -> q46_embed_dedup,
-    "q62_semdedup" -> q62_semdedup)
+    "q62_semdedup" -> q62_semdedup,
+    "q79_pq_ann" -> q79_pq_ann)
 }

@@ -173,6 +173,48 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("q79 PQ ANN: codes are 8 bytes (32x), ADC shortlist + exact re-rank reaches >= 0.8 recall vs q17") {
+    // the 32× compression claim IS the code schema: 8 tinyint codes per
+    // 64-float vector
+    val e = graft.engine.Tables.table(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cb = VectorOps.fitPq(e, m = 8, ksub = 256, rounds = 3)
+    assert(cb.length == 8 && cb.forall(_.length == 256) && cb.flatten.forall(_.length == 8),
+      "codebooks must be 8 subspaces x 256 codes x 8 dims")
+    val codes = e.select(VectorOps.encodePqUdf(cb)(
+      org.apache.spark.sql.functions.col("embedding")).as("codes"))
+    assert(codes.schema("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType,
+      "PQ codes must be array<tinyint>")
+    val sampled = codes.collect().map(_.getSeq[Byte](0))
+    assert(sampled.forall(_.length == 8), "every vector must encode to exactly 8 code bytes")
+    // the fit must actually spread vectors across codes — a degenerate
+    // codebook (all vectors on one centroid) would still pass the shape
+    // checks but carries no ranking signal
+    assert(sampled.flatMap(_.zipWithIndex).distinct.size > 64,
+      "codes collapsed onto too few centroids")
+    // recall: the ADC shortlist (40 of 500 = 8% of the corpus) must hold
+    // the true top-5 well enough that exact re-rank recovers >= 0.8 —
+    // a broken codebook fit (stale centroids, subspace slicing off by
+    // one) collapses ADC ranking to noise and recall with it
+    val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = VectorOps.q79_pq_ann.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // survivors must carry EXACT cosines: every returned (probe, cand)
+    // that is also in exact top-5 must agree with q17's score bitwise
+    val exactScores = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pqScores = VectorOps.q79_pq_ann.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val common = exactScores.keySet & pqScores.keySet
+    assert(common.forall(k => exactScores(k) == pqScores(k)),
+      "re-ranked scores must be the exact cosines, not ADC approximations")
+  }
+
   test("q28 past-the-gate LSH fallback recovers >= 0.8 of the brute-force top-50") {
     val e = graft.engine.Tables.table(spark, dir, "embeddings")
     val brute = VectorOps.topCosinePairs(e, broadcastLimit = Long.MaxValue).collect()

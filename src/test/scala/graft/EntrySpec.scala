@@ -15,7 +15,8 @@ class EntrySpec extends SparkSpec {
     assert(noOracle == Set("q06b_approx_distinct", "q27_simhash",
       "q30_ann_lsh", "q35_stratified_sample", "q38b_approx_percentiles",
       "q43_ann_ivf", "q61_int8_topk",
-      "q62_semdedup", "q70_topk_sketch", "q78_hll_shards"), noOracle)
+      "q62_semdedup", "q70_topk_sketch", "q78_hll_shards",
+      "q79_pq_ann"), noOracle)
     // every oracle references a known table and is runnable-looking SQL
     val tables = graft.engine.Tables.names
     SparkEntry.oracleSql.foreach { case (k, sql) =>
