@@ -96,6 +96,24 @@ object Streams {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Stream-static enrichment join: every event picks up its customer's
+    * market segment and nation from the static dimension table. The
+    * static side is explicitly broadcast, so each micro-batch plans a
+    * stateless broadcast hash join — NO streaming state at all (unlike
+    * the stream-stream interval join above), which is why dimension
+    * enrichment is the one join shape that costs nothing to stream at
+    * 100 TB: the dimension rides on the executors, the stream never
+    * shuffles. Left join keeps events with no matching customer
+    * (nulls), the conservative choice for a pipeline feeding
+    * downstream aggregation. The same expression runs in batch;
+    * StreamsSpec asserts batch ≡ stream. */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+      col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").cast("int").as("nationkey"))
+
   /** Stateful streaming dedup on event_id; state for ids older than the
     * watermark is dropped (dropDuplicatesWithinWatermark). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =

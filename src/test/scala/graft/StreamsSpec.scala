@@ -46,6 +46,29 @@ class StreamsSpec extends SparkSpec {
       .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
   }
 
+  test("stream-static enrichment join equals batch, stays stateless, and broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val customers = Tables.table(spark, dir, "customer")
+    val stream = MemoryStream[Event]
+    loadEvents().grouped(400).foreach(chunk => stream.addData(chunk))
+    val got = runToCompletion(
+      Streams.enrichWithCustomers(stream.toDF(), customers), "t_enrich", "append")
+    val want = Streams.enrichWithCustomers(eventsBatch, customers)
+    assert(canon(got) == canon(want))
+    assert(got.count() > 0)
+    // the join must be the stateless broadcast kind: no streaming state
+    // store in the plan (state would mean we built a stream-stream join
+    // by accident), and the dimension side carries the broadcast hint
+    val planned = Streams.enrichWithCustomers(stream.toDF(), customers)
+    val hints = planned.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "dimension side must be broadcast-hinted")
+    val batchPlan = want.queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("Q19 tumbling window: stream (complete mode) equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
