@@ -606,23 +606,15 @@ object VectorOps {
     * so the float corpus is read once at encode time and never again in
     * the scan. Approximate by construction → no SQL oracle; DedupSpec
     * gates recall vs exact Q17 plus the 32× code-size claim. */
-  val q79_pq_ann: Query = Query.noOracle { (s, dir) =>
-    val m = 8; val ksub = 256; val shortlist = 40
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cb = fitPq(e, m, ksub, rounds = 3)
-    // encode once: 8 bytes of codes + one precomputed reconstruction norm
-    val codes = e.select(col("vec_id"), encodePqUdf(cb)(col("embedding")).as("codes"))
-      .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
-        col("nrm").as("p_nrm"))
-    val scored = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("cand_id"),
-        (adcDotUdf(ksub)(col("lut"), col("codes")) / (col("p_nrm") * col("rnrm"))).as("adc"))
+  /** Shared PQ search tail: ADC-shortlist the top `shortlist` candidates
+    * per probe, then re-rank the shortlist EXACTLY — full vectors are
+    * fetched only for shortlist×probes rows via broadcast semi-joins, so
+    * the float corpus is never rescanned. `scored` = (probe_id, cand_id,
+    * adc); `e` = (vec_id, embedding, nrm). */
+  private def adcShortlistRerank(e: DataFrame, scored: DataFrame, shortlist: Int): DataFrame = {
     val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("cand_id"))
     val short = scored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= shortlist).select("probe_id", "cand_id")
-    // exact re-rank over the shortlist only
     val pv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
     val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
@@ -638,6 +630,55 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
+  val q79_pq_ann: Query = Query.noOracle { (s, dir) =>
+    val m = 8; val ksub = 256; val shortlist = 40
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cb = fitPq(e, m, ksub, rounds = 3)
+    // encode once: 8 bytes of codes + one precomputed reconstruction norm
+    val codes = e.select(col("vec_id"), encodePqUdf(cb)(col("embedding")).as("codes"))
+      .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
+        col("nrm").as("p_nrm"))
+    val scored = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (adcDotUdf(ksub)(col("lut"), col("codes")) / (col("p_nrm") * col("rnrm"))).as("adc"))
+    adcShortlistRerank(e, scored, shortlist)
+  }
+
+  /** Q79b — IVF-PQ ANN (the composed production index: FAISS's
+    * billion-scale shape): Q43's coarse quantizer prunes the corpus to
+    * the nprobe nearest cells per probe — an EQUI-join on the cell id,
+    * so candidate volume is ≈ nprobe/nlist of the corpus with no
+    * nested-loop anywhere — and within the probed cells the scan reads
+    * only Q79's 8-byte PQ codes (ADC lookup tables), with the same
+    * exact re-rank of the top-40 shortlist. Cell pruning and code
+    * compression multiply: at 100 TB the per-probe scan touches
+    * (nprobe/nlist)·n codes ≈ 0.8% of the float bytes a brute-force
+    * scan would. Approximate by construction → no SQL oracle; DedupSpec
+    * gates recall vs exact Q17. */
+  val q79b_ivf_pq: Query = Query.noOracle { (s, dir) =>
+    val m = 8; val ksub = 256; val shortlist = 40; val nlist = 16; val nprobe = 4
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val cents = fitKmeans(e, nlist, rounds = 3)
+    val cb = fitPq(e, m, ksub, rounds = 3)
+    val codes = e
+      .withColumn("cell", assignCellUdf(cents)(col("embedding")))
+      .select(col("vec_id"), col("cell"), encodePqUdf(cb)(col("embedding")).as("codes"))
+      .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
+        col("nrm").as("p_nrm"),
+        explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
+    // equi-join on cell: each candidate belongs to exactly ONE cell and a
+    // probe's nprobe cells are distinct, so no (probe, cand) dup possible
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (adcDotUdf(ksub)(col("lut"), col("codes")) / (col("p_nrm") * col("rnrm"))).as("adc"))
+    adcShortlistRerank(e, scored, shortlist)
+  }
+
   val all: Map[String, Query] = Map(
     "q17_cosine_topk" -> q17_cosine_topk,
     "q61_int8_topk" -> q61_int8_topk,
@@ -647,5 +688,6 @@ object VectorOps {
     "q43_ann_ivf" -> q43_ann_ivf,
     "q46_embed_dedup" -> q46_embed_dedup,
     "q62_semdedup" -> q62_semdedup,
-    "q79_pq_ann" -> q79_pq_ann)
+    "q79_pq_ann" -> q79_pq_ann,
+    "q79b_ivf_pq" -> q79b_ivf_pq)
 }

@@ -215,6 +215,23 @@ class DedupSpec extends SparkSpec {
       "re-ranked scores must be the exact cosines, not ADC approximations")
   }
 
+  test("q79b IVF-PQ: cell-pruned code scan reaches >= 0.7 recall vs q17 with equi-join candidates only") {
+    val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = VectorOps.q79b_ivf_pq.fn(spark, dir)
+    val ivfpq = got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // recall is bounded above by BOTH prunings (q43's cell recall gate
+    // is 0.75; ADC adds a little loss) — 0.7 still fails hard if either
+    // the cell assignment or the codebooks silently break
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+    // the candidate generator must be the cell equi-join, never a
+    // nested loop over the corpus — the scale claim of the index
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "IVF-PQ candidates must come from the cell equi-join")
+  }
+
   test("q28 past-the-gate LSH fallback recovers >= 0.8 of the brute-force top-50") {
     val e = graft.engine.Tables.table(spark, dir, "embeddings")
     val brute = VectorOps.topCosinePairs(e, broadcastLimit = Long.MaxValue).collect()
