@@ -491,39 +491,54 @@ object VectorOps {
   /** Train per-subspace L2 k-means codebooks for product quantization:
     * the 64-dim space splits into `m` orthogonal subspaces of dim/m
     * elements; each gets its own `ksub`-centroid codebook. Deterministic
-    * init = the `ksub` lowest-vec_id vectors' subvectors (same discipline
-    * as [[fitKmeans]]), then `rounds` Lloyd iterations with distributed
-    * assignment + aggregation. Each round collects only m×ksub×(dim/m) =
-    * dim×ksub doubles of MODEL state (64×256 = 16k doubles, ~128 KB
-    * here) — at 100 TB you train on a sample; assignment stays a full
-    * parallel scan.
-    * Returns codebooks(sub)(code) = centroid subvector. */
-  private[graft] def fitPq(e: DataFrame, m: Int, ksub: Int, rounds: Int): Array[Array[Array[Double]]] = {
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    * init = the `ksub` lowest-vec_id vectors' subvectors, then `rounds`
+    * Lloyd iterations ON THE DRIVER over a deterministic bounded sample
+    * (the `sampleCap` lowest vec_ids — ONE Spark job, ≤ sampleCap×dim
+    * doubles ≈ 10 MB at the cap). The FAISS training posture: PQ
+    * codebooks are always fitted on an in-memory sample, because k-means
+    * quality saturates at a few hundred points per centroid while a
+    * distributed Lloyd round costs a full-scan barrier per iteration
+    * (measured ~2.5 s/round of pure serial overhead at sf0.1). Encoding
+    * stays a distributed full scan; only the ~128 KB codebook crosses
+    * back. Returns codebooks(sub)(code) = centroid subvector. */
+  private[graft] def fitPq(e: DataFrame, m: Int, ksub: Int, rounds: Int,
+      sampleCap: Int = 20000): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(sampleCap)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    var cb: Array[Array[Array[Double]]] = {
-      val seed = e.orderBy("vec_id").limit(ksub)
-        .select("vec_id", "embedding").collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      Array.tabulate(m, ksub)((j, k) => seed(k).slice(j * dsub, (j + 1) * dsub))
-    }
+    // init = the ksub lowest-id sample vectors' subvectors
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, k) =>
+        sample(k % sample.length).slice(j * dsub, (j + 1) * dsub))
     for (_ <- 0 until rounds) {
-      // one job refits ALL subspaces: explode embedding elements, key each
-      // by (its subspace's assigned code, global position), sum + count
-      val sums = e.withColumn("codes", encodePqUdf(cb)(col("embedding")))
-        .select(col("codes"), posexplode(col("embedding")))
-        .select(element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
-          col("pos"), col("col").cast("double").as("v"))
-        .groupBy("code", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cb.map(_.map(_.clone()))
-      sums.foreach { r =>
-        val code = r.getByte(0) & 0xff; val pos = r.getInt(1)
-        next(pos / dsub)(code)(pos % dsub) = r.getDouble(2) / r.getLong(3)
+      val sums = Array.fill(m, ksub)(new Array[Double](dsub))
+      val counts = Array.fill(m, ksub)(0L)
+      sample.foreach { v =>
+        var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var k = 0
+          while (k < ksub) {
+            val ct = cb(j)(k); var d = 0.0; var i = 0
+            while (i < dsub) {
+              val diff = v(j * dsub + i) - ct(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(j)(best)(i) += v(j * dsub + i); i += 1 }
+          counts(j)(best) += 1
+          j += 1
+        }
       }
-      cb = next // empty (sub, code) cells keep their previous centroid
+      cb = Array.tabulate(m, ksub)((j, k) =>
+        if (counts(j)(k) == 0) cb(j)(k) // empty cells keep their centroid
+        else sums(j)(k).map(_ / counts(j)(k)))
     }
     cb
   }
@@ -558,7 +573,7 @@ object VectorOps {
   /** Per-probe ADC lookup table, flattened to m×ksub doubles:
     * lut(j*ksub + k) = dot(probe_subⱼ, codebook(j)(k)). Tiny (128 doubles
     * here) — rides along on the broadcast probe rows. */
-  private def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+  private[graft] def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
     val m = cb.length; val ksub = cb(0).length; val dsub = cb(0)(0).length
     val out = new Array[Double](m * ksub)
     var j = 0
@@ -579,7 +594,7 @@ object VectorOps {
     * decomposition, so ‖concat of centroids‖² = Σⱼ ‖centroidⱼ‖² — read
     * from a precomputed m×ksub squared-norm table, never touching the
     * floats. */
-  private def pqRecNormUdf(cb: Array[Array[Array[Double]]]) = {
+  private[graft] def pqRecNormUdf(cb: Array[Array[Array[Double]]]) = {
     val n2 = cb.map(_.map(ct => ct.map(x => x * x).sum))
     udf { (codes: Seq[Byte]) =>
       var acc = 0.0; var j = 0
@@ -590,7 +605,7 @@ object VectorOps {
 
   /** ADC approximate dot: Σⱼ lut(j*ksub + codeⱼ) — m table lookups per
     * (probe, candidate), no float math on the candidate side. */
-  private def adcDotUdf(ksub: Int) = udf { (lut: Seq[Double], codes: Seq[Byte]) =>
+  private[graft] def adcDotUdf(ksub: Int) = udf { (lut: Seq[Double], codes: Seq[Byte]) =>
     var acc = 0.0; var j = 0
     while (j < codes.length) { acc += lut(j * ksub + (codes(j) & 0xff)); j += 1 }
     acc

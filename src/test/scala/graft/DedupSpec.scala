@@ -215,6 +215,39 @@ class DedupSpec extends SparkSpec {
       "re-ranked scores must be the exact cosines, not ADC approximations")
   }
 
+  test("ADC dot equals the exact dot against the PQ reconstruction (LUT indexing identity)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.engine.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cb = VectorOps.fitPq(e, m = 8, ksub = 256, rounds = 1)
+    val rows = e.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.encodePqUdf(cb)(col("embedding")).as("codes"),
+        VectorOps.pqLutUdf(cb)(col("embedding")).as("lut"))
+      .withColumn("self_adc", VectorOps.adcDotUdf(256)(col("lut"), col("codes")))
+      .collect()
+    // ADC(probe, cand) must be EXACTLY dot(probe, reconstruct(cand)) —
+    // the algebraic contract of the lookup table; any flattening or
+    // signed-byte slip breaks it by whole centroids, not epsilons
+    for (p <- rows.take(5); c <- rows) {
+      val lut = p.getSeq[Double](3)
+      val codes = c.getSeq[Byte](2)
+      val adc = codes.indices.map(j => lut(j * 256 + (codes(j) & 0xff))).sum
+      val probe = p.getSeq[Float](1)
+      val recon = codes.indices.flatMap(j => cb(j)(codes(j) & 0xff))
+      val exactDot = probe.indices.map(i => probe(i).toDouble * recon(i)).sum
+      assert(math.abs(adc - exactDot) < 1e-9,
+        s"probe ${p.getLong(0)} cand ${c.getLong(0)}: adc $adc vs $exactDot")
+    }
+    // and the production UDF computes the same sum as the driver replica
+    // (self-pair: each row's lut against its own codes)
+    for (r <- rows) {
+      val lut = r.getSeq[Double](3); val codes = r.getSeq[Byte](2)
+      val driver = codes.indices.map(j => lut(j * 256 + (codes(j) & 0xff))).sum
+      assert(r.getDouble(4) == driver, s"adcDotUdf diverged on vec ${r.getLong(0)}")
+    }
+  }
+
   test("q79b IVF-PQ: cell-pruned code scan reaches >= 0.7 recall vs q17 with equi-join candidates only") {
     val exact = VectorOps.q17_cosine_topk.fn(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
