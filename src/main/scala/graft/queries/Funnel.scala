@@ -59,7 +59,74 @@ object Funnel {
       .orderBy("event_type")
   }
 
+  /** Minimal typed event for the cogroup walk. */
+  final case class Ev(user_id: Long, us: Long, event_id: Long)
+
+  /** Q80 — per-user conversion attribution via typed `cogroupSorted`
+    * (the KeyValueGroupedDataset surface): a purchase "converts" when at
+    * least one click happened since the user's previous purchase. The
+    * click and purchase streams are cogrouped by user and handed to the
+    * merge-walk as (us, event_id)-SORTED iterators — cogroupSorted plans
+    * a secondary sort inside the co-partitioned shuffle (one exchange
+    * per side, same key), so per-group state is O(1) pointers, never an
+    * in-group materialization: the per-user walk is safe even for a
+    * mega-user with millions of events, where the plain `cogroup` +
+    * in-memory sort would OOM the task. This is the genuine use case for
+    * dropping out of Column expressions: a stateful two-stream walk
+    * whose SQL form (the oracle) needs two window passes over an
+    * interleaved union. */
+  val q80_cogroup_attribution: Query = Query(
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+      |           WHERE event_type IN ('click', 'purchase')),
+      |     o AS (SELECT user_id, us, event_id, event_type,
+      |                  count(*) FILTER (WHERE event_type = 'click') OVER
+      |                    (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_clicks
+      |           FROM e),
+      |     p AS (SELECT user_id, cum_clicks,
+      |                  lag(cum_clicks, 1, 0) OVER
+      |                    (PARTITION BY user_id ORDER BY us, event_id) AS prev_cum
+      |           FROM o WHERE event_type = 'purchase')
+      |SELECT user_id, count(*) AS n_purchases,
+      |       CAST(sum(CASE WHEN cum_clicks > prev_cum THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM p GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    cogroupAttribution(s, ev(s, dir))
+  }
+
+  /** The q80 walk over any (user_id, ts, event_id, event_type) frame —
+    * exposed so FunnelSpec can feed crafted edge-case fixtures (equal
+    * timestamps, purchase-before-any-click, clicks-only users) through
+    * the production code path. */
+  private[graft] def cogroupAttribution(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+      col("event_type"))
+    def side(t: String) =
+      e.filter(col("event_type") === t).select("user_id", "us", "event_id").as[Ev]
+        .groupByKey(_.user_id)
+    side("click")
+      .cogroupSorted(side("purchase"))(col("us"), col("event_id"))(col("us"), col("event_id")) {
+        (uid, clicks, purchases) =>
+          val c = clicks.buffered
+          var clicksSeen = 0L; var clicksAtPrevPurchase = 0L
+          var total = 0L; var converted = 0L
+          purchases.foreach { p =>
+            while (c.hasNext && (c.head.us < p.us ||
+              (c.head.us == p.us && c.head.event_id < p.event_id))) {
+              c.next(); clicksSeen += 1
+            }
+            total += 1
+            if (clicksSeen > clicksAtPrevPurchase) converted += 1
+            clicksAtPrevPurchase = clicksSeen
+          }
+          if (total == 0) Iterator.empty else Iterator((uid, total, converted))
+      }
+      .toDF("user_id", "n_purchases", "n_converted")
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Query] = Map(
     "q35_stratified_sample" -> q35_stratified_sample,
-    "q36_funnel" -> q36_funnel)
+    "q36_funnel" -> q36_funnel,
+    "q80_cogroup_attribution" -> q80_cogroup_attribution)
 }
