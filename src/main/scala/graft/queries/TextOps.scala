@@ -856,6 +856,56 @@ object TextOps {
       .orderBy("cluster_id")
   }
 
+  /** Q37b — dedup-cluster representative selection: q37's connected
+    * components decide WHICH documents are mutual near-dups; this decides
+    * WHICH ONE survives. Instead of q46/q25's keep-first-by-id policy,
+    * each cluster keeps its highest-q22-quality member (ties broken by
+    * doc_id, so the choice is total and engine-stable) — the retention
+    * policy the curation literature actually recommends, since the
+    * first-by-id doc is often the worst OCR scan of the group.
+    *
+    * Scale posture: the cluster labels come from the same contracted
+    * label propagation as q37 (one partition-local union-find pass plus
+    * O(log diameter) global rounds); quality is a per-row map over the
+    * documents scan; the representative choice is one window keyed by
+    * cluster_id — cluster-sized partitions, never a global sort. Joining
+    * labels (tiny: only docs that HAVE a near-dup) to quality broadcasts
+    * the label side at any scale where dup clusters are rare relative to
+    * the corpus. */
+  val q37b_cluster_reps: Query = Query(
+    s"""WITH RECURSIVE
+       | $pairCtesSql,
+       | e AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardTau),
+       | bi AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+       | verts AS (SELECT DISTINCT a AS v FROM bi),
+       | reach(v, r) AS (SELECT v, v FROM verts
+       |                 UNION
+       |                 SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.v),
+       | comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+       | $qualitySignalsSql,
+       | q AS (SELECT doc_id, $qualityColSql AS quality FROM f),
+       | scored AS (SELECT c.cluster_id, c.doc_id, q.quality,
+       |                   count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+       |                   row_number() OVER (PARTITION BY c.cluster_id
+       |                                      ORDER BY q.quality DESC, c.doc_id) AS rn
+       |            FROM comp c JOIN q ON q.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS rep_doc, quality AS rep_quality, n_docs
+       |FROM scored WHERE rn = 1
+       |ORDER BY cluster_id""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (labels, _) = connectedComponents(jaccardPairs(s, dir).select("d1", "d2"))
+    val quality = qualitySignals(s, dir).select(col("doc_id"), qualityCol.as("quality"))
+    val w = Window.partitionBy("cluster_id")
+    labels.select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
+      .join(quality, "doc_id")
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("quality").desc, col("doc_id"))))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("quality").as("rep_quality"), col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
   /** Q54 — passage-level exact dedup (the practical middle ground between
     * q16's whole-doc dedup and q25/q26's near-dup detection; cf. Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
@@ -1488,6 +1538,7 @@ object TextOps {
     "q54_passage_dedup" -> q54_passage_dedup,
     "q54b_passage_neardup" -> q54b_passage_neardup,
     "q37_dup_clusters" -> q37_dup_clusters,
+    "q37b_cluster_reps" -> q37b_cluster_reps,
     "q18b_top_terms" -> q18b_top_terms,
     "q21_lang_id" -> q21_lang_id,
     "q22_quality_score" -> q22_quality_score,

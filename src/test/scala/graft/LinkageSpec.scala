@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Linkage, TextOps}
+
+/** Gates for the record-linkage/profiling surface (q81/q82) and the
+  * dedup-cluster representative policy (q37b): plan-shape pins for the
+  * scale claims plus brute-force semantic recomputations. */
+class LinkageSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  // ---- q81 fuzzy entity matching ---------------------------------------
+
+  test("q81 candidates come from a blocking equi-join, never a product") {
+    val p = Linkage.q81_fuzzy_match.fn(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match must block, not cross:\n$p")
+    // the join key is the blocking key: hashpartitioning/broadcast on blk
+    assert(p.contains("blk"), s"no blocking key in plan:\n$p")
+  }
+
+  test("q81 equals the brute-force all-pairs edit-distance scan") {
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .groupBy("p_name").agg(count(lit(1)).as("support")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (a, sa) <- names; (b, sb) <- names
+      if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b), sa, sb)).toSet
+    val got = Linkage.q81_fuzzy_match.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    // blocking on the noun can only MISS pairs whose noun differs; on this
+    // vocabulary (adjective+noun, noun edit distance >= 2 between nouns)
+    // the block is lossless — assert exact equality, which also proves
+    // the blocking key choice is recall-complete here
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty)
+  }
+
+  // ---- q82 single-pass profile -----------------------------------------
+
+  test("q82 profiles in ONE aggregation job over one scan") {
+    val p = Linkage.q82_profile.fn(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val tree = p.split("\n\n").head
+    assert("Scan parquet".r.findAllIn(tree).length == 1, s"expected one scan:\n$tree")
+    assert(tree.contains("Expand"), s"multi-distinct should plan one Expand pass:\n$tree")
+  }
+
+  test("q82 stats match direct per-column recomputation incl. real NULLs") {
+    val rows = Linkage.q82_profile.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "tax_nz"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val n = li.count()
+    assert(rows.values.forall(_.getLong(1) == n))
+    val tax = rows("tax_nz")
+    val nzExpected = li.where(col("l_tax") =!= 0.0).count()
+    assert(tax.getLong(2) == nzExpected && nzExpected < n,
+      "tax_nz must exercise real NULL accounting")
+    val q = rows("l_quantity")
+    assert(q.getLong(2) == n) // no nulls
+    assert(q.getLong(3) == li.select(countDistinct(col("l_quantity"))).head().getLong(0))
+    val qs = li.agg(min("l_quantity"), max("l_quantity"), sum("l_quantity")).head()
+    assert(q.getDouble(4) == qs.getDouble(0) && q.getDouble(5) == qs.getDouble(1))
+    assert(math.abs(q.getDouble(6) - qs.getDouble(2)) < 1e-6)
+  }
+
+  // ---- q37b cluster representatives ------------------------------------
+
+  test("q37b picks the max-quality member of every q37 cluster") {
+    val clusters = TextOps.q37_dup_clusters.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // cluster_id -> n_docs
+    val reps = TextOps.q37b_cluster_reps.fn(spark, dir).collect()
+    assert(reps.nonEmpty && reps.length == clusters.size,
+      s"one representative per cluster: got ${reps.length}, want ${clusters.size}")
+    val quality = TextOps.q22_quality_score.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap // doc_id -> quality
+    // recompute each cluster's member set from q37's label frame
+    val labels = TextOps.q37_dup_clusters.fn(spark, dir) // cluster_id, n_docs, min_doc, max_doc
+    reps.foreach { r =>
+      val (cid, rep, repQ, nDocs) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(clusters(cid) == nDocs, s"cluster $cid size drifted")
+      assert(quality(rep) == repQ, s"rep quality must be the q22 score for doc $rep")
+    }
+    // global argmax check on one recomputed cluster: rebuild membership
+    // via the pair list and verify the rep dominates its cluster
+    val pairs = TextOps.q25_jaccard_neardup.fn(spark, dir).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+    val repSet = reps.map(r => r.getLong(1)).toSet
+    members.values.foreach { ms =>
+      val best = ms.minBy(d => (-quality(d), d))
+      assert(repSet.contains(best), s"best-quality member $best not chosen as a representative")
+    }
+  }
+}
