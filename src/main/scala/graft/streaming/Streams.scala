@@ -628,4 +628,61 @@ object Streams {
           }.iterator
       }
   }
+
+  final case class LedgerRow(user_id: Long, n: Long, total: Double, n_dup: Long)
+  final case class LedgerAgg(n: Long, cents: Long, dups: Long)
+
+  /** Exactly-once per-user value ledger via the Spark 4 StatefulProcessor
+    * API (`transformWithState`) — the arbitrary-stateful-processing v2
+    * surface alongside the v1 mapGroupsWithState/flatMapGroupsWithState
+    * operators above. Two typed state variables per user key:
+    *
+    *  - `agg: ValueState[LedgerAgg]` — running event count + DECIMAL-cents
+    *    total (exact under any delivery order, same discipline as
+    *    [[userStats]]);
+    *  - `seen: MapState[Long, Boolean]` — event_ids already applied, so a
+    *    redelivered event (at-least-once upstream: replayed Kafka offsets,
+    *    retried batches) is counted as a duplicate and NOT re-applied:
+    *    the ledger itself is exactly-once.
+    *
+    * Emits the updated ledger once per key per micro-batch (Update mode).
+    * State posture at scale: `seen` is keyed RocksDB state — per-key-space
+    * lookups, never a full scan; production would bound it with a
+    * retention `TTLConfig` on the map (id-space beyond the redelivery
+    * horizon can't recur), which changes nothing structurally — the
+    * StreamsSpec gate replays events chunked WITH injected redeliveries
+    * and asserts the final ledger equals the batch aggregate over the
+    * distinct events. */
+  def ledgerStream(events: Dataset[Event]): Dataset[LedgerRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val processor = new StatefulProcessor[Long, Event, LedgerRow] {
+      @transient private var agg: org.apache.spark.sql.streaming.ValueState[LedgerAgg] = _
+      @transient private var seen: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        agg = getHandle.getValueState[LedgerAgg]("agg", Encoders.product[LedgerAgg], TTLConfig.NONE)
+        seen = getHandle.getMapState[Long, Boolean]("seen",
+          Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      }
+      override def handleInputRows(user: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[LedgerRow] = {
+        var s = if (agg.exists()) agg.get() else LedgerAgg(0L, 0L, 0L)
+        rows.foreach { e =>
+          if (seen.containsKey(e.event_id)) s = s.copy(dups = s.dups + 1)
+          else {
+            seen.updateValue(e.event_id, true)
+            s = LedgerAgg(s.n + 1,
+              s.cents + BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .*(BigDecimal(100)).toLongExact,
+              s.dups)
+          }
+        }
+        agg.update(s)
+        Iterator.single(LedgerRow(user, s.n, s.cents / 100.0, s.dups))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -529,4 +529,59 @@ class StreamsSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("transformWithState ledger is exactly-once under injected redelivery and equals batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = loadEvents()
+    // at-least-once upstream: every 7th event is redelivered in a LATER
+    // micro-batch (and once inside the same batch for the 50th), so the
+    // dedup must work both across and within batches
+    val laterDups = evs.zipWithIndex.collect { case (e, i) if i % 7 == 0 => e }
+    val chunks = evs.grouped(300).toSeq
+    val replay = chunks.zipWithIndex.map { case (c, i) =>
+      val redelivered = laterDups.slice(i * 20, (i + 1) * 20) // from earlier chunks
+      val withinBatch = c.zipWithIndex.collect { case (e, j) if j % 50 == 0 => e }
+      c ++ (if (i > 0) redelivered else Nil) ++ withinBatch
+    }
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      replay.foreach(chunk => stream.addData(chunk))
+      val q = Streams.ledgerStream(stream.toDS())
+        .writeStream.format("memory").queryName("t_ledger").outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      // last emitted row per user = final ledger
+      val got = spark.table("t_ledger").withColumn("seq", monotonically_increasing_id())
+        .collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          val r = rows.maxBy(_.getAs[Long]("seq"))
+          u -> (r.getAs[Long]("n"), math.round(r.getAs[Double]("total") * 100))
+        }
+      val want = eventsBatch
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), graft.queries.dsum(col("value")).as("total"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .toMap
+      assert(got == want, "redelivered events must not change the ledger")
+      // the injected duplicates were all observed and counted as such
+      val dupTotal = spark.table("t_ledger").withColumn("seq", monotonically_increasing_id())
+        .collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (_, rows) => rows.maxBy(_.getAs[Long]("seq")).getAs[Long]("n_dup") }
+        .sum
+      val injected = replay.flatten.size - evs.size
+      assert(dupTotal == injected, s"dup accounting: got $dupTotal, injected $injected")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
