@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventOps, Funnel, Layout, Linkage, Multimodal, Pipeline, Query, RangeOps, Relational, Relational2, Relational3, Relational4, TextOps, VectorOps}
+import graft.queries.{EventOps, Funnel, Graph, Layout, Linkage, Multimodal, Pipeline, Query, RangeOps, Relational, Relational2, Relational3, Relational4, Temporal, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All declared queries, keyed by their SURVEY.md §2.11 id. */
   def registry: Map[String, Query] =
-    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++ EventOps.all ++ Funnel.all ++ TextOps.all ++ VectorOps.all ++ Multimodal.all ++ Pipeline.all ++ RangeOps.all ++ Layout.all ++ Linkage.all
+    Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++ EventOps.all ++ Funnel.all ++ TextOps.all ++ VectorOps.all ++ Multimodal.all ++ Pipeline.all ++ RangeOps.all ++ Layout.all ++ Linkage.all ++ Temporal.all ++ Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -96,6 +96,36 @@ object Streams {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase appears in
+    * the output exactly once — joined to each preceding-hour click when
+    * there is one, or with NULL click columns once the click-side
+    * watermark proves no match can still arrive. The null-padded rows
+    * are emitted on state EVICTION (watermark-driven), which is what
+    * makes outer stream-stream joins strictly harder than inner: the
+    * engine must hold each purchase until the global watermark passes
+    * its match window, then emit the miss exactly once. Same
+    * expression in batch (a plain left join); StreamsSpec replays the
+    * events with far-future flush sentinels so eviction provably runs,
+    * and asserts batch ≡ stream including the NULL rows. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Stream-static enrichment join: every event picks up its customer's
     * market segment and nation from the static dimension table. The
     * static side is explicitly broadcast, so each micro-batch plans a
@@ -684,5 +714,71 @@ object Streams {
     }
     events.groupByKey(_.user_id)
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** An SCD2 interval closed by [[scd2Stream]]: the user's event_type
+    * held from valid_from_us until a different type arrived at
+    * valid_to_us. */
+  final case class ScdClosed(user_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+  /** The per-user OPEN interval [[scd2Stream]] holds as state. */
+  final case class ScdOpen(event_type: String, valid_from_us: Long, n_events: Long)
+
+  /** Streaming SCD Type-2 dimension maintenance — q83's streaming face
+    * and the second `transformWithState` user: per user, a single
+    * `ValueState[ScdOpen]` holds the open interval; when an event with a
+    * DIFFERENT event_type arrives, the open interval is emitted as a
+    * closed [valid_from, valid_to) row and the new one opens. Exactly
+    * the incremental computation a warehouse's dimension-history
+    * maintainer runs on a CDC feed: O(1) state per key (just the open
+    * interval — nothing about history is retained), closed rows are
+    * append-only output.
+    *
+    * Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    * micro-batch per key (the iterator is buffered — bounded by one
+    * key's rows in one batch, the same posture as the sessionizer), and
+    * arrival across batches is assumed per-user time-monotone (the
+    * upstream log's per-key ordering guarantee, e.g. a user-keyed Kafka
+    * partitioning). A production deployment with cross-batch disorder
+    * would front this with a watermark + event-time-timer buffer;
+    * the interval algebra is unchanged.
+    *
+    * StreamsSpec replays the events fixture in time-ordered chunks and
+    * asserts the emitted closed intervals equal EXACTLY the batch q83
+    * rows with is_current = 0 — stream and batch compute the same
+    * dimension history. */
+  def scd2Stream(events: Dataset[Event]): Dataset[ScdClosed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val processor = new StatefulProcessor[Long, Event, ScdClosed] {
+      @transient private var open: org.apache.spark.sql.streaming.ValueState[ScdOpen] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        open = getHandle.getValueState[ScdOpen]("open", Encoders.product[ScdOpen], TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[ScdClosed] = {
+        val ordered = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        val out = Seq.newBuilder[ScdClosed]
+        var cur = if (open.exists()) Option(open.get()) else None
+        ordered.foreach { e =>
+          val us = micros(e.ts)
+          cur match {
+            case Some(o) if o.event_type == e.event_type =>
+              cur = Some(o.copy(n_events = o.n_events + 1))
+            case Some(o) =>
+              out += ScdClosed(user, o.event_type, o.valid_from_us, us, o.n_events)
+              cur = Some(ScdOpen(e.event_type, us, 1L))
+            case None =>
+              cur = Some(ScdOpen(e.event_type, us, 1L))
+          }
+        }
+        cur.foreach(open.update)
+        out.result().iterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
 }

@@ -20,13 +20,14 @@ class AllPlansSpec extends SparkSpec {
     * the scalar threshold frame; q47/q47b/q71 cross the one-row cut;
     * q67 crosses the one-row vocab (PlanSpec-pinned); q78's grand-total
     * row crosses the one-row exact-distinct frame; q79's ADC scan
-    * broadcasts the 10 probe LUT rows (the code table side streams). */
+    * broadcasts the 10 probe LUT rows (the code table side streams);
+    * q84 crosses the one-row (min_day, max_day) spine bounds. */
   private val boundedCross = Set(
     "q17_cosine_topk", "q28_cosine_top_pairs", "q29_tfidf",
     "q46_embed_dedup", "q47_contamination", "q47b_contamination_bloom",
     "q52_mixture_weights", "q56_mixture_resample", "q57_bm25",
     "q61_int8_topk", "q64_dsir_score", "q67_lm_score", "q71_curate_corpus",
-    "q78_hll_shards", "q79_pq_ann")
+    "q78_hll_shards", "q79_pq_ann", "q84_gapfill_ffill")
 
   test("no registered query plans a cartesian or nested-loop join (whitelisted scalar crosses aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -26,7 +26,8 @@ class SqlParitySpec extends SparkSpec {
     "q40_global_argmax", "q41_frequent_customers", "q42_role_counts",
     "q11c_grouping_sets", "q44_pivot_events", "q44b_unpivot_lineitem",
     "q45_smoothed_avg", "q07c_window_battery", "q33b_heroic_deep",
-    "q66_corpus_upsert", "q81_fuzzy_match", "q82_profile")
+    "q66_corpus_upsert", "q81_fuzzy_match", "q82_profile",
+    "q85_pagerank", "q86_ab_ttest")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -137,6 +137,59 @@ class StreamsSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join equals batch, including NULL-padded misses") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    loadEvents().sortBy(_.ts.getTime).grouped(400).foreach(stream.addData(_))
+    val q = Streams.clickPurchaseLeftJoin(stream.toDF())
+      .writeStream.format("memory").queryName("t_ssj_left").outputMode("append").start()
+    q.processAllAvailable()
+    // Outer-null rows emit only on watermark-driven state eviction. Two
+    // far-future sentinel batches (distinct sentinel users so they can't
+    // match each other or real rows): the first advances BOTH branch
+    // watermarks past all real data; the second triggers the batch in
+    // which eviction actually emits the misses.
+    def flush(idBase: Long, t: String) = Seq(
+      Event(idBase, Timestamp.valueOf(t), -1L, "click", 0.0),
+      Event(idBase + 1, Timestamp.valueOf(t), -2L, "purchase", 0.0))
+    stream.addData(flush(9000001L, "2031-01-01 00:00:00"))
+    q.processAllAvailable()
+    stream.addData(flush(9000003L, "2031-02-01 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssj_left").filter(col("user_id") >= 0)
+    val want = Streams.clickPurchaseLeftJoin(eventsBatch)
+    assert(canon(got) == canon(want))
+    val misses = got.filter(col("click_id").isNull).count()
+    assert(misses > 0, "the fixture must contain purchases with no preceding-hour click")
+    assert(got.count() > misses, "and purchases that DO match")
+  }
+
+  test("streaming SCD2 closed intervals equal batch q83's non-current rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      loadEvents().sortBy(_.ts.getTime).grouped(300).foreach(stream.addData(_))
+      val got = runToCompletion(Streams.scd2Stream(stream.toDS()).toDF(), "t_scd2", "append")
+      val want = graft.queries.Temporal.q83_scd2_intervals.fn(spark, dir)
+        .filter(col("is_current") === 0)
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+      assert(canon(got) == canon(want))
+      assert(got.count() > 0, "the fixture must close at least one interval")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late rows beyond the threshold (append mode)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

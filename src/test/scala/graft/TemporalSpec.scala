@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.queries.Temporal
+
+/** Gates for the temporal/behavioral surface (q83/q84/q86/q87):
+  * structural invariants the DuckDB hash-oracle can't articulate —
+  * interval chaining, spine completeness, fill provenance, transition
+  * reassembly — plus the q83 single-shuffle plan claim. */
+class TemporalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  // ---- q83 SCD2 intervals ----------------------------------------------
+
+  test("q83 intervals chain per user, one current row, events fully accounted") {
+    val out = Temporal.q83_scd2_intervals.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getInt(4), r.getLong(5)))
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    assert(out.map(_._6).sum == events.count(), "every event lands in exactly one interval")
+    out.groupBy(_._1).foreach { case (u, ivs) =>
+      assert(ivs.count(_._5 == 1) == 1, s"user $u must have exactly one current interval")
+      val sorted = ivs.sortBy(_._3)
+      assert(sorted.last._4 == Long.MaxValue && sorted.last._5 == 1,
+        s"user $u: the last interval is the open current one")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $u: valid_to must equal the next valid_from")
+          assert(a._2 != b._2, s"user $u: adjacent intervals collapse only when types differ")
+        case _ =>
+      }
+    }
+  }
+
+  test("q83 plans ONE hash exchange (user_id) for windows + run grouping") {
+    val p = Temporal.q83_scd2_intervals.fn(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"windows and the run groupBy must share the user_id exchange:\n$p")
+  }
+
+  // ---- q84 gap-fill + forward fill -------------------------------------
+
+  test("q84 spine is complete and fills carry the last observed value") {
+    val out = Temporal.q84_gapfill_ffill.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val span = out.map(_._2).distinct.sorted
+    assert(span.zip(span.tail).forall { case (a, b) => b == a + 1 }, "day spine has no holes")
+    out.groupBy(_._1).foreach { case (prio, rowsU) =>
+      val rows = rowsU.sortBy(_._2)
+      assert(rows.map(_._2).toSeq == span.toSeq, s"$prio covers the full global span")
+      var lastSeen = 0.0
+      rows.foreach { case (_, d, rev, gap) =>
+        if (gap == 1) assert(rev == lastSeen, s"$prio/$d: gap row must carry the previous value")
+        else lastSeen = rev
+      }
+    }
+    // non-gap rows equal the direct daily aggregate (exact decimal sums)
+    val direct = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_orderpriority").as("prio"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day_i"))
+      .agg(graft.queries.dsum(col("o_totalprice")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.filter(_._4 == 0).foreach { case (prio, d, rev, _) =>
+      assert(direct((prio, d)) == rev, s"$prio/$d: observed day must equal the aggregate")
+    }
+    assert(out.count(_._4 == 1) > 0, "the fixture actually has gaps (non-vacuous fill)")
+  }
+
+  // ---- q86 Welch t-test ------------------------------------------------
+
+  test("q86 arms partition the events and the Welch arithmetic holds") {
+    val out = Temporal.q86_ab_ttest.fn(spark, dir).collect()
+    val byType = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getString(0)).toSet == byType.keySet)
+    out.foreach { r =>
+      val (et, n0, n1) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(n0 + n1 == byType(et), s"$et: cohorts partition the rows")
+      assert(n0 > 1 && n1 > 1, s"$et: variance needs n>1 per arm")
+      val df = r.getDouble(6)
+      assert(df >= math.min(n0, n1) - 1 - 1e-4 && df <= n0 + n1 - 2 + 1e-4,
+        s"$et: Welch df must sit between min(n)-1 and pooled df, got $df")
+      assert(!r.getDouble(5).isNaN && !df.isNaN)
+    }
+  }
+
+  // ---- q87 Markov transitions ------------------------------------------
+
+  test("q87 equals a sequential per-user replay and rows normalize") {
+    val events = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val seq = es.sortBy(e => (e._3, e._2)).map(_._4)
+      seq.zip(seq.drop(1))
+    }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val out = Temporal.q87_markov_transitions.fn(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => t._1 -> t._2).toMap == brute, "transition counts equal the replay")
+    val bySrc = out.groupBy(_._1._1)
+    bySrc.foreach { case (src, rows) =>
+      val tot = rows.map(_._2).sum.toDouble
+      rows.foreach { case ((_, _), n, p) =>
+        assert(p == math.floor(n / tot * 1e4 + 0.5) / 1e4, s"$src: p is the canonical rounding")
+      }
+    }
+  }
+}
