@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -31,20 +32,39 @@ object Graph {
 
   /** Symmetrized co-purchase edge list (src, dst, outdeg): distinct
     * (order, part) incidences self-joined on the order key, both
-    * directions kept, outdegree attached. Repartitioned by src before
-    * persisting so each iteration's rank join reuses this partitioning
+    * directions kept, outdegree attached via a src-partitioned window
+    * (the distinct already clustered rows by (src, dst), so the window
+    * reuses that exchange — no separate degree aggregation + join-back
+    * pass over the edges). Repartitioned by src before persisting so
+    * each iteration's rank join reuses this partitioning
     * (InMemoryTableScan preserves outputPartitioning — only the
     * generation's small rank table shuffles per round, never the
     * edges). */
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    val e = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+    // Two explicit exchanges total, each reused by everything downstream
+    // of it (hashpartitioning on a SUBSET of the grouping keys satisfies
+    // the clustering requirement, so neither distinct re-shuffles and the
+    // self-join runs on co-located partitions):
+    //   1. by l_orderkey — (order, part) dedup + the pair self-join;
+    //   2. by src — (src, dst) dedup + the outdegree window + the persist
+    //      layout every iteration's rank join banks on.
+    val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
+    op.select(col("l_orderkey"), col("l_partkey").as("src"))
       .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
       .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    e.join(deg, "src").repartition(col("src"))
+      .select("src", "dst")
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
   }
+
+  /** One row per node with its outdegree — derived from the persisted
+    * edge frame by a src-local aggregation (first(outdeg) rides the
+    * edge partitioning; no second scan of lineitem). */
+  private[graft] def nodeDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node")).agg(first(col("outdeg")).as("outdeg"))
 
   /** Q85 — PageRank (damping 0.85, 3 synchronous rounds from a uniform
     * start) over [[coPurchaseEdges]]. The graph is symmetric by
@@ -81,9 +101,9 @@ object Graph {
          |     ${(1 to Rounds).map(roundCte).mkString(",\n")}
          |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
       val edges = coPurchaseEdges(s, dir).persist()
-      val n = edges.select("src").distinct().count()
-      val init = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(1.0 / n).as("r")).persist()
+      val deg = nodeDegrees(edges).persist()
+      val n = deg.count()
+      val init = deg.select(col("node"), lit(1.0 / n).as("r")).persist()
       val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
         edges.join(cur, edges("src") === cur("node"))
           .select(col("dst"),
@@ -93,7 +113,7 @@ object Graph {
           .select(col("dst").as("node"), col("r"))
       } { (_, next) => next.count(); false }
       val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
-      edges.unpersist()
+      edges.unpersist(); deg.unpersist()
       out
     }
   }

@@ -58,4 +58,17 @@ class GraphSpec extends SparkSpec {
     assert(set.nonEmpty && set.forall { case (a, b) => set((b, a)) },
       "symmetrized edges: every (src,dst) has its reverse")
   }
+
+  test("q85 edge builder shuffles only at the explicit repartitions") {
+    // the explicit repartitions (l_orderkey — appearing once per self-join
+    // branch in the static plan, AQE-reused at runtime — then src) must be
+    // the ONLY exchanges: both dropDuplicates and the outdegree window
+    // reuse them because hashpartitioning on a subset of the grouping
+    // keys satisfies the clustering requirement
+    val p = Graph.coPurchaseEdges(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"dedups/window must not add exchanges, got $n:\n$p")
+    assert(p.contains("Window"), s"outdegree window missing:\n$p")
+  }
 }
