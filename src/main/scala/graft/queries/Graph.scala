@@ -40,7 +40,18 @@ object Graph {
     * (InMemoryTableScan preserves outputPartitioning — only the
     * generation's small rank table shuffles per round, never the
     * edges). */
-  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dir) like the TextOps shingle frames: q85,
+    // q88 and q90 all consume this graph, so a session builds it once
+    // (the bench's cache reset still charges each query its full
+    // standalone cost)
+    TextOps.memo("coPurchaseEdges", s, dir) {
+      val out = buildCoPurchaseEdges(s, dir).persist()
+      out.count()
+      out
+    }
+
+  private[graft] def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     // Two explicit exchanges total, each reused by everything downstream
     // of it (hashpartitioning on a SUBSET of the grouping keys satisfies
     // the clustering requirement, so neither distinct re-shuffles and the
@@ -100,7 +111,7 @@ object Graph {
          |     r0 AS (SELECT src AS node, 1.0e0 / (SELECT n FROM nn) AS r FROM deg),
          |     ${(1 to Rounds).map(roundCte).mkString(",\n")}
          |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
-      val edges = coPurchaseEdges(s, dir).persist()
+      val edges = coPurchaseEdges(s, dir)
       val deg = nodeDegrees(edges).persist()
       val n = deg.count()
       val init = deg.select(col("node"), lit(1.0 / n).as("r")).persist()
@@ -113,10 +124,123 @@ object Graph {
           .select(col("dst").as("node"), col("r"))
       } { (_, next) => next.count(); false }
       val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
-      edges.unpersist(); deg.unpersist()
+      deg.unpersist()
       out
     }
   }
 
-  val all: Map[String, Query] = Map("q85_pagerank" -> q85_pagerank)
+  /** The edge CTE block shared by every graph oracle: distinct (order,
+    * part) incidences, self-joined into the symmetric co-purchase edge
+    * list. */
+  private val edgeCtes =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |     e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |           FROM op a JOIN op b
+      |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+
+  /** Q88 — triangle counting with degree orientation (the classic
+    * compact-forward algorithm): each undirected edge is oriented from
+    * its lower-(degree, id) endpoint to the higher one, two-paths are
+    * generated ONLY from each pivot's oriented out-neighbors, and a
+    * triangle is counted exactly once — at its minimum-(degree, id)
+    * vertex. Reports the triangle count, the oriented wedge count
+    * (candidate volume), and the global clustering coefficient
+    * 3·triangles / open wedges.
+    *
+    * Scale posture: orientation is THE standard scale trick for
+    * triangle enumeration — the two-path fanout per pivot is its
+    * oriented out-degree, which is O(sqrt(E)) for any graph (a
+    * high-degree hub receives edges instead of emitting them), so
+    * candidate volume is O(E^1.5) worst case instead of Σ deg². Every
+    * step is an equi-join or map-side-combinable aggregate; the wedge
+    * closure check is an equi-join on the (lo, hi) edge key. */
+  val q88_triangles: Query = Query(
+    s"""WITH $edgeCtes,
+       |     und AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
+       |     deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+       |     orient AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND w.u < w.v)
+       |                            THEN w.u ELSE w.v END AS s,
+       |                       CASE WHEN da.d < db.d OR (da.d = db.d AND w.u < w.v)
+       |                            THEN w.v ELSE w.u END AS t
+       |                FROM und w JOIN deg da ON w.u = da.node
+       |                           JOIN deg db ON w.v = db.node),
+       |     wedge AS (SELECT o1.s, CASE WHEN o1.t < o2.t THEN o1.t ELSE o2.t END AS a,
+       |                            CASE WHEN o1.t < o2.t THEN o2.t ELSE o1.t END AS b
+       |               FROM orient o1 JOIN orient o2 ON o1.s = o2.s AND o1.t < o2.t),
+       |     tri AS (SELECT count(*) AS n_triangles
+       |             FROM wedge w JOIN und u ON w.a = u.u AND w.b = u.v),
+       |     wn AS (SELECT count(*) AS n_wedges FROM wedge),
+       |     opn AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_open
+       |             FROM deg)
+       |SELECT t.n_triangles, w.n_wedges,
+       |       ${croundSql("3.0e0 * t.n_triangles / o.n_open")} AS global_cc
+       |FROM tri t, wn w, opn o""") { (s, dir) =>
+    val e = coPurchaseEdges(s, dir)
+    val und = e.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
+    val deg = nodeDegrees(e)
+    val da = deg.select(col("node").as("u"), col("outdeg").as("du"))
+    val db = deg.select(col("node").as("v"), col("outdeg").as("dv"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val orient = und.join(da, "u").join(db, "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+    val o1 = orient.select(col("s"), col("t").as("t1"))
+    val o2 = orient.select(col("s"), col("t").as("t2"))
+    val wedge = o1.join(o2, "s").filter(col("t1") < col("t2"))
+      .select(least(col("t1"), col("t2")).as("a"), greatest(col("t1"), col("t2")).as("b"))
+    val tri = wedge.join(und, col("a") === col("u") && col("b") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wn = wedge.agg(count(lit(1)).as("n_wedges"))
+    val opn = deg.agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
+    val out = tri.crossJoin(wn).crossJoin(opn)
+      .select(col("n_triangles"), col("n_wedges"),
+        cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
+    out
+  }
+
+  /** Q90 — single-source shortest paths (hop distance, 4 synchronous
+    * relaxation rounds) from the minimum part id, the fifth
+    * [[Iterate]] user. Each round is the min-plus step: dist' = min of
+    * the node's own distance and (neighbor distance + 1) — pure integer
+    * arithmetic, so the result is exactly deterministic with no
+    * rounding discipline needed. The oracle unrolls the same 4 rounds
+    * as chained CTEs.
+    *
+    * Scale posture: the frontier table (reached nodes) joins the
+    * persisted src-partitioned edges each round — only the frontier
+    * shuffles; the min-aggregation is map-side combinable; one action
+    * per round from the combinator. Bounded rounds = bounded barriers
+    * (a k-hop neighborhood query, the common production form —
+    * full-diameter SSSP would iterate to convergence like q37). */
+  val q90_sssp: Query = {
+    def roundCte(k: Int): String =
+      s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM d${k - 1}
+         |        UNION ALL
+         |        SELECT e.dst AS node, d.dist + 1 AS dist
+         |        FROM e JOIN d${k - 1} d ON e.src = d.node) u
+         |        GROUP BY node)""".stripMargin
+    Query(
+      s"""WITH $edgeCtes,
+         |     d0 AS (SELECT min(src) AS node, 0 AS dist FROM e),
+         |     ${(1 to 4).map(roundCte).mkString(",\n")}
+         |SELECT node, dist FROM d4 ORDER BY node""") { (s, dir) =>
+      val edges = coPurchaseEdges(s, dir).select("src", "dst")
+      val source = edges.agg(min(col("src"))).first().getLong(0)
+      import s.implicits._
+      val init = Seq((source, 0)).toDF("node", "dist").persist()
+      val fix = Iterate.loop(init, maxRounds = 4) { (cur, _) =>
+        cur.union(
+          edges.join(cur, edges("src") === cur("node"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      } { (_, next) => next.count(); false }
+      fix.cur.orderBy("node")
+    }
+  }
+
+  val all: Map[String, Query] = Map(
+    "q85_pagerank" -> q85_pagerank,
+    "q88_triangles" -> q88_triangles,
+    "q90_sssp" -> q90_sssp)
 }

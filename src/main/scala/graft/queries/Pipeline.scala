@@ -786,8 +786,11 @@ object Pipeline {
     * standard move is hashing the vocabulary into a fixed 2^20 bucket
     * space (as q64 documents), which bounds the model table regardless of
     * corpus size. */
-  val q67_lm_score: Query = Query(
-    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+  /** The bigram-LM CTE block (token arrays → bigram stream → counts →
+    * smoothed nll model → per-doc score) shared by q67, q67b and q91 —
+    * ends with `sc(doc_id, n_bigrams, s)`. */
+  private val lmCtesSql: String =
+    s"""t AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
        |     e AS (SELECT doc_id, a, unnest(range(len(a) - 1)) AS i FROM t WHERE len(a) >= 2),
        |     bg AS (SELECT doc_id, a[CAST(i AS INT) + 1] AS w1, a[CAST(i AS INT) + 2] AS w2 FROM e),
        |     c1 AS (SELECT w1 AS w, count(*) AS c FROM bg GROUP BY 1),
@@ -796,15 +799,26 @@ object Pipeline {
        |     nll AS (SELECT w1, w2, ${croundSql("-ln((c2.c + 1) * 1e0 / (c1.c + v.v))", 6)} AS nll
        |             FROM c2 JOIN c1 ON c1.w = c2.w1, v),
        |     sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, ${dsumSql("nll", 6)} AS s
-       |            FROM bg JOIN nll USING (w1, w2) GROUP BY 1)
-       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       |       ${croundSql("s / n_bigrams")} AS avg_nll
-       |FROM sc ORDER BY doc_id""") { (s, dir) =>
-    val t = docs(s, dir).select(col("doc_id"), split(norm, " ").as("a"))
+       |            FROM bg JOIN nll USING (w1, w2) GROUP BY 1)""".stripMargin
+
+  /** (doc_id, a) token arrays for docs with >= 2 tokens — the Spark twin
+    * of the `t`+len-filter CTE. */
+  private def tokenArrays(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), split(norm, " ").as("a"))
       .filter(size(col("a")) >= 2)
-    val bg = t.select(col("doc_id"),
+
+  /** The corpus bigram stream (doc_id, w1, w2) — one fused
+    * transform+explode, no shuffle. */
+  private def bigramsOf(t: DataFrame): DataFrame =
+    t.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Per-doc LM scores (doc_id, n_bigrams, avg_nll) — q67's body, shared
+    * with the q67b bucketing pass. */
+  private def lmScoresOf(s: SparkSession, dir: String): DataFrame = {
+    val t = tokenArrays(s, dir)
+    val bg = bigramsOf(t)
     val c1 = bg.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     // one-row vocabulary size — model state, provably bounded broadcast
@@ -818,7 +832,103 @@ object Pipeline {
       .agg(count(lit(1)).as("n_bigrams"), dsum(col("nll"), 6).as("s"))
       .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
         cround(col("s") / col("n_bigrams")).as("avg_nll"))
+  }
+
+  val q67_lm_score: Query = Query(
+    s"""WITH $lmCtesSql
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |       ${croundSql("s / n_bigrams")} AS avg_nll
+       |FROM sc ORDER BY doc_id""") { (s, dir) =>
+    lmScoresOf(s, dir).orderBy("doc_id")
+  }
+
+  /** Q67b — CCNet-style perplexity bucketing: per LANGUAGE, docs are cut
+    * into head/middle/tail terciles of the q67 bigram-LM score (lower
+    * avg_nll = more fluent = head) — the bucket label CCNet's pipeline
+    * uses to sample training data toward the fluent end. Docs with < 2
+    * tokens have no bigram score and are out of scope (q67's contract).
+    *
+    * Boundary determinism: tercile thresholds are interpolated
+    * quantiles over canonically-rounded scores. A doc's score can only
+    * EQUAL a threshold when the quantile lands exactly on an element
+    * (zero interpolation fraction or tied neighbors) — in that case
+    * both engines compare the identical stored double; a genuinely
+    * interpolated threshold lies strictly between adjacent scores, so
+    * an ulp of interpolation noise cannot flip any comparison.
+    *
+    * Scale posture: scoring is q67's plan; the threshold table is
+    * |languages| rows (broadcast); the bucket label is a map-side CASE.
+    * At 100 TB exact quantile_cont swaps for the q38b GK sketch, the
+    * same trade q63 documents. */
+  val q67b_ppl_buckets: Query = Query(
+    s"""WITH $lmCtesSql,
+       |     lm AS (SELECT doc_id, ${croundSql("s / n_bigrams")} AS avg_nll FROM sc),
+       |     l AS (SELECT lm.doc_id, d.lang, lm.avg_nll
+       |           FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+       |     th AS (SELECT lang, quantile_cont(avg_nll, 1e0/3) AS t1,
+       |                   quantile_cont(avg_nll, 2e0/3) AS t2
+       |            FROM l GROUP BY lang)
+       |SELECT l.doc_id, l.lang, l.avg_nll,
+       |       CASE WHEN l.avg_nll <= th.t1 THEN 'head'
+       |            WHEN l.avg_nll <= th.t2 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM l JOIN th ON l.lang = th.lang
+       |ORDER BY l.doc_id""") { (s, dir) =>
+    val l = lmScoresOf(s, dir)
+      .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "avg_nll")
+    val th = l.groupBy("lang").agg(
+      expr("percentile(avg_nll, 1e0/3)").as("t1"),
+      expr("percentile(avg_nll, 2e0/3)").as("t2"))
+    l.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("avg_nll") <= col("t1"), "head")
+          .when(col("avg_nll") <= col("t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
       .orderBy("doc_id")
+  }
+
+  /** Q91 — collocation mining: the top-50 bigrams by LIFT
+    * (observed/expected co-occurrence, the exponentiated PMI) with
+    * support >= 5. Lift instead of log-PMI keeps the statistic pure
+    * rational arithmetic on exact integer counts — no cross-engine
+    * transcendental in the ORDERING statistic (the q67 nll already
+    * covers the ln() class under 1e-6 rounding; here the round trips
+    * through a ranking, so the safer form wins). Ties (equal rounded
+    * lift) break on (w1, w2), making the top-50 totally ordered.
+    *
+    * Scale posture: unigram and bigram counts are map-side-combinable
+    * aggregations; the lift join is 1:1 equi on the model keys; the two
+    * corpus totals are a 1-row broadcast (scalar-cross whitelist); the
+    * final top-50 is a TakeOrdered, never a global sort. */
+  val q91_collocations: Query = Query(
+    s"""WITH $lmCtesSql,
+       |     u AS (SELECT unnest(a) AS w FROM t),
+       |     cu AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+       |     ntok AS (SELECT count(*) AS n FROM u),
+       |     nbg AS (SELECT count(*) AS n FROM bg),
+       |     j AS (SELECT c2.w1, c2.w2, c2.c AS support,
+       |                  ${croundSql("CAST(c2.c AS DOUBLE) * (SELECT n FROM ntok) * (SELECT n FROM ntok) / (SELECT n FROM nbg) / a.c / b.c")} AS lift
+       |           FROM c2 JOIN cu a ON c2.w1 = a.w JOIN cu b ON c2.w2 = b.w
+       |           WHERE c2.c >= 5)
+       |SELECT w1, w2, support, lift FROM j
+       |ORDER BY lift DESC, w1, w2 LIMIT 50""") { (s, dir) =>
+    val t = tokenArrays(s, dir)
+    val bg = bigramsOf(t)
+    val u = t.select(explode(col("a")).as("w"))
+    val cu = u.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = u.agg(count(lit(1)).as("ntok"))
+      .crossJoin(bg.agg(count(lit(1)).as("nbg")))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 5)
+    c2.join(cu.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(cu.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("support"),
+        cround(col("support").cast("double") * col("ntok") * col("ntok")
+          / col("nbg") / col("ca") / col("cb")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
   }
 
   /** The q47b eval-set Bloom blob as driver-side bytes — the "model
@@ -1048,6 +1158,8 @@ object Pipeline {
     "q65_token_shard" -> q65_token_shard,
     "q66_corpus_upsert" -> q66_corpus_upsert,
     "q67_lm_score" -> q67_lm_score,
+    "q67b_ppl_buckets" -> q67b_ppl_buckets,
+    "q91_collocations" -> q91_collocations,
     "q68_chunk_overlap" -> q68_chunk_overlap,
     "q71_curate_corpus" -> q71_curate_corpus)
 }

@@ -18,7 +18,8 @@ class AllPlansSpec extends SparkSpec {
     * all-pairs kernel (driver-checked row cap); q29/q52/q56/q57/q64
     * cross a single aggregate row (N, totals, avgdl); q46 broadcasts
     * the scalar threshold frame; q47/q47b/q71 cross the one-row cut;
-    * q67 crosses the one-row vocab (PlanSpec-pinned); q78's grand-total
+    * q67 (and q67b via the shared scorer) cross the one-row vocab
+    * (PlanSpec-pinned); q91 crosses the one-row corpus totals; q78's grand-total
     * row crosses the one-row exact-distinct frame; q79's ADC scan
     * broadcasts the 10 probe LUT rows (the code table side streams);
     * q84 crosses the one-row (min_day, max_day) spine bounds. */
@@ -26,8 +27,10 @@ class AllPlansSpec extends SparkSpec {
     "q17_cosine_topk", "q28_cosine_top_pairs", "q29_tfidf",
     "q46_embed_dedup", "q47_contamination", "q47b_contamination_bloom",
     "q52_mixture_weights", "q56_mixture_resample", "q57_bm25",
-    "q61_int8_topk", "q64_dsir_score", "q67_lm_score", "q71_curate_corpus",
-    "q78_hll_shards", "q79_pq_ann", "q84_gapfill_ffill")
+    "q61_int8_topk", "q64_dsir_score", "q67_lm_score", "q67b_ppl_buckets",
+    "q71_curate_corpus",
+    "q78_hll_shards", "q79_pq_ann", "q84_gapfill_ffill", "q88_triangles",
+    "q91_collocations")
 
   test("no registered query plans a cartesian or nested-loop join (whitelisted scalar crosses aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

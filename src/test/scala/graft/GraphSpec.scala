@@ -50,7 +50,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("q85 edge builder plans equi-joins only (no product) and is symmetric") {
-    val e = Graph.coPurchaseEdges(spark, dir)
+    val e = Graph.buildCoPurchaseEdges(spark, dir)
     val p = e.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"co-purchase candidates must come from the order-key equi-join:\n$p")
@@ -59,13 +59,57 @@ class GraphSpec extends SparkSpec {
       "symmetrized edges: every (src,dst) has its reverse")
   }
 
+  test("q88 equals a brute-force triangle enumeration and the wedge accounting holds") {
+    val und = Graph.coPurchaseEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 < p._2).toSet
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val brute = (for {
+      (a, b) <- und; c <- adj(b) if c > b && und((a, c))
+    } yield (a, b, c)).size
+    val r = Graph.q88_triangles.fn(spark, dir).collect().head
+    assert(r.getLong(0) == brute, s"triangles: got ${r.getLong(0)}, brute $brute")
+    assert(r.getLong(1) >= r.getLong(0), "every triangle closes one counted wedge")
+    val cc = r.getDouble(2)
+    assert(cc >= 0 && cc <= 1 + 1e-9, s"clustering coefficient in [0,1], got $cc")
+  }
+
+  test("q88 orientation caps two-path fanout below the raw degree blowup") {
+    val e = Graph.coPurchaseEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.head._3 }
+    val und = e.filter(p => p._1 < p._2)
+    val orientOut = und.groupBy { case (u, v, _) =>
+      if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v
+    }.map(_._2.size)
+    val wedges = orientOut.map(d => d.toLong * (d - 1) / 2).sum
+    val rawWedges = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(wedges < rawWedges,
+      s"oriented wedge volume $wedges must undercut the raw $rawWedges")
+  }
+
+  test("q90 equals a sequential 4-round BFS from the min node") {
+    val e = Graph.coPurchaseEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val source = e.map(_._1).min
+    var dist = Map(source -> 0)
+    for (k <- 1 to 4) {
+      val next = dist.toSeq.flatMap { case (n, d) => adj(n).map(_ -> (d + 1)) }
+      dist = (dist.toSeq ++ next).groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val got = Graph.q90_sssp.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == dist, "hop distances equal the sequential BFS")
+    assert(got.values.exists(_ > 1), "the fixture graph has nodes beyond one hop")
+  }
+
   test("q85 edge builder shuffles only at the explicit repartitions") {
     // the explicit repartitions (l_orderkey — appearing once per self-join
     // branch in the static plan, AQE-reused at runtime — then src) must be
     // the ONLY exchanges: both dropDuplicates and the outdegree window
     // reuse them because hashpartitioning on a subset of the grouping
     // keys satisfies the clustering requirement
-    val p = Graph.coPurchaseEdges(spark, dir).queryExecution
+    val p = Graph.buildCoPurchaseEdges(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n <= 3, s"dedups/window must not add exchanges, got $n:\n$p")

@@ -404,4 +404,41 @@ class PipelineSpec extends SparkSpec {
         text == toks.slice(off.toInt, (off + len).toInt).mkString(" ") })
     }
   }
+
+  test("q67b buckets are per-lang terciles ordered by score, covering every scored doc") {
+    val scored = graft.queries.Pipeline.q67_lm_score.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val out = graft.queries.Pipeline.q67b_ppl_buckets.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.map(_._1).toSet == scored.keySet, "every q67-scored doc gets a bucket")
+    assert(out.forall { case (id, _, nll, _) => nll == scored(id) }, "scores are q67's")
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val by = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(by.keySet == Set("head", "middle", "tail"), s"$lang: all three buckets present")
+      assert(by("head").max <= by("middle").min, s"$lang: head scores below middle")
+      assert(by("middle").max <= by("tail").min, s"$lang: middle scores below tail")
+      // terciles: bucket sizes within ties' reach of n/3
+      val n = rows.length
+      assert(by.values.forall(b => b.size >= 1 && b.size <= n - 2), s"$lang: no empty tercile")
+    }
+  }
+
+  test("q91 top collocations equal a brute-force lift ranking") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(expr(graft.queries.Pipeline.normExprStr).as("n"))
+      .collect().map(_.getString(0).split(" ", -1).toSeq).filter(_.length >= 2)
+    val bgs = toks.flatMap(a => a.zip(a.drop(1)))
+    val unis = toks.flatten
+    val cu = unis.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val cb = bgs.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val (nTok, nBg) = (unis.size.toLong, bgs.size.toLong)
+    val brute = cb.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      val lift = c.toDouble * nTok * nTok / nBg / cu(a) / cu(b)
+      (a, b, c, math.floor(lift * 1e4 + 0.5) / 1e4)
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(50)
+    val got = graft.queries.Pipeline.q91_collocations.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == brute, s"top-50 lift ranking must equal the replay")
+    assert(got.nonEmpty && got.head._4 > 1.0, "top collocations co-occur above chance")
+  }
 }

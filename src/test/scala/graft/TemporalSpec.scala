@@ -89,6 +89,26 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  // ---- q89 retention cohorts -------------------------------------------
+
+  test("q89 cohort cells account for every user and normalize against day 0") {
+    val out = Temporal.q89_retention_cohorts.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    // every user appears exactly once at age 0 (their cohort day)
+    assert(out.filter(_._2 == 0).map(_._3).sum == nUsers)
+    out.groupBy(_._1).foreach { case (cohort, cells) =>
+      val day0 = cells.find(_._2 == 0).getOrElse(fail(s"cohort $cohort has no day-0 cell"))
+      assert(day0._4 == 1.0, s"cohort $cohort day-0 retention must be 1.0")
+      cells.foreach { case (_, age, n, ret) =>
+        assert(n <= day0._3, s"cohort $cohort age $age: active count can't exceed cohort size")
+        assert(ret == math.floor(n.toDouble / day0._3 * 1e4 + 0.5) / 1e4,
+          s"cohort $cohort age $age: retention is the canonical rounded ratio")
+      }
+    }
+  }
+
   // ---- q87 Markov transitions ------------------------------------------
 
   test("q87 equals a sequential per-user replay and rows normalize") {
