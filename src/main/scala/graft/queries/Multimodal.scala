@@ -125,8 +125,103 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Q31d — frame-level similarity search: every sampled frame (q31b's
+    * expansion) gets an embedding, and each probe frame retrieves its
+    * top-3 most-similar frames from OTHER documents by cosine — the
+    * video-retrieval shape (decode → frame sample → embed → ANN) with
+    * the q17 search machinery on frame granularity. Probes are the
+    * frames of the three lowest doc_ids (a bounded "query clip set").
+    *
+    * The embedding is the STUB step (no codec/model in the container):
+    * 8 dims of the engine-portable arithmetic mix hash over
+    * (doc_id, frame_no, dim), centered to [-0.5, 0.5) — deterministic,
+    * well-spread, and reproducible in the DuckDB oracle, exactly like
+    * [[decodeStub]]'s dimensions. A real deployment swaps in a model
+    * forward pass per frame batch; every Spark-side shape — the frame
+    * fanout, the HOF dot product (`aggregate`/`zip_with`), the
+    * broadcast probe side, the per-probe top-k window — is real.
+    *
+    * Scale posture: the probe side is ONE clip's frames (bounded
+    * broadcast, q17's posture); the corpus side streams; per-probe
+    * top-3 is a window over probe-keyed partitions. At 100 TB the
+    * brute-force scan swaps for the q30/q43 LSH/IVF blocking with the
+    * same probe/corpus roles. */
+  val q31d_frame_ann: Query = {
+    val dimHash = graft.queries.Pipeline.mixSql("(doc_id * 131 + frame_no * 7 + dim)")
+    Query(
+      s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) // 1024 + 1 AS n_frames
+         |           FROM documents),
+         |     f AS (SELECT doc_id, unnest(range(n_frames)) AS frame_no FROM m),
+         |     sf AS (SELECT doc_id, frame_no FROM f WHERE frame_no % 4 = 0),
+         |     u AS (SELECT doc_id, frame_no, unnest(range(8)) AS dim FROM sf),
+         |     ve AS (SELECT doc_id, frame_no, dim,
+         |                   ($dimHash % 1000) / 1000.0e0 - 0.5e0 AS v
+         |            FROM u),
+         |     nrm AS (SELECT doc_id, frame_no, sqrt(sum(v * v)) AS nrm
+         |             FROM ve GROUP BY 1, 2),
+         |     mn AS (SELECT min(doc_id) + 3 AS p FROM documents),
+         |     d AS (SELECT p.doc_id AS probe_doc, p.frame_no AS probe_frame,
+         |                  c.doc_id AS cand_doc, c.frame_no AS cand_frame,
+         |                  sum(p.v * c.v) AS dot
+         |           FROM ve p JOIN ve c ON p.dim = c.dim
+         |             AND p.doc_id < (SELECT p FROM mn)
+         |             AND c.doc_id >= (SELECT p FROM mn)
+         |           GROUP BY 1, 2, 3, 4),
+         |     cos AS (SELECT probe_doc, probe_frame, cand_doc, cand_frame,
+         |                    d.dot / (np.nrm * nc.nrm) AS cos
+         |             FROM d JOIN nrm np ON np.doc_id = d.probe_doc
+         |                                AND np.frame_no = d.probe_frame
+         |                    JOIN nrm nc ON nc.doc_id = d.cand_doc
+         |                                AND nc.frame_no = d.cand_frame),
+         |     rk AS (SELECT probe_doc, probe_frame, cand_doc, cand_frame, cos,
+         |                   CAST(row_number() OVER (PARTITION BY probe_doc, probe_frame
+         |                        ORDER BY cos DESC, cand_doc, cand_frame) AS INT) AS rn
+         |            FROM cos)
+         |SELECT probe_doc, probe_frame, rn, cand_doc, cand_frame,
+         |       floor(cos * 10000 + 0.5e0) / 10000 AS cos_sim
+         |FROM rk WHERE rn <= 3
+         |ORDER BY probe_doc, probe_frame, rn""") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docsT = Tables.table(s, dir, "documents")
+      val minDoc = docsT.agg(min(col("doc_id"))).first().getLong(0)
+      val frames = docsT
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => (id, decodeStub(payload)._3) })
+        .toDF("doc_id", "n_frames")
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+        .filter(col("frame_no") % 4 === 0)
+      val embExpr = graft.queries.Pipeline.mixExpr("(doc_id * 131 + frame_no * 7 + d)")
+      val fe = frames
+        .withColumn("femb",
+          expr(s"transform(sequence(0L, 7L), d -> ($embExpr % 1000) / 1000.0e0 - 0.5e0)"))
+        .withColumn("nrm",
+          expr("sqrt(aggregate(femb, cast(0 as double), (a, x) -> a + x * x))"))
+      val probes = fe.filter(col("doc_id") < minDoc + 3)
+        .select(col("doc_id").as("probe_doc"), col("frame_no").as("probe_frame"),
+          col("femb").as("p"), col("nrm").as("pn"))
+      val cands = fe.filter(col("doc_id") >= minDoc + 3)
+        .select(col("doc_id").as("cand_doc"), col("frame_no").as("cand_frame"),
+          col("femb").as("c"), col("nrm").as("cn"))
+      val dotExpr = expr("aggregate(zip_with(p, c, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
+      val w = Window.partitionBy("probe_doc", "probe_frame")
+        .orderBy(col("cos").desc, col("cand_doc"), col("cand_frame"))
+      cands.crossJoin(broadcast(probes))
+        .select(col("probe_doc"), col("probe_frame"), col("cand_doc"), col("cand_frame"),
+          (dotExpr / (col("pn") * col("cn"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_doc"), col("probe_frame"), col("rn"), col("cand_doc"),
+          col("cand_frame"), cround(col("cos")).as("cos_sim"))
+        .orderBy("probe_doc", "probe_frame", "rn")
+    }
+  }
+
   val all: Map[String, Query] = Map(
     "q31_multimodal_meta" -> q31_multimodal_meta,
     "q31b_frame_sample" -> q31b_frame_sample,
-    "q31c_resize_features" -> q31c_resize_features)
+    "q31c_resize_features" -> q31c_resize_features,
+    "q31d_frame_ann" -> q31d_frame_ann)
 }
