@@ -22,6 +22,13 @@ object Graph {
 
   private val Rounds = 3
   private val Damping = 0.85
+  /** q88's closure-check broadcast gate: below this many directed edges
+    * (~80 MB of (src, dst, outdeg) longs) the edge key set broadcasts
+    * and the much larger wedge stream never shuffles; above it the
+    * closure check is a plain shuffle equi-join. The q28/q46
+    * runtime-size-gate pattern (PlanSpec exempts q88 on the same
+    * grounds; GraphSpec forces both sides). */
+  private[graft] val EdgeBroadcastLimit = 2000000L
   /** Per-iteration canonical rounding (12 digits, inside [[cround]]'s
     * exactness domain for rank values <= 1): each generation's ranks are
     * rounded, and edge contributions are rounded-then-DECIMAL-summed, so
@@ -175,7 +182,12 @@ object Graph {
        |SELECT t.n_triangles, w.n_wedges,
        |       ${croundSql("3.0e0 * t.n_triangles / o.n_open")} AS global_cc
        |FROM tri t, wn w, opn o""") { (s, dir) =>
-    val e = coPurchaseEdges(s, dir)
+    trianglesOf(coPurchaseEdges(s, dir), EdgeBroadcastLimit)
+  }
+
+  /** q88's Spark body, parameterized on the closure-check broadcast
+    * gate so the spec can force the shuffle path. */
+  private[graft] def trianglesOf(e: DataFrame, broadcastLimit: Long): DataFrame = {
     val und = e.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
     val deg = nodeDegrees(e)
     val da = deg.select(col("node").as("u"), col("outdeg").as("du"))
@@ -188,19 +200,23 @@ object Graph {
     val o2 = orient.select(col("s"), col("t").as("t2"))
     val wedge = o1.join(o2, "s").filter(col("t1") < col("t2"))
       .select(least(col("t1"), col("t2")).as("a"), greatest(col("t1"), col("t2")).as("b"))
-    // closure check: broadcast the E-sized edge key set so the W-sized
-    // wedge stream (W >> E — 41M wedges vs 750k edges at sf0.1) never
-    // shuffles; counts partial-aggregate map-side. Past broadcast range
-    // the check degrades to a plain shuffle equi-join on (a, b) — the
-    // q28 size-gate pattern, with W-vs-E asymmetry deciding the side.
-    val tri = wedge.join(broadcast(und), col("a") === col("u") && col("b") === col("v"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // closure check: if the edge key set fits the broadcast gate, ship
+    // it to the W-sized wedge stream (W >> E — 41M wedges vs 750k edges
+    // at sf0.1) so the wedges never shuffle and the count partial-
+    // aggregates map-side; past the gate the check degrades to a plain
+    // shuffle equi-join on (a, b) — the q28 runtime-size-gate pattern,
+    // with the W-vs-E asymmetry deciding the broadcast side. The count
+    // is free: the edge frame is already persisted and counted by the
+    // memoizer.
+    val closure = wedge.join(
+      if (e.count() <= broadcastLimit) broadcast(und) else und,
+      col("a") === col("u") && col("b") === col("v"))
+    val tri = closure.agg(count(lit(1)).as("n_triangles"))
     val wn = wedge.agg(count(lit(1)).as("n_wedges"))
     val opn = deg.agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
-    val out = tri.crossJoin(wn).crossJoin(opn)
+    tri.crossJoin(wn).crossJoin(opn)
       .select(col("n_triangles"), col("n_wedges"),
         cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
-    out
   }
 
   /** Q90 — single-source shortest paths (hop distance, 4 synchronous

@@ -87,6 +87,15 @@ class GraphSpec extends SparkSpec {
       s"oriented wedge volume $wedges must undercut the raw $rawWedges")
   }
 
+  test("q88 shuffle-join fallback (edge set past the broadcast gate) is identical") {
+    val e = Graph.coPurchaseEdges(spark, dir)
+    val gated = Graph.trianglesOf(e, 0L).collect().head   // force the shuffle path
+    val bcast = Graph.trianglesOf(e, Long.MaxValue).collect().head
+    assert(gated.getLong(0) == bcast.getLong(0))
+    assert(gated.getLong(1) == bcast.getLong(1))
+    assert(gated.getDouble(2) == bcast.getDouble(2))
+  }
+
   test("q90 equals a sequential 4-round BFS from the min node") {
     val e = Graph.coPurchaseEdges(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

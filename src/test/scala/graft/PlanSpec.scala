@@ -133,10 +133,14 @@ class PlanSpec extends SparkSpec {
     //    scale Heroic.iterate(broadcastHs = false) is the documented,
     //    property-tested shuffle fallback (PropertySpec);
     //  - q77: the med/mad stat frames are one row per language (group
-    //    cardinality, not corpus size — LayoutSpec gates the semantics).
+    //    cardinality, not corpus size — LayoutSpec gates the semantics);
+    //  - q88: the closure-check edge broadcast sits behind the
+    //    EdgeBroadcastLimit runtime gate (Graph.trianglesOf) — past it
+    //    the check is a plain shuffle equi-join (GraphSpec forces and
+    //    equates both sides).
     val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
-      "q77_robust_clip")
+      "q77_robust_clip", "q88_triangles")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !exempt(name)

@@ -109,6 +109,66 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  // ---- q92 rolling anomaly ---------------------------------------------
+
+  test("q92 z-scores equal a sequential rolling-window replay") {
+    import graft.queries.dsum
+    val daily = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_i"),
+        col("value"))
+      .groupBy("event_type", "day_i")
+      .agg(dsum(col("value")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def cr(x: Double, d: Int): Double = { val f = math.pow(10, d); math.floor(x * f + 0.5) / f }
+    val brute = daily.groupBy(_._1).flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.drop(7).flatMap { i =>
+        val win = sorted.slice(i - 7, i).map(_._3)
+        val mu = win.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 7
+        val m = win.sum / win.length
+        val sd = cr(math.sqrt(win.map(v => (v - m) * (v - m)).sum / (win.length - 1)), 6)
+        if (sd > 0) {
+          val z = cr((sorted(i)._3 - mu) / sd, 4)
+          Some((et, sorted(i)._2) -> (z, if (math.abs(z) > 2) 1 else 0))
+        } else None
+      }
+    }.toMap
+    val got = graft.queries.Temporal.q92_rolling_anomaly.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(4), r.getInt(5))).toMap
+    assert(got.keySet == brute.keySet, "same scored (type, day) cells")
+    got.foreach { case (k, (z, fl)) =>
+      assert(math.abs(z - brute(k)._1) < 2e-4 && fl == brute(k)._2,
+        s"$k: ($z, $fl) vs brute ${brute(k)}")
+    }
+  }
+
+  // ---- q93 session paths -----------------------------------------------
+
+  test("q93 top paths equal a sequential sessionize-and-count replay") {
+    val events = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
+      var lastUs = Long.MinValue
+      sorted.foreach { case (_, _, us, et) =>
+        if (lastUs != Long.MinValue && us - lastUs >= 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += et
+        lastUs = us
+      }
+      sessions.map(_.mkString(">"))
+    }
+    val brute = paths.groupBy(x => x).map { case (p, v) => p -> v.size.toLong }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = graft.queries.Temporal.q93_session_paths.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == brute, "top-20 session paths equal the replay")
+    assert(got.exists(_._1.contains(">")), "multi-event journeys exist in the fixture")
+  }
+
   // ---- q87 Markov transitions ------------------------------------------
 
   test("q87 equals a sequential per-user replay and rows normalize") {
