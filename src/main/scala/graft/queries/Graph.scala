@@ -36,6 +36,13 @@ object Graph {
     * partitionings — the q64/q67 determinism posture applied to an
     * iterative dataflow. */
   private val Digits = 12
+  /** Contribution decimal precision 17 (not 30): values are <= 1.0 at
+    * scale 12, so precision 17 loses nothing — and both engines then
+    * keep the decimals in their int64 fast paths (Spark's compact-Long
+    * Decimal, DuckDB's int64 DECIMAL) instead of allocating a
+    * BigDecimal/hugeint per edge. Same values, same exact sums, ~none
+    * of the GC. */
+  private val ContribDec = DecimalType(17, Digits)
 
   /** Symmetrized co-purchase edge list (src, dst, outdeg): distinct
     * (order, part) incidences self-joined on the order key, both
@@ -104,7 +111,7 @@ object Graph {
       s"""r$k AS (SELECT e.dst AS node,
          |        ${croundSql(
             s"0.15e0 / (SELECT n FROM nn) + ${Damping}e0 * " +
-            s"CAST(sum(CAST($contrib AS DECIMAL(30,$Digits))) AS DOUBLE)", Digits)} AS r
+            s"CAST(sum(CAST($contrib AS DECIMAL(17,$Digits))) AS DOUBLE)", Digits)} AS r
          |        FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
          |        GROUP BY e.dst)""".stripMargin
     }
@@ -125,7 +132,7 @@ object Graph {
       val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
         edges.join(cur, edges("src") === cur("node"))
           .select(col("dst"),
-            cround(col("r") / col("outdeg"), Digits).cast(DecimalType(30, Digits)).as("c"))
+            cround(col("r") / col("outdeg"), Digits).cast(ContribDec).as("c"))
           .groupBy("dst")
           .agg(cround(lit(0.15 / n) + lit(Damping) * sum(col("c")).cast("double"), Digits).as("r"))
           .select(col("dst").as("node"), col("r"))
