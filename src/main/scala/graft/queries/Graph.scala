@@ -23,12 +23,13 @@ object Graph {
   private val Rounds = 3
   private val Damping = 0.85
   /** q88's closure-check broadcast gate: below this many directed edges
-    * (~80 MB of (src, dst, outdeg) longs) the edge key set broadcasts
-    * and the much larger wedge stream never shuffles; above it the
-    * closure check is a plain shuffle equi-join. The q28/q46
-    * runtime-size-gate pattern (PlanSpec exempts q88 on the same
-    * grounds; GraphSpec forces both sides). */
-  private[graft] val EdgeBroadcastLimit = 2000000L
+    * the (src < dst) half broadcasts (~16 bytes/row → ≤ ~64 MB at the
+    * gate) and the much larger wedge stream — W ≈ E^1.5 worst case, 17×
+    * E on this corpus — never shuffles; above it the closure check is a
+    * plain shuffle equi-join. The q28/q46 runtime-size-gate pattern
+    * (PlanSpec exempts q88 on the same grounds; GraphSpec forces both
+    * sides and equates them). */
+  private[graft] val EdgeBroadcastLimit = 8000000L
   /** Per-iteration canonical rounding (12 digits, inside [[cround]]'s
     * exactness domain for rank values <= 1): each generation's ranks are
     * rounded, and edge contributions are rounded-then-DECIMAL-summed, so
