@@ -30,7 +30,7 @@ class AllPlansSpec extends SparkSpec {
     "q61_int8_topk", "q64_dsir_score", "q67_lm_score", "q67b_ppl_buckets",
     "q71_curate_corpus",
     "q78_hll_shards", "q79_pq_ann", "q84_gapfill_ffill", "q88_triangles",
-    "q91_collocations", "q31d_frame_ann")
+    "q91_collocations", "q31d_frame_ann", "q95_chisq")
 
   test("no registered query plans a cartesian or nested-loop join (whitelisted scalar crosses aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -169,6 +169,58 @@ class TemporalSpec extends SparkSpec {
     assert(got.exists(_._1.contains(">")), "multi-event journeys exist in the fixture")
   }
 
+  // ---- q94 OLS trend ---------------------------------------------------
+
+  test("q94 regression aggregates equal a closed-form OLS recomputation") {
+    val pts = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("double").as("x"),
+        col("value").as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = graft.queries.Temporal.q94_ols_trend.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    pts.groupBy(_._1).foreach { case (et, ps) =>
+      val n = ps.length
+      val (mx, my) = (ps.map(_._2).sum / n, ps.map(_._3).sum / n)
+      val sxx = ps.map(p => (p._2 - mx) * (p._2 - mx)).sum
+      val sxy = ps.map(p => (p._2 - mx) * (p._3 - my)).sum
+      val syy = ps.map(p => (p._3 - my) * (p._3 - my)).sum
+      val slope = sxy / sxx
+      val r2 = sxy * sxy / (sxx * syy)
+      val (gs, gi, gr2, gn) = got(et)
+      assert(gn == n, s"$et: regr_count")
+      assert(math.abs(gs - slope) < 2e-6, s"$et: slope $gs vs $slope")
+      assert(math.abs(gi - (my - slope * mx)) < 2e-4, s"$et: intercept")
+      assert(math.abs(gr2 - r2) < 2e-6 && gr2 >= 0 && gr2 <= 1 + 1e-9, s"$et: r2 $gr2 vs $r2")
+    }
+  }
+
+  // ---- q95 chi-square --------------------------------------------------
+
+  test("q95 chi-square equals an exact contingency-table recomputation") {
+    val counts = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").agg(
+        sum((col("user_id") % 2 === 0).cast("long")).as("c0"),
+        sum((col("user_id") % 2 === 1).cast("long")).as("c1"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val tot = counts.map(c => c._1 + c._2).sum.toDouble
+    val (col0, col1) = (counts.map(_._1).sum, counts.map(_._2).sum)
+    def cr(x: Double, d: Int): Double = { val f = math.pow(10, d); math.floor(x * f + 0.5) / f }
+    val terms = counts.flatMap { case (c0, c1) =>
+      val rn = c0 + c1
+      Seq((c0, col0), (c1, col1)).map { case (o, cn) =>
+        val e = (rn * cn).toDouble / tot
+        cr(math.pow(o - e, 2.0) / e, 6)
+      }
+    }
+    val chi2 = cr(terms.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble, 4)
+    val r = graft.queries.Temporal.q95_chisq.fn(spark, dir).collect().head
+    assert(r.getDouble(0) == chi2, s"chi2 ${r.getDouble(0)} vs exact $chi2")
+    assert(r.getLong(1) == counts.length - 1, "df = (r-1)(c-1) with 2 cohorts")
+    assert(r.getLong(2) == counts.length * 2, "every contingency cell present")
+  }
+
   // ---- q87 Markov transitions ------------------------------------------
 
   test("q87 equals a sequential per-user replay and rows normalize") {
