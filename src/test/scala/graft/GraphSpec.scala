@@ -42,6 +42,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q85 is bit-identical under a different shuffle parallelism") {
+    // the round-then-DECIMAL-sum discipline claims bit-stability under
+    // ANY partitioning; run the same query in a sibling session with a
+    // different shuffle width and compare exactly
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val a = Graph.q85_pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.q85_pagerank.fn(s2, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "rank vectors must be bitwise equal across partitionings")
+  }
+
   test("q85 conserves rank mass (sums to ~1 up to per-node rounding)") {
     val got = Graph.q85_pagerank.fn(spark, dir).collect().map(_.getDouble(1))
     val mass = got.sum

@@ -221,6 +221,15 @@ class TemporalSpec extends SparkSpec {
     assert(r.getLong(2) == counts.length * 2, "every contingency cell present")
   }
 
+  test("q95 is bit-identical under a different shuffle parallelism") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val a = graft.queries.Temporal.q95_chisq.fn(spark, dir).collect().head
+    val b = graft.queries.Temporal.q95_chisq.fn(s2, dir).collect().head
+    assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1),
+      "round-then-DECIMAL-sum makes the statistic partitioning-invariant")
+  }
+
   // ---- q87 Markov transitions ------------------------------------------
 
   test("q87 equals a sequential per-user replay and rows normalize") {
