@@ -230,6 +230,25 @@ class TemporalSpec extends SparkSpec {
       "round-then-DECIMAL-sum makes the statistic partitioning-invariant")
   }
 
+  // ---- q96 RANGE frame -------------------------------------------------
+
+  test("q96 RANGE frame covers calendar days (gap-sensitive), not row counts") {
+    val out = graft.queries.Temporal.q96_range_frame.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (cust, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.foreach { case (_, d, _, rev7, n7) =>
+        val win = sorted.filter(r => r._2 >= d - 6 && r._2 <= d)
+        assert(n7 == win.length, s"cust $cust day $d: frame width")
+        val exact = win.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        assert(rev7 == exact, s"cust $cust day $d: exact windowed decimal sum")
+      }
+    }
+    // the RANGE semantics must actually bite: some frame spans 7 calendar
+    // days with fewer than 7 observations
+    assert(out.exists(r => r._5 < 7 && r._5 > 1), "fixture has gapped activity")
+  }
+
   // ---- q87 Markov transitions ------------------------------------------
 
   test("q87 equals a sequential per-user replay and rows normalize") {
