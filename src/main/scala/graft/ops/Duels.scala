@@ -22,6 +22,13 @@ object Duels {
   def readOrigin(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).option("sep", "\t").csv(path)
 
+  /** The same scan through the custom DataSource V2 connector
+    * ([[graft.sources.TsvTableProvider]]) — column pruning + filter
+    * pushdown inside the reader; SourcesSpec proves row equivalence
+    * with [[readOrigin]] and the pushdown plan shape. */
+  def readOriginV2(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[graft.sources.TsvTableProvider].getName).load(path)
+
   /** R1 — challenges per challenger (exercise_1.py:9-29). */
   def challengesPerChallenger(duels: DataFrame): DataFrame =
     duels.groupBy(col("challenger").as("player")).agg(count(lit(1)).as("cnt"))

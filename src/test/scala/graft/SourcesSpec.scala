@@ -150,6 +150,36 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() == src.filter(col("c_acctbal") > 5000).count())
   }
 
+  test("DSv2 graft-tsv source equals the csv reader and prunes/pushes in the reader") {
+    val origin = "/root/reference/origin"
+    val v2 = graft.ops.Duels.readOriginV2(spark, origin)
+    val v1 = graft.ops.Duels.readOrigin(spark, origin)
+    assert(v2.collect().map(_.toSeq).toSet == v1.collect().map(_.toSeq).toSet)
+    assert(v2.schema == v1.schema)
+
+    // column pruning reaches the reader: the scan's read schema is the
+    // projection, not the full 4-column layout
+    val pruned = v2.select("challenger")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("ReadSchema=challenger") &&
+      !prunedPlan.contains("ReadSchema=challenger,challenged"), prunedPlan)
+
+    // filter pushdown: the predicate runs inside the reader (declared
+    // fully handled), so NO post-scan Filter node remains in the plan
+    val filtered = v2.filter(col("score") > 2000L)
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("GreaterThan(score,2000)") && fPlan.contains("PushedFilters=["), fPlan)
+    assert(!fPlan.contains("Filter "), s"pushed predicate must leave no residual Filter:\n$fPlan")
+    assert(filtered.count() == v1.filter(col("score") > 2000L).count())
+    assert(filtered.count() > 0)
+
+    // a non-pushable predicate stays a residual Catalyst Filter
+    val residual = v2.filter(col("score") % 2 === 0)
+    val rPlan = residual.queryExecution.executedPlan.toString
+    assert(rPlan.contains("Filter "), rPlan)
+    assert(residual.count() == v1.filter(col("score") % 2 === 0).count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val src = Tables.table(spark, "/root/testdata/sf0.001", "orders")
       .withColumn("yr", year(col("o_orderdate")))
