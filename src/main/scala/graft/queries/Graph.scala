@@ -83,6 +83,10 @@ object Graph {
       .select("src", "dst")
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
+      // count-over-window for the outdegree rather than a node-sized
+      // aggregate broadcast back: measured equal at sf0.1 (within run
+      // noise), and the window form never materializes or ships a
+      // node-count-sized table — scale-safe for any catalog size
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
   }
 
