@@ -220,13 +220,17 @@ object Graph {
     // with the W-vs-E asymmetry deciding the broadcast side. The count
     // is free: the edge frame is already persisted and counted by the
     // memoizer.
-    val closure = wedge.join(
+    // ONE pass over the wedge stream (the dominant O(E^1.5)-worst-case
+    // term): a LEFT join against the edge key set — unique per (u, v),
+    // so at most one match per wedge — counts triangles (matched) and
+    // wedges (all) in the same aggregation instead of enumerating the
+    // wedges twice for the two counts.
+    val counts = wedge.join(
       if (e.count() <= broadcastLimit) broadcast(und) else und,
-      col("a") === col("u") && col("b") === col("v"))
-    val tri = closure.agg(count(lit(1)).as("n_triangles"))
-    val wn = wedge.agg(count(lit(1)).as("n_wedges"))
+      col("a") === col("u") && col("b") === col("v"), "left")
+      .agg(count(col("u")).as("n_triangles"), count(lit(1)).as("n_wedges"))
     val opn = deg.agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
-    tri.crossJoin(wn).crossJoin(opn)
+    counts.crossJoin(opn)
       .select(col("n_triangles"), col("n_wedges"),
         cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
   }

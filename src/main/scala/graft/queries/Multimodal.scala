@@ -130,7 +130,8 @@ object Multimodal {
     * top-3 most-similar frames from OTHER documents by cosine — the
     * video-retrieval shape (decode → frame sample → embed → ANN) with
     * the q17 search machinery on frame granularity. Probes are the
-    * frames of the three lowest doc_ids (a bounded "query clip set").
+    * frames of docs with id below min(doc_id)+3 — a bounded probe
+    * window (the three lowest docs on the contiguous-id fixture).
     *
     * The embedding is the STUB step (no codec/model in the container):
     * 8 dims of the engine-portable arithmetic mix hash over
@@ -185,20 +186,28 @@ object Multimodal {
       import org.apache.spark.sql.expressions.Window
       val docsT = Tables.table(s, dir, "documents")
       val minDoc = docsT.agg(min(col("doc_id"))).first().getLong(0)
-      val frames = docsT
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, payload) => (id, decodeStub(payload)._3) })
-        .toDF("doc_id", "n_frames")
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
-        .filter(col("frame_no") % 4 === 0)
       val embExpr = graft.queries.Pipeline.mixExpr("(doc_id * 131 + frame_no * 7 + d)")
-      val fe = frames
-        .withColumn("femb",
-          expr(s"transform(sequence(0L, 7L), d -> ($embExpr % 1000) / 1000.0e0 - 0.5e0)"))
-        .withColumn("nrm",
-          expr("sqrt(aggregate(femb, cast(0 as double), (a, x) -> a + x * x))"))
+      // the decoded + embedded frame table is memoized-persisted so the
+      // probe and candidate branches read ONE decode/fanout pass instead
+      // of each re-running the full corpus decode (TextOps memo registry;
+      // the bench's cache reset still charges the full build)
+      val fe = graft.queries.TextOps.memo("q31dFrames", s, dir) {
+        val frames = docsT
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, payload) => (id, decodeStub(payload)._3) })
+          .toDF("doc_id", "n_frames")
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+          .filter(col("frame_no") % 4 === 0)
+          .withColumn("femb",
+            expr(s"transform(sequence(0L, 7L), d -> ($embExpr % 1000) / 1000.0e0 - 0.5e0)"))
+          .withColumn("nrm",
+            expr("sqrt(aggregate(femb, cast(0 as double), (a, x) -> a + x * x))"))
+          .persist()
+        frames.count()
+        frames
+      }
       val probes = fe.filter(col("doc_id") < minDoc + 3)
         .select(col("doc_id").as("probe_doc"), col("frame_no").as("probe_frame"),
           col("femb").as("p"), col("nrm").as("pn"))

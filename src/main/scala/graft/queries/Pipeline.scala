@@ -915,7 +915,10 @@ object Pipeline {
        |ORDER BY lift DESC, w1, w2 LIMIT 50""") { (s, dir) =>
     val t = tokenArrays(s, dir)
     val bg = bigramsOf(t)
-    val u = t.select(explode(col("a")).as("w"))
+    // unigram stats come from the WHOLE corpus (the oracle's unfiltered
+    // `t` CTE) — single-token docs contribute to cu/ntok even though
+    // they produce no bigram
+    val u = docs(s, dir).select(explode(split(norm, " ")).as("w"))
     val cu = u.groupBy("w").agg(count(lit(1)).as("c"))
     val totals = u.agg(count(lit(1)).as("ntok"))
       .crossJoin(bg.agg(count(lit(1)).as("nbg")))

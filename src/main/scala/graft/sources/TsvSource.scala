@@ -141,8 +141,14 @@ class TsvReaderFactory(requiredCols: Array[String], pushed: Array[Filter])
         if (preds.forall(_(raw))) Some(InternalRow.fromSeq(idxs.map(raw(_)).toSeq))
         else None
       }
-      override def next(): Boolean = it.hasNext
-      override def get(): InternalRow = it.next()
+      // PartitionReader contract: get() must return the SAME row until
+      // next() advances — buffer the current row rather than draining
+      // the iterator from get()
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow = current
       override def close(): Unit = lines.close()
     }
   }

@@ -175,7 +175,11 @@ class StreamsSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val stream = MemoryStream[Event]
-      loadEvents().sortBy(_.ts.getTime).grouped(300).foreach(stream.addData(_))
+      // feed in the processor's contractual (micros, event_id) order —
+      // getTime alone truncates to millis and could split a same-ms pair
+      // across chunks out of order
+      def us(t: Timestamp): Long = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      loadEvents().sortBy(e => (us(e.ts), e.event_id)).grouped(300).foreach(stream.addData(_))
       val got = runToCompletion(Streams.scd2Stream(stream.toDS()).toDF(), "t_scd2", "append")
       val want = graft.queries.Temporal.q83_scd2_intervals.fn(spark, dir)
         .filter(col("is_current") === 0)
