@@ -148,6 +148,78 @@ object Graph {
     }
   }
 
+  /** WEIGHTED co-purchase edges (src, dst, w, wsum): w counts the
+    * orders containing both parts (the edge's support), wsum is src's
+    * total outgoing weight. Same two-exchange build discipline as
+    * [[buildCoPurchaseEdges]] — the (src, dst) count and the wsum
+    * window both reuse the src repartition. */
+  private[graft] def coPurchaseEdgesW(s: SparkSession, dir: String): DataFrame =
+    TextOps.memo("coPurchaseEdgesW", s, dir) {
+      val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .repartition(col("l_orderkey"))
+        .dropDuplicates("l_orderkey", "l_partkey")
+      val out = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .repartition(col("src"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
+        .persist()
+      out.count()
+      out
+    }
+
+  /** Q85b — WEIGHTED PageRank: like [[q85_pagerank]] but each
+    * neighbor's share of a node's rank is proportional to the edge's
+    * co-purchase support (how many orders contained both parts) rather
+    * than uniform — the form recommendation systems actually run, where
+    * a pair bought together 50 times should pull harder than a one-off.
+    * Same determinism discipline: integer weights are exact, the
+    * contribution r·w/wsum is rounded to 12 digits then DECIMAL-summed,
+    * so every generation is bit-identical across engines and
+    * partitionings. Same per-round dataflow and scale posture as q85
+    * (only the rank table shuffles; weights live in the persisted edge
+    * frame). */
+  val q85b_weighted_pagerank: Query = {
+    def roundCte(k: Int): String = {
+      val contrib = croundSql(s"r.r * e.w / s.wsum", Digits)
+      s"""r$k AS (SELECT e.dst AS node,
+         |        ${croundSql(
+            s"0.15e0 / (SELECT n FROM nn) + ${Damping}e0 * " +
+            s"CAST(sum(CAST($contrib AS DECIMAL(17,$Digits))) AS DOUBLE)", Digits)} AS r
+         |        FROM ew e JOIN r${k - 1} r ON e.src = r.node JOIN ws s ON e.src = s.src
+         |        GROUP BY e.dst)""".stripMargin
+    }
+    Query(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |     ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+         |            FROM op a JOIN op b
+         |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |            GROUP BY 1, 2),
+         |     ws AS (SELECT src, sum(w) AS wsum FROM ew GROUP BY src),
+         |     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ws),
+         |     r0 AS (SELECT src AS node, 1.0e0 / (SELECT n FROM nn) AS r FROM ws),
+         |     ${(1 to Rounds).map(roundCte).mkString(",\n")}
+         |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
+      val edges = coPurchaseEdgesW(s, dir)
+      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      val n = nodes.count()
+      val init = nodes.select(col("node"), lit(1.0 / n).as("r")).persist()
+      val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
+        edges.join(cur, edges("src") === cur("node"))
+          .select(col("dst"),
+            cround(col("r") * col("w") / col("wsum"), Digits).cast(ContribDec).as("c"))
+          .groupBy("dst")
+          .agg(cround(lit(0.15 / n) + lit(Damping) * sum(col("c")).cast("double"), Digits).as("r"))
+          .select(col("dst").as("node"), col("r"))
+      } { (_, next) => next.count(); false }
+      val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
+      nodes.unpersist()
+      out
+    }
+  }
+
   /** The edge CTE block shared by every graph oracle: distinct (order,
     * part) incidences, self-joined into the symmetric co-purchase edge
     * list. */
@@ -278,6 +350,7 @@ object Graph {
 
   val all: Map[String, Query] = Map(
     "q85_pagerank" -> q85_pagerank,
+    "q85b_weighted_pagerank" -> q85b_weighted_pagerank,
     "q88_triangles" -> q88_triangles,
     "q90_sssp" -> q90_sssp)
 }

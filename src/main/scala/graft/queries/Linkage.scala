@@ -96,7 +96,62 @@ object Linkage {
     }
   }
 
+  /** Q97 — declarative data-quality audit (the Deequ/expectations
+    * shape): a fixed check suite over lineitem — two range constraints,
+    * a completeness constraint, referential integrity to orders, and
+    * primary-key uniqueness — reported as one (check, n_violations,
+    * pass) table. The range thresholds are deliberately tight enough
+    * that some checks FAIL on the fixture (a vacuously all-green audit
+    * gates nothing).
+    *
+    * Scale posture: the three row-level constraints are ONE
+    * sum(when)-fused scan (no per-check rescans); referential
+    * integrity is a left-anti join on the key (broadcast or shuffle as
+    * cardinality dictates); uniqueness is a map-side-combinable
+    * key-count HAVING. The report is five rows regardless of table
+    * size. */
+  val q97_dq_checks: Query = Query(
+    """WITH rowchk AS (SELECT
+      |       count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 30) AS v_q,
+      |       count(*) FILTER (WHERE l_discount < 0e0 OR l_discount > 0.08e0) AS v_d,
+      |       count(*) FILTER (WHERE l_shipdate IS NULL) AS v_s
+      |     FROM lineitem),
+      |     fk AS (SELECT count(*) AS n FROM lineitem l
+      |            WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                              WHERE o.o_orderkey = l.l_orderkey)),
+      |     pk AS (SELECT count(*) AS n FROM (
+      |              SELECT l_orderkey, l_linenumber FROM lineitem
+      |              GROUP BY 1, 2 HAVING count(*) > 1) d),
+      |     rep AS (SELECT 'quantity_range' AS chk, v_q AS n_violations FROM rowchk
+      |             UNION ALL SELECT 'discount_range', v_d FROM rowchk
+      |             UNION ALL SELECT 'shipdate_complete', v_s FROM rowchk
+      |             UNION ALL SELECT 'orderkey_fk', n FROM fk
+      |             UNION ALL SELECT 'pk_unique', n FROM pk)
+      |SELECT chk, CAST(n_violations AS BIGINT) AS n_violations,
+      |       CAST(n_violations = 0 AS INT) AS pass
+      |FROM rep ORDER BY chk""") { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val row = li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 30, 1L).otherwise(0L)).as("v_q"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_d"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_s"))
+    val fk = li.join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val pk = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n"))
+    val rep = row.select(lit("quantity_range").as("chk"), col("v_q").as("n_violations"))
+      .unionAll(row.select(lit("discount_range"), col("v_d")))
+      .unionAll(row.select(lit("shipdate_complete"), col("v_s")))
+      .unionAll(fk.select(lit("orderkey_fk"), col("n")))
+      .unionAll(pk.select(lit("pk_unique"), col("n")))
+    rep.select(col("chk"), col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0).cast("int").as("pass"))
+      .orderBy("chk")
+  }
+
   val all: Map[String, Query] = Map(
+    "q97_dq_checks" -> q97_dq_checks,
     "q81_fuzzy_match" -> q81_fuzzy_match,
     "q82_profile" -> q82_profile)
 }

@@ -72,6 +72,31 @@ class GraphSpec extends SparkSpec {
       "symmetrized edges: every (src,dst) has its reverse")
   }
 
+  test("q85b weighted ranks equal a sequential replay and differ from unweighted") {
+    val edges = Graph.coPurchaseEdgesW(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nodes = edges.map(_._1).distinct
+    val n = nodes.length
+    val wsum = edges.groupBy(_._1).map { case (k, v) => k -> v.head._4 }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      rank = edges.groupBy(_._2).map { case (dst, es) =>
+        val s = es.map { case (src, _, w, _) =>
+          BigDecimal(cround12(rank(src) * w / wsum(src)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        dst -> cround12(0.15 / n + 0.85 * s.toDouble)
+      }
+    }
+    val got = Graph.q85b_weighted_pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n)
+    got.foreach { case (node, r) => assert(r == rank(node), s"node $node") }
+    val unweighted = Graph.q85_pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got != unweighted, "edge support must actually change the ranking")
+  }
+
   test("q88 equals a brute-force triangle enumeration and the wedge accounting holds") {
     val und = Graph.coPurchaseEdges(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 < p._2).toSet

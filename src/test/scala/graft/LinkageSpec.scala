@@ -12,6 +12,24 @@ class LinkageSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  // ---- q97 data-quality audit ------------------------------------------
+
+  test("q97 violation counts equal direct recomputation; suite mixes pass and fail") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val got = graft.queries.Linkage.q97_dq_checks.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val vq = li.filter(col("l_quantity") < 1 || col("l_quantity") > 30).count()
+    val vd = li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.08).count()
+    assert(got("quantity_range") == (vq, if (vq == 0) 1 else 0))
+    assert(got("discount_range") == (vd, if (vd == 0) 1 else 0))
+    assert(got("shipdate_complete")._1 == li.filter(col("l_shipdate").isNull).count())
+    assert(got("pk_unique")._1 ==
+      li.groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1).count())
+    assert(got.values.exists(_._2 == 0), "some check must FAIL on the fixture")
+    assert(got.values.exists(_._2 == 1), "and some check must pass")
+    assert(got.size == 5)
+  }
+
   // ---- q81 fuzzy entity matching ---------------------------------------
 
   test("q81 candidates come from a blocking equi-join, never a product") {

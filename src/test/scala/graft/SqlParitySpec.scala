@@ -27,7 +27,8 @@ class SqlParitySpec extends SparkSpec {
     "q11c_grouping_sets", "q44_pivot_events", "q44b_unpivot_lineitem",
     "q45_smoothed_avg", "q07c_window_battery", "q33b_heroic_deep",
     "q66_corpus_upsert", "q81_fuzzy_match", "q82_profile",
-    "q85_pagerank", "q86_ab_ttest", "q90_sssp", "q95_chisq")
+    "q85_pagerank", "q85b_weighted_pagerank", "q86_ab_ttest", "q90_sssp",
+    "q95_chisq", "q97_dq_checks")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
