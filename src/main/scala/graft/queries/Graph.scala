@@ -66,14 +66,17 @@ object Graph {
       out
     }
 
-  private[graft] def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    // Two explicit exchanges total, each reused by everything downstream
-    // of it (hashpartitioning on a SUBSET of the grouping keys satisfies
-    // the clustering requirement, so neither distinct re-shuffles and the
-    // self-join runs on co-located partitions):
-    //   1. by l_orderkey — (order, part) dedup + the pair self-join;
-    //   2. by src — (src, dst) dedup + the outdegree window + the persist
-    //      layout every iteration's rank join banks on.
+  /** The raw directed pair stream (one row per order co-containing a
+    * part pair, both directions), delivered REPARTITIONED BY src — the
+    * shared first half of both edge builds. Two explicit exchanges
+    * total, each reused by everything downstream (hashpartitioning on a
+    * SUBSET of the grouping keys satisfies the clustering requirement,
+    * so the dedups/aggregates/windows above it never re-shuffle and the
+    * self-join runs on co-located partitions):
+    *   1. by l_orderkey — (order, part) dedup + the pair self-join;
+    *   2. by src — the (src, dst) dedup/weight-count + degree window +
+    *      the persist layout every iteration's rank join banks on. */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       .repartition(col("l_orderkey"))
       .dropDuplicates("l_orderkey", "l_partkey")
@@ -82,19 +85,56 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
       .repartition(col("src"))
+  }
+
+  private[graft] def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchasePairs(s, dir)
       .dropDuplicates("src", "dst")
       // count-over-window for the outdegree rather than a node-sized
       // aggregate broadcast back: measured equal at sf0.1 (within run
       // noise), and the window form never materializes or ships a
       // node-count-sized table — scale-safe for any catalog size
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
-  }
 
   /** One row per node with its outdegree — derived from the persisted
     * edge frame by a src-local aggregation (first(outdeg) rides the
     * edge partitioning; no second scan of lineitem). */
   private[graft] def nodeDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src").as("node")).agg(first(col("outdeg")).as("outdeg"))
+
+  /** The shared synchronous-PageRank skeleton both variants run: the
+    * chained SQL round CTEs (parameterized on the contribution
+    * expression and the per-round FROM clause) and the Spark driver
+    * loop (parameterized on the edge frame, the contribution column,
+    * and the node set). A fix to the iteration discipline — rounding
+    * placement, the teleport term, the Iterate.loop protocol — lands in
+    * ONE place for q85 and q85b. */
+  private def prRoundCtes(contribSql: String, fromSql: Int => String): String =
+    (1 to Rounds).map { k =>
+      s"""r$k AS (SELECT e.dst AS node,
+         |        ${croundSql(
+            s"0.15e0 / (SELECT n FROM nn) + ${Damping}e0 * " +
+            s"CAST(sum(CAST(${croundSql(contribSql, Digits)} AS DECIMAL(17,$Digits))) AS DOUBLE)", Digits)} AS r
+         |        FROM ${fromSql(k)}
+         |        GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+
+  private def pagerankOf(edges: DataFrame, contrib: org.apache.spark.sql.Column,
+      nodes: DataFrame): DataFrame = {
+    val nodesP = nodes.persist()
+    val n = nodesP.count()
+    val init = nodesP.select(col("node"), lit(1.0 / n).as("r")).persist()
+    val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
+      edges.join(cur, edges("src") === cur("node"))
+        .select(col("dst"), cround(contrib, Digits).cast(ContribDec).as("c"))
+        .groupBy("dst")
+        .agg(cround(lit(0.15 / n) + lit(Damping) * sum(col("c")).cast("double"), Digits).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    } { (_, next) => next.count(); false }
+    val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
+    nodesP.unpersist()
+    out
+  }
 
   /** Q85 — PageRank (damping 0.85, 3 synchronous rounds from a uniform
     * start) over [[coPurchaseEdges]]. The graph is symmetric by
@@ -110,42 +150,20 @@ object Graph {
     * metadata, the IVF-centroid precedent); ranks themselves never
     * leave the cluster. The oracle unrolls the same three rounds as
     * chained CTEs. */
-  val q85_pagerank: Query = {
-    def roundCte(k: Int): String = {
-      val contrib = croundSql(s"r.r / d.outdeg", Digits)
-      s"""r$k AS (SELECT e.dst AS node,
-         |        ${croundSql(
-            s"0.15e0 / (SELECT n FROM nn) + ${Damping}e0 * " +
-            s"CAST(sum(CAST($contrib AS DECIMAL(17,$Digits))) AS DOUBLE)", Digits)} AS r
-         |        FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
-         |        GROUP BY e.dst)""".stripMargin
-    }
-    Query(
-      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |     e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-         |           FROM op a JOIN op b
-         |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-         |     deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         |     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-         |     r0 AS (SELECT src AS node, 1.0e0 / (SELECT n FROM nn) AS r FROM deg),
-         |     ${(1 to Rounds).map(roundCte).mkString(",\n")}
-         |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
-      val edges = coPurchaseEdges(s, dir)
-      val deg = nodeDegrees(edges).persist()
-      val n = deg.count()
-      val init = deg.select(col("node"), lit(1.0 / n).as("r")).persist()
-      val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
-        edges.join(cur, edges("src") === cur("node"))
-          .select(col("dst"),
-            cround(col("r") / col("outdeg"), Digits).cast(ContribDec).as("c"))
-          .groupBy("dst")
-          .agg(cround(lit(0.15 / n) + lit(Damping) * sum(col("c")).cast("double"), Digits).as("r"))
-          .select(col("dst").as("node"), col("r"))
-      } { (_, next) => next.count(); false }
-      val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
-      deg.unpersist()
-      out
-    }
+  val q85_pagerank: Query = Query(
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |     e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |           FROM op a JOIN op b
+       |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |     deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |     r0 AS (SELECT src AS node, 1.0e0 / (SELECT n FROM nn) AS r FROM deg),
+       |     ${prRoundCtes("r.r / d.outdeg",
+          k => s"e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src")}
+       |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
+    val edges = coPurchaseEdges(s, dir)
+    pagerankOf(edges, col("r") / col("outdeg"),
+      nodeDegrees(edges).select("node"))
   }
 
   /** WEIGHTED co-purchase edges (src, dst, w, wsum): w counts the
@@ -155,14 +173,7 @@ object Graph {
     * window both reuse the src repartition. */
   private[graft] def coPurchaseEdgesW(s: SparkSession, dir: String): DataFrame =
     TextOps.memo("coPurchaseEdgesW", s, dir) {
-      val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-        .repartition(col("l_orderkey"))
-        .dropDuplicates("l_orderkey", "l_partkey")
-      val out = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-        .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst")
-        .repartition(col("src"))
+      val out = coPurchasePairs(s, dir)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
         .persist()
@@ -181,43 +192,21 @@ object Graph {
     * partitionings. Same per-round dataflow and scale posture as q85
     * (only the rank table shuffles; weights live in the persisted edge
     * frame). */
-  val q85b_weighted_pagerank: Query = {
-    def roundCte(k: Int): String = {
-      val contrib = croundSql(s"r.r * e.w / s.wsum", Digits)
-      s"""r$k AS (SELECT e.dst AS node,
-         |        ${croundSql(
-            s"0.15e0 / (SELECT n FROM nn) + ${Damping}e0 * " +
-            s"CAST(sum(CAST($contrib AS DECIMAL(17,$Digits))) AS DOUBLE)", Digits)} AS r
-         |        FROM ew e JOIN r${k - 1} r ON e.src = r.node JOIN ws s ON e.src = s.src
-         |        GROUP BY e.dst)""".stripMargin
-    }
-    Query(
-      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |     ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
-         |            FROM op a JOIN op b
-         |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-         |            GROUP BY 1, 2),
-         |     ws AS (SELECT src, sum(w) AS wsum FROM ew GROUP BY src),
-         |     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ws),
-         |     r0 AS (SELECT src AS node, 1.0e0 / (SELECT n FROM nn) AS r FROM ws),
-         |     ${(1 to Rounds).map(roundCte).mkString(",\n")}
-         |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
-      val edges = coPurchaseEdgesW(s, dir)
-      val nodes = edges.select(col("src").as("node")).distinct().persist()
-      val n = nodes.count()
-      val init = nodes.select(col("node"), lit(1.0 / n).as("r")).persist()
-      val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
-        edges.join(cur, edges("src") === cur("node"))
-          .select(col("dst"),
-            cround(col("r") * col("w") / col("wsum"), Digits).cast(ContribDec).as("c"))
-          .groupBy("dst")
-          .agg(cround(lit(0.15 / n) + lit(Damping) * sum(col("c")).cast("double"), Digits).as("r"))
-          .select(col("dst").as("node"), col("r"))
-      } { (_, next) => next.count(); false }
-      val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
-      nodes.unpersist()
-      out
-    }
+  val q85b_weighted_pagerank: Query = Query(
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |     ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+       |            FROM op a JOIN op b
+       |              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |            GROUP BY 1, 2),
+       |     ws AS (SELECT src, sum(w) AS wsum FROM ew GROUP BY src),
+       |     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ws),
+       |     r0 AS (SELECT src AS node, 1.0e0 / (SELECT n FROM nn) AS r FROM ws),
+       |     ${prRoundCtes("r.r * e.w / s.wsum",
+          k => s"ew e JOIN r${k - 1} r ON e.src = r.node JOIN ws s ON e.src = s.src")}
+       |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
+    val edges = coPurchaseEdgesW(s, dir)
+    pagerankOf(edges, col("r") * col("w") / col("wsum"),
+      edges.select(col("src").as("node")).distinct())
   }
 
   /** The edge CTE block shared by every graph oracle: distinct (order,

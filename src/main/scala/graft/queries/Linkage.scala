@@ -105,7 +105,7 @@ object Linkage {
     * gates nothing).
     *
     * Scale posture: the three row-level constraints are ONE
-    * sum(when)-fused scan (no per-check rescans); referential
+    * count(when)-fused scan (no per-check rescans); referential
     * integrity is a left-anti join on the key (broadcast or shuffle as
     * cardinality dictates); uniqueness is a map-side-combinable
     * key-count HAVING. The report is five rows regardless of table
@@ -131,10 +131,12 @@ object Linkage {
       |       CAST(n_violations = 0 AS INT) AS pass
       |FROM rep ORDER BY chk""") { (s, dir) =>
     val li = t(s, dir, "lineitem")
+    // count(when(cond, 1)) — never NULL, exactly FILTER semantics even
+    // on an empty table (sum(when) would yield NULL violations there)
     val row = li.agg(
-      sum(when(col("l_quantity") < 1 || col("l_quantity") > 30, 1L).otherwise(0L)).as("v_q"),
-      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_d"),
-      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_s"))
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 30, lit(1))).as("v_q"),
+      count(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, lit(1))).as("v_d"),
+      count(when(col("l_shipdate").isNull, lit(1))).as("v_s"))
     val fk = li.join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
         Seq("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n"))
