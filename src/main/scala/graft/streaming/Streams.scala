@@ -781,4 +781,81 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Out-of-order-tolerant streaming SCD2 — the production form the
+    * [[scd2Stream]] doc promises: a watermark plus an event-time-timer
+    * drain buffer absorbs cross-batch disorder up to `delay`.
+    *
+    * Mechanics (the third `transformWithState` user, and the first with
+    * `TimeMode.EventTime` timers):
+    *
+    *  - every arriving event is appended to a per-user
+    *    `ListState[Event]` buffer — NOTHING is applied on arrival;
+    *  - each batch registers an event-time timer just past the batch's
+    *    max event time; when the WATERMARK passes it, the timer fires
+    *    and the processor drains exactly the buffered events with
+    *    ts <= watermark — provably final, since any straggler older
+    *    than that is beyond the allowed lateness — sorts them by
+    *    (ts, event_id), and applies the same interval algebra as the
+    *    ordered variant; later events stay buffered for the next drain.
+    *
+    * State per user is the open interval + the in-flight buffer (bounded
+    * by `delay` worth of events — the watermark evicts everything
+    * older). StreamsSpec feeds the events SHUFFLED within chunks
+    * (violating arrival order by design) and asserts the closed
+    * intervals still equal batch q83's history exactly. */
+  def scd2StreamBuffered(events: Dataset[Event], delay: String): Dataset[ScdClosed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val processor = new StatefulProcessor[Long, Event, ScdClosed] {
+      @transient private var open: org.apache.spark.sql.streaming.ValueState[ScdOpen] = _
+      @transient private var buf: org.apache.spark.sql.streaming.ListState[Event] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        open = getHandle.getValueState[ScdOpen]("open", Encoders.product[ScdOpen], TTLConfig.NONE)
+        buf = getHandle.getListState[Event]("buf", Encoders.product[Event], TTLConfig.NONE)
+      }
+      override def handleInputRows(user: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[ScdClosed] = {
+        var maxMs = Long.MinValue
+        rows.foreach { e =>
+          buf.appendValue(e)
+          maxMs = math.max(maxMs, e.ts.getTime)
+        }
+        // fire once the watermark proves everything up to this batch's
+        // horizon is final; earlier-expiry timers from prior batches
+        // drain earlier prefixes incrementally
+        if (maxMs != Long.MinValue) getHandle.registerTimer(maxMs + 1)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(user: Long, timers: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[ScdClosed] = {
+        val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+        val (drain, keep) = buf.get().toSeq.partition(e => micros(e.ts) <= wmUs)
+        buf.clear()
+        keep.foreach(buf.appendValue)
+        val out = Seq.newBuilder[ScdClosed]
+        var cur = if (open.exists()) Option(open.get()) else None
+        drain.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val us = micros(e.ts)
+          cur match {
+            case Some(o) if o.event_type == e.event_type =>
+              cur = Some(o.copy(n_events = o.n_events + 1))
+            case Some(o) =>
+              out += ScdClosed(user, o.event_type, o.valid_from_us, us, o.n_events)
+              cur = Some(ScdOpen(e.event_type, us, 1L))
+            case None =>
+              cur = Some(ScdOpen(e.event_type, us, 1L))
+          }
+        }
+        cur.foreach(open.update)
+        out.result().iterator
+      }
+    }
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -194,6 +194,50 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("buffered streaming SCD2 absorbs within-chunk disorder and equals batch q83") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def us(t: Timestamp): Long = math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      // time-ordered chunks, then SHUFFLE each chunk internally — the
+      // arrival order violates (ts, event_id) by design; the allowed
+      // lateness is sized just past the widest chunk's time span
+      val chunks = loadEvents().sortBy(e => (us(e.ts), e.event_id)).grouped(150).toSeq
+      val rnd = new scala.util.Random(42)
+      val shuffled = chunks.map(c => rnd.shuffle(c))
+      val maxSpanSec = chunks.map(c => (us(c.last.ts) - us(c.head.ts)) / 1000000L).max
+      val delay = s"${maxSpanSec + 3600} seconds"
+      val stream = MemoryStream[Event]
+      shuffled.foreach(stream.addData(_))
+      val q = Streams.scd2StreamBuffered(stream.toDS(), delay)
+        .toDF().writeStream.format("memory").queryName("t_scd2b").outputMode("append").start()
+      q.processAllAvailable()
+      // two far-future flush batches: the first advances the watermark
+      // past all real data, the second triggers the batch whose timer
+      // evaluation drains every buffer
+      stream.addData(Seq(Event(9100001L, Timestamp.valueOf("2032-01-01 00:00:00"), -1L, "click", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(9100002L, Timestamp.valueOf("2032-02-01 00:00:00"), -1L, "click", 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_scd2b").filter(col("user_id") >= 0)
+      val want = graft.queries.Temporal.q83_scd2_intervals.fn(spark, dir)
+        .filter(col("is_current") === 0)
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+      assert(canon(got) == canon(want),
+        "disordered arrival must still produce the exact batch dimension history")
+      assert(got.count() > 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late rows beyond the threshold (append mode)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
