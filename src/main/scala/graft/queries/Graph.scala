@@ -8,13 +8,15 @@ import org.apache.spark.sql.types.DecimalType
 import graft.engine.Tables
 import graft.ops.Iterate
 
-/** Graph analytics over relational facts: PageRank on the part
-  * co-purchase graph (parts are linked when they appear in the same
-  * order) — the "related items" centrality signal a catalog pipeline
-  * derives from order history. Fourth user of the [[Iterate]] driver-
-  * loop combinator (after R8's heroic fixed point, q37's connected
-  * components and q69's BPE merge learning); the per-round dataflow is
-  * the classic Pregel-as-joins shape expressed declaratively.
+/** Graph analytics over relational facts: PageRank (uniform and
+  * co-purchase-weighted), triangle counting, and bounded shortest
+  * paths on the part co-purchase graph (parts are linked when they
+  * appear in the same order) — the "related items" signals a catalog
+  * pipeline derives from order history. The iterative members are the
+  * fourth and fifth users of the [[Iterate]] driver-loop combinator
+  * (after R8's heroic fixed point, q37's connected components and
+  * q69's BPE merge learning); the per-round dataflow is the classic
+  * Pregel-as-joins shape expressed declaratively.
   */
 object Graph {
 
