@@ -180,6 +180,23 @@ class SourcesSpec extends SparkSpec {
     assert(residual.count() == v1.filter(col("score") % 2 === 0).count())
   }
 
+  test("DSv2 graft-tsv source parallelizes a sharded directory one partition per file") {
+    val shardDir = new java.io.File(s"$tmp/tsv_shards")
+    shardDir.mkdirs()
+    val lines = scala.io.Source.fromFile("/root/reference/origin/origin.txt")("latin1")
+      .getLines().toSeq
+    lines.grouped((lines.size + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/tsv_shards/shard$i.tsv"),
+        chunk.mkString("\n").getBytes("ISO-8859-1"))
+    }
+    val v2 = graft.ops.Duels.readOriginV2(spark, s"$tmp/tsv_shards")
+    assert(v2.rdd.getNumPartitions == 3, "one input partition per shard file")
+    val whole = graft.ops.Duels.readOriginV2(spark, "/root/reference/origin")
+    assert(v2.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet,
+      "sharded read equals the single-file read")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val src = Tables.table(spark, "/root/testdata/sf0.001", "orders")
       .withColumn("yr", year(col("o_orderdate")))
