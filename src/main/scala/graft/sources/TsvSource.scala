@@ -20,8 +20,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * What makes it scale-shaped rather than a toy:
   *
   *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the reader
-  *    parses ONLY the requested fields of each line — a projection of
-  *    one column materializes one long per row, not four.
+  *    parses ONLY the union of projected and filter-referenced fields of
+  *    each line — a projection of one unfiltered column runs one
+  *    `toLong` per row, not four — and emits just the pruned schema.
   *  - **Filter pushdown** (`SupportsPushDownFilters`): =, <, <=, >, >=
   *    comparisons against the long columns are evaluated inside the
   *    reader, BEFORE a row object exists; Catalyst is told they are
@@ -43,7 +44,10 @@ class TsvTableProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new TsvTable(properties.get("path"))
-  override def supportsExternalMetadata(): Boolean = true
+  // The table's layout is fixed by the file format; a caller-supplied
+  // schema (`.schema(...)`) would be silently ignored by getTable, so
+  // honestly refuse external metadata and let Catalyst error instead.
+  override def supportsExternalMetadata(): Boolean = false
 }
 
 object TsvSource {
@@ -132,11 +136,16 @@ class TsvReaderFactory(requiredCols: Array[String], pushed: Array[Filter])
     val file = partition.asInstanceOf[TsvFilePartition].file
     val idxs = requiredCols.map(TsvSource.colIndex)
     val preds = pushed.map(TsvSource.compile)
+    // Parse only the union of projected and filter-referenced columns:
+    // the other slots of `raw` stay 0 and are never read.
+    val needed: Array[Int] =
+      (idxs ++ pushed.flatMap(_.references.map(TsvSource.colIndex))).distinct.sorted
     new PartitionReader[InternalRow] {
       private val lines = scala.io.Source.fromFile(file)
       private val it = lines.getLines().flatMap { line =>
         val parts = line.split("\t", -1)
-        val raw = Array.tabulate(4)(i => parts(i).trim.toLong)
+        val raw = new Array[Long](4)
+        needed.foreach(i => raw(i) = parts(i).trim.toLong)
         // pushed predicates run HERE, before any row object exists
         if (preds.forall(_(raw))) Some(InternalRow.fromSeq(idxs.map(raw(_)).toSeq))
         else None

@@ -149,15 +149,29 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming corpus decontamination (the streaming face of
-    * Pipeline.q47b): drop incoming documents that share ANY word trigram
-    * with the held-out eval set. The Bloom blob is computed once from the
-    * static eval corpus (kilobytes of "model state") and applied as a
-    * stateless per-row filter — the standard stream-vs-static-enrichment
-    * pattern: no join, no state store, no watermark; each micro-batch
-    * filters independently at full parallelism. Bloom false positives
-    * only ever DROP extra docs (conservative for decontamination); false
-    * negatives cannot occur. */
+  /** Streaming curation — the q71 composition's streaming face: per
+    * micro-batch, near-dup dedup against the LSM seen-store (exactly
+    * the [[startNearDupDedup]] machinery, state semantics, and
+    * exactly-once replay contract — ALL batch docs' buckets enter the
+    * store, matching q71's dedup-before-filter order), then the two
+    * STATELESS filters on the survivors before they land: bloom
+    * decontamination ([[decontaminate]]) and the q58 quality verdict
+    * (Pipeline.withQualityReason) — no extra state, no extra shuffle,
+    * each micro-batch filters at full parallelism. */
+  def startCuration(docs: DataFrame, evalBloom: Array[Byte], storeDir: String,
+      outDir: String, checkpointDir: String,
+      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processNearDupBatch(batch, batchId, storeDir, outDir, compactEvery,
+          refine = sv => graft.queries.Pipeline
+            .withQualityReason(decontaminate(sv, evalBloom))
+            .filter(col("reason") === "6_kept")
+            .drop("n_tok", "reason"))
+      }
+      .start()
+
   /** Streaming MinHash-LSH near-dup dedup via foreachBatch — the
     * production pattern for cross-batch near-dup state: per micro-batch,
     * band the incoming docs with EXACTLY the q26 bucketing
@@ -200,29 +214,6 @@ object Streams {
     * its own checkpoint.
     *
     * Returns the started query; stop it via the handle. */
-  /** Streaming curation — the q71 composition's streaming face: per
-    * micro-batch, near-dup dedup against the LSM seen-store (exactly
-    * the [[startNearDupDedup]] machinery, state semantics, and
-    * exactly-once replay contract — ALL batch docs' buckets enter the
-    * store, matching q71's dedup-before-filter order), then the two
-    * STATELESS filters on the survivors before they land: bloom
-    * decontamination ([[decontaminate]]) and the q58 quality verdict
-    * (Pipeline.withQualityReason) — no extra state, no extra shuffle,
-    * each micro-batch filters at full parallelism. */
-  def startCuration(docs: DataFrame, evalBloom: Array[Byte], storeDir: String,
-      outDir: String, checkpointDir: String,
-      compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processNearDupBatch(batch, batchId, storeDir, outDir, compactEvery,
-          refine = sv => graft.queries.Pipeline
-            .withQualityReason(decontaminate(sv, evalBloom))
-            .filter(col("reason") === "6_kept")
-            .drop("n_tok", "reason"))
-      }
-      .start()
-
   def startNearDupDedup(docs: DataFrame, storeDir: String, outDir: String,
       checkpointDir: String, compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -514,6 +505,15 @@ object Streams {
     }
   }
 
+  /** Streaming corpus decontamination (the streaming face of
+    * Pipeline.q47b): drop incoming documents that share ANY word trigram
+    * with the held-out eval set. The Bloom blob is computed once from the
+    * static eval corpus (kilobytes of "model state") and applied as a
+    * stateless per-row filter — the standard stream-vs-static-enrichment
+    * pattern: no join, no state store, no watermark; each micro-batch
+    * filters independently at full parallelism. Bloom false positives
+    * only ever DROP extra docs (conservative for decontamination); false
+    * negatives cannot occur. */
   def decontaminate(docs: DataFrame, evalBloom: Array[Byte]): DataFrame =
     // an empty eval set has nothing to contaminate: its bloom blob is NULL
     // (aggregate over zero rows), and filtering against it must keep every
@@ -833,7 +833,12 @@ object Streams {
       override def handleExpiredTimer(user: Long, timers: TimerValues,
           expired: ExpiredTimerInfo): Iterator[ScdClosed] = {
         val wmUs = timers.getCurrentWatermarkInMs() * 1000L
-        val (drain, keep) = buf.get().toSeq.partition(e => micros(e.ts) <= wmUs)
+        // Strictly below: Spark admits late rows with event time EQUAL to
+        // the watermark, so an event at exactly wmUs is not yet provably
+        // final — draining it here could apply a later-arriving same-
+        // microsecond straggler out of (ts, event_id) order. Boundary
+        // rows stay buffered until a later timer proves them final.
+        val (drain, keep) = buf.get().toSeq.partition(e => micros(e.ts) < wmUs)
         buf.clear()
         keep.foreach(buf.appendValue)
         val out = Seq.newBuilder[ScdClosed]
