@@ -33,6 +33,11 @@ object GraftSession {
       // Deterministic float formatting / comparisons.
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Cached frames (edge lists, pair pipelines, iterative state) are
+      // re-scanned hot-path data: plain columnar batches trade memory —
+      // abundant at zero spill — for codec-free scans. On a memory-tight
+      // cluster this is the first knob to flip back.
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     master.fold(b)(b.master)
   }
 

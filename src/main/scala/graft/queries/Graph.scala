@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.engine.Tables
 import graft.ops.Iterate
 
@@ -12,11 +10,12 @@ import graft.ops.Iterate
   * co-purchase-weighted), triangle counting, and bounded shortest
   * paths on the part co-purchase graph (parts are linked when they
   * appear in the same order) — the "related items" signals a catalog
-  * pipeline derives from order history. The iterative members are the
-  * fourth and fifth users of the [[Iterate]] driver-loop combinator
-  * (after R8's heroic fixed point, q37's connected components and
-  * q69's BPE merge learning); the per-round dataflow is the classic
-  * Pregel-as-joins shape expressed declaratively.
+  * pipeline derives from order history. The PageRank members run a
+  * FIXED round count, so the rounds unroll into one lazy plan (one
+  * action, no per-generation barriers — see [[pagerankGated]]); the
+  * data-dependent iterations (q90's frontier BFS) keep the [[Iterate]]
+  * driver-loop discipline. Either way the per-round dataflow is the
+  * classic Pregel-as-joins shape expressed declaratively.
   */
 object Graph {
 
@@ -39,21 +38,20 @@ object Graph {
     * partitionings — the q64/q67 determinism posture applied to an
     * iterative dataflow. */
   private val Digits = 12
-  /** Contribution decimal precision 17 (not 30): values are <= 1.0 at
-    * scale 12, so precision 17 loses nothing — and both engines then
-    * keep the decimals in their int64 fast paths (Spark's compact-Long
-    * Decimal, DuckDB's int64 DECIMAL) instead of allocating a
-    * BigDecimal/hugeint per edge. Same values, same exact sums, ~none
-    * of the GC. */
-  private val ContribDec = DecimalType(17, Digits)
+  /** The ORACLE's contribution decimal precision 17 (not 30): values
+    * are <= 1.0 at scale 12, so precision 17 loses nothing — and DuckDB
+    * keeps the decimals in its int64 fast path. The Spark side goes one
+    * step further and sums the long numerators directly (see
+    * [[pagerankOf]]) — identical values, no decimal at all. */
 
-  /** Symmetrized co-purchase edge list (src, dst, outdeg): distinct
+  /** Symmetrized co-purchase edge list (src, dst): distinct
     * (order, part) incidences self-joined on the order key, both
-    * directions kept, outdegree attached via a src-partitioned window
-    * (the distinct already clustered rows by (src, dst), so the window
-    * reuses that exchange — no separate degree aggregation + join-back
-    * pass over the edges). Repartitioned by src before persisting so
-    * each iteration's rank join reuses this partitioning
+    * directions kept. Deliberately BARE — no outdegree column: degrees
+    * live in the node-sized [[nodeDegrees]] table and are joined onto
+    * the RANK side each round (node-sized work), so the E-row build is
+    * just dedup-then-persist with no window sort over the edges and the
+    * cached frame is two longs per edge. Repartitioned by src before
+    * persisting so each iteration's rank join reuses this partitioning
     * (InMemoryTableScan preserves outputPartitioning — only the
     * generation's small rank table shuffles per round, never the
     * edges). */
@@ -90,19 +88,13 @@ object Graph {
   }
 
   private[graft] def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    coPurchasePairs(s, dir)
-      .dropDuplicates("src", "dst")
-      // count-over-window for the outdegree rather than a node-sized
-      // aggregate broadcast back: measured equal at sf0.1 (within run
-      // noise), and the window form never materializes or ships a
-      // node-count-sized table — scale-safe for any catalog size
-      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+    coPurchasePairs(s, dir).dropDuplicates("src", "dst")
 
-  /** One row per node with its outdegree — derived from the persisted
-    * edge frame by a src-local aggregation (first(outdeg) rides the
-    * edge partitioning; no second scan of lineitem). */
+  /** One row per node with its outdegree — a src-local map-side-
+    * combinable count over the persisted edge frame (rides the edge
+    * partitioning; no second scan of lineitem, no window sort). */
   private[graft] def nodeDegrees(edges: DataFrame): DataFrame =
-    edges.groupBy(col("src").as("node")).agg(first(col("outdeg")).as("outdeg"))
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
 
   /** The shared synchronous-PageRank skeleton both variants run: the
     * chained SQL round CTEs (parameterized on the contribution
@@ -121,21 +113,86 @@ object Graph {
          |        GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
 
-  private def pagerankOf(edges: DataFrame, contrib: org.apache.spark.sql.Column,
-      nodes: DataFrame): DataFrame = {
-    val nodesP = nodes.persist()
-    val n = nodesP.count()
-    val init = nodesP.select(col("node"), lit(1.0 / n).as("r")).persist()
-    val fix = Iterate.loop(init, maxRounds = Rounds) { (cur, _) =>
-      edges.join(cur, edges("src") === cur("node"))
-        .select(col("dst"), cround(contrib, Digits).cast(ContribDec).as("c"))
+  /** Per-edge contribution numerator on the 12-digit grid:
+    * k = floor(x·10^12 + 0.5), an exact-integer double (contributions
+    * are <= 1, so k <= 10^12 < 2^53) cast losslessly to long. */
+  private def kOf(contrib: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(contrib * math.pow(10, Digits) + 0.5).cast("long")
+
+  /** The shared per-round dataflow. `stats` is the node-sized static
+    * table (outdeg or wsum); each round joins it onto the RANK table —
+    * node-sized work, never edge-sized — then `msg` shapes the per-node
+    * mail and `kExpr` gives each edge's contribution numerator.
+    *
+    * Contributions are summed as LONG numerators of the 12-digit grid,
+    * not DECIMAL(17,12): the decimal sum of k_i/10^12 is (Σk_i)/10^12,
+    * so summing the k_i as longs and dividing once is VALUE-IDENTICAL
+    * to the oracle's decimal path (both convert the same rational to
+    * its nearest double — long→double exact below 2^53, 10^12 exact,
+    * IEEE division correctly rounded; total rank mass is ~1, so
+    * Σk ~ 10^12 — no overflow at any graph size) while the hash
+    * aggregate updates a plain long instead of allocating a BigDecimal
+    * per edge. Same exactness, same order-invariance (GraphSpec's
+    * bitwise replay), a fraction of the CPU. */
+  /** Rank-table broadcast gate: below this many NODES the per-round
+    * mail table (node, long numerator — ~16 bytes/row, ≤ ~64 MB at the
+    * gate) broadcasts and each round is a stateless map over the
+    * partitioned edge cache; above it the rank table shuffles to the
+    * edge partitioning (the classic Pregel posture — edges never move
+    * either way). The q28/q88 runtime-size-gate pattern; GraphSpec
+    * forces both sides and equates them bitwise. */
+  private[graft] val NodeBroadcastLimit = 4000000L
+
+  private def pagerankOf(edges: DataFrame, stats: DataFrame,
+      msg: DataFrame => DataFrame,
+      kExpr: org.apache.spark.sql.Column): DataFrame =
+    pagerankGated(edges, stats, msg, kExpr, NodeBroadcastLimit)
+
+  /** The shared dataflow, rounds UNROLLED into one lazy plan exactly
+    * like the oracle's chained CTEs: generation k is a subplan over
+    * generation k-1, and the whole 3-round vector materializes in a
+    * SINGLE action — no per-round persist/count barriers (the
+    * driver-loop [[Iterate]] discipline is for data-dependent
+    * convergence; a fixed round count doesn't need it). The edge cache
+    * is scanned once per round inside that one job; the only
+    * driver-side value is the node count (graph metadata).
+    *
+    * `stats` is the node-sized static table (outdeg or wsum); each
+    * round joins it onto the RANK table — node-sized work, never
+    * edge-sized — then `msg` shapes the per-node mail and `kExpr` gives
+    * each edge's contribution numerator.
+    *
+    * Contributions are summed as LONG numerators of the 12-digit grid,
+    * not DECIMAL(17,12): cround(x,12) is exactly k/10^12 with
+    * k = floor(x·10^12 + 0.5) an exact-integer double (contributions
+    * are <= 1, so k <= 10^12 < 2^53), and the decimal sum of k_i/10^12
+    * is (Σk_i)/10^12 — so summing the k_i as longs and dividing once is
+    * VALUE-IDENTICAL to the oracle's decimal path (both convert the
+    * same rational to its nearest double: long→double exact below 2^53,
+    * 10^12 exact, IEEE division correctly rounded; total rank mass is
+    * ~1, so Σk ~ 10^12 — no overflow at any graph size) while the hash
+    * aggregate updates a plain long instead of allocating a BigDecimal
+    * per edge. Same exactness, same order-invariance (GraphSpec's
+    * bitwise replay), a fraction of the CPU. */
+  private[graft] def pagerankGated(edges: DataFrame, stats: DataFrame,
+      msg: DataFrame => DataFrame,
+      kExpr: org.apache.spark.sql.Column,
+      broadcastLimit: Long): DataFrame = {
+    val statsP = stats.persist()
+    val n = statsP.count()
+    val scaleF = math.pow(10, Digits)
+    var cur = statsP.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to Rounds) {
+      val m0 = msg(cur.join(statsP, "node"))
+      val m = if (n <= broadcastLimit) broadcast(m0) else m0
+      cur = edges.join(m, edges("src") === m("node"))
+        .select(col("dst"), kExpr.as("k"))
         .groupBy("dst")
-        .agg(cround(lit(0.15 / n) + lit(Damping) * sum(col("c")).cast("double"), Digits).as("r"))
+        .agg(cround(lit(0.15 / n) +
+          lit(Damping) * (sum(col("k")).cast("double") / scaleF), Digits).as("r"))
         .select(col("dst").as("node"), col("r"))
-    } { (_, next) => next.count(); false }
-    val out = fix.cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
-    nodesP.unpersist()
-    out
+    }
+    cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
   }
 
   /** Q85 — PageRank (damping 0.85, 3 synchronous rounds from a uniform
@@ -164,24 +221,32 @@ object Graph {
           k => s"e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src")}
        |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
     val edges = coPurchaseEdges(s, dir)
-    pagerankOf(edges, col("r") / col("outdeg"),
-      nodeDegrees(edges).select("node"))
+    // r/outdeg is per-NODE constant, so its grid numerator is computed
+    // once per node on the rank table and the edge pass is a bare
+    // long lookup — identical values to the oracle's per-edge rounding
+    pagerankOf(edges, nodeDegrees(edges),
+      msg = ranked => ranked.select(col("node"), kOf(col("r") / col("outdeg")).as("kc")),
+      kExpr = col("kc"))
   }
 
-  /** WEIGHTED co-purchase edges (src, dst, w, wsum): w counts the
-    * orders containing both parts (the edge's support), wsum is src's
-    * total outgoing weight. Same two-exchange build discipline as
-    * [[buildCoPurchaseEdges]] — the (src, dst) count and the wsum
-    * window both reuse the src repartition. */
+  /** WEIGHTED co-purchase edges (src, dst, w): w counts the orders
+    * containing both parts (the edge's support). Same build discipline
+    * as [[buildCoPurchaseEdges]] — the (src, dst) count reuses the src
+    * repartition; src's total outgoing weight lives in the node-sized
+    * [[weightSums]] table, not on the edges. */
   private[graft] def coPurchaseEdgesW(s: SparkSession, dir: String): DataFrame =
     TextOps.memo("coPurchaseEdgesW", s, dir) {
       val out = coPurchasePairs(s, dir)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
         .persist()
       out.count()
       out
     }
+
+  /** One row per node with its total outgoing edge weight — src-local
+    * map-side-combinable sum riding the edge partitioning. */
+  private[graft] def weightSums(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("wsum"))
 
   /** Q85b — WEIGHTED PageRank: like [[q85_pagerank]] but each
     * neighbor's share of a node's rank is proportional to the edge's
@@ -189,11 +254,12 @@ object Graph {
     * than uniform — the form recommendation systems actually run, where
     * a pair bought together 50 times should pull harder than a one-off.
     * Same determinism discipline: integer weights are exact, the
-    * contribution r·w/wsum is rounded to 12 digits then DECIMAL-summed,
-    * so every generation is bit-identical across engines and
-    * partitionings. Same per-round dataflow and scale posture as q85
-    * (only the rank table shuffles; weights live in the persisted edge
-    * frame). */
+    * contribution r·w/wsum is rounded to the 12-digit grid and summed
+    * exactly (long numerators — see [[pagerankOf]]), so every
+    * generation is bit-identical across engines and partitionings. Same
+    * per-round dataflow and scale posture as q85 (only the rank table
+    * shuffles; edge support w lives in the persisted edge frame, wsum
+    * rides the rank table). */
   val q85b_weighted_pagerank: Query = Query(
     s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |     ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
@@ -207,8 +273,12 @@ object Graph {
           k => s"ew e JOIN r${k - 1} r ON e.src = r.node JOIN ws s ON e.src = s.src")}
        |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
     val edges = coPurchaseEdgesW(s, dir)
-    pagerankOf(edges, col("r") * col("w") / col("wsum"),
-      edges.select(col("src").as("node")).distinct())
+    // w is per-EDGE, so the grid numerator is computed per edge with
+    // wsum carried on the rank side — the expression keeps the oracle's
+    // (r*w)/wsum association exactly
+    pagerankOf(edges, weightSums(edges),
+      msg = identity,
+      kExpr = kOf(col("r") * col("w") / col("wsum")))
   }
 
   /** The edge CTE block shared by every graph oracle: distinct (order,

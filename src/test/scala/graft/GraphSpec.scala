@@ -16,10 +16,10 @@ class GraphSpec extends SparkSpec {
 
   test("q85 equals a sequential driver-side replay, bitwise") {
     val edges = Graph.coPurchaseEdges(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val nodes = edges.map(_._1).distinct.sorted
     val n = nodes.length
-    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.head._3 }
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     var rank = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 3) {
       // mirror the distributed round exactly: per-edge contribution =
@@ -27,7 +27,7 @@ class GraphSpec extends SparkSpec {
       // rounds the SHORTEST repr, which BigDecimal(d) reproduces),
       // exact decimal sum, then the damped update rounded to 12 digits
       val mail = edges.groupBy(_._2).map { case (dst, es) =>
-        val s = es.map { case (src, _, _) =>
+        val s = es.map { case (src, _) =>
           BigDecimal(cround12(rank(src) / outdeg(src))).setScale(12, BigDecimal.RoundingMode.HALF_UP)
         }.sum
         dst -> cround12(0.15 / n + 0.85 * s.toDouble)
@@ -74,14 +74,14 @@ class GraphSpec extends SparkSpec {
 
   test("q85b weighted ranks equal a sequential replay and differ from unweighted") {
     val edges = Graph.coPurchaseEdgesW(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nodes = edges.map(_._1).distinct
     val n = nodes.length
-    val wsum = edges.groupBy(_._1).map { case (k, v) => k -> v.head._4 }
+    val wsum = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
     var rank = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to 3) {
       rank = edges.groupBy(_._2).map { case (dst, es) =>
-        val s = es.map { case (src, _, w, _) =>
+        val s = es.map { case (src, _, w) =>
           BigDecimal(cround12(rank(src) * w / wsum(src)))
             .setScale(12, BigDecimal.RoundingMode.HALF_UP)
         }.sum
@@ -95,6 +95,18 @@ class GraphSpec extends SparkSpec {
     val unweighted = Graph.q85_pagerank.fn(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got != unweighted, "edge support must actually change the ranking")
+  }
+
+  test("q85 rank-shuffle fallback (node set past the broadcast gate) is bitwise identical") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val edges = Graph.coPurchaseEdges(spark, dir)
+    val msg = (ranked: org.apache.spark.sql.DataFrame) => ranked.select(col("node"),
+      floor(col("r") / col("outdeg") * 1e12 + 0.5).cast("long").as("kc"))
+    val gated = Graph.pagerankGated(edges, Graph.nodeDegrees(edges), msg, col("kc"), 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bcast = Graph.q85_pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gated == bcast, "rank vectors must be bitwise equal across the gate")
   }
 
   test("q88 equals a brute-force triangle enumeration and the wedge accounting holds") {
@@ -113,10 +125,10 @@ class GraphSpec extends SparkSpec {
 
   test("q88 orientation caps two-path fanout below the raw degree blowup") {
     val e = Graph.coPurchaseEdges(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.head._3 }
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val und = e.filter(p => p._1 < p._2)
-    val orientOut = und.groupBy { case (u, v, _) =>
+    val orientOut = und.groupBy { case (u, v) =>
       if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v
     }.map(_._2.size)
     val wedges = orientOut.map(d => d.toLong * (d - 1) / 2).sum
@@ -150,16 +162,18 @@ class GraphSpec extends SparkSpec {
     assert(got.values.exists(_ > 1), "the fixture graph has nodes beyond one hop")
   }
 
-  test("q85 edge builder shuffles only at the explicit repartitions") {
+  test("q85 edge builder shuffles only at the explicit repartitions, no edge-wide sort") {
     // the explicit repartitions (l_orderkey — appearing once per self-join
     // branch in the static plan, AQE-reused at runtime — then src) must be
-    // the ONLY exchanges: both dropDuplicates and the outdegree window
-    // reuse them because hashpartitioning on a subset of the grouping
-    // keys satisfies the clustering requirement
+    // the ONLY exchanges: both dropDuplicates reuse them because
+    // hashpartitioning on a subset of the grouping keys satisfies the
+    // clustering requirement. Degrees live on the node-sized stats table
+    // (joined onto the RANK side per round), so the E-row build must
+    // carry NO window — an edge-wide sort would be the 100 TB regression
     val p = Graph.buildCoPurchaseEdges(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n <= 3, s"dedups/window must not add exchanges, got $n:\n$p")
-    assert(p.contains("Window"), s"outdegree window missing:\n$p")
+    assert(n <= 3, s"dedups must not add exchanges, got $n:\n$p")
+    assert(!p.contains("Window"), s"edge build must not sort the edge stream:\n$p")
   }
 }
