@@ -83,6 +83,12 @@ object Linkage {
       val li = t(s, dir, "lineitem").select(
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         nullif(col("l_tax"), lit(0.0)).as("tax_nz"))
+        // spread the 5-way Expand across the cluster even when the scan
+        // is a single split (one row group locally; a straggler file at
+        // scale): hash-repartition on the near-unique price — unlike a
+        // round-robin repartition this needs no local sort, and every
+        // profile aggregate is partitioning-invariant
+        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
         Seq(count(col(c)).as(s"nv_$c"), countDistinct(col(c)).as(s"nd_$c"),
           min(col(c)).cast("double").as(s"mn_$c"), max(col(c)).cast("double").as(s"mx_$c"),

@@ -150,6 +150,11 @@ object VectorOps {
     val pairs =
       if (embTab.count() <= broadcastLimit) {
         val lhs = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+          // the O(n²) kernel must run at FULL parallelism even when the
+          // scan is one split (single row group locally; a small dim
+          // file at scale): hash-spread the probe side — at most the
+          // gate's ~100 MB moves, and the pair set is partition-invariant
+          .repartition(embTab.sparkSession.sparkContext.defaultParallelism, col("v1"))
         val rhs = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
         lhs.join(broadcast(rhs), col("v1") < col("v2"))
       } else {

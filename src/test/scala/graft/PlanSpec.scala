@@ -137,10 +137,15 @@ class PlanSpec extends SparkSpec {
     //  - q88: the closure-check edge broadcast sits behind the
     //    EdgeBroadcastLimit runtime gate (Graph.trianglesOf) — past it
     //    the check is a plain shuffle equi-join (GraphSpec forces and
-    //    equates both sides).
+    //    equates both sides);
+    //  - q85/q85b: the per-round rank mail table (node-sized) broadcasts
+    //    behind the NodeBroadcastLimit runtime gate (Graph.pagerankGated)
+    //    — past it the rank table shuffles to the edge partitioning
+    //    (GraphSpec forces the shuffle side and equates bitwise).
     val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
-      "q77_robust_clip", "q88_triangles")
+      "q77_robust_clip", "q88_triangles",
+      "q85_pagerank", "q85b_weighted_pagerank")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !exempt(name)
