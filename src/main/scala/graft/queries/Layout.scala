@@ -96,13 +96,33 @@ object Layout {
     * cuts would constrain only that dimension and pruning on the other
     * column would get nothing (the mistake this helper's signature
     * forbids). */
-  private def zVal(x: String, y: String, bits: Int, intDiv: String): String = {
+  private[graft] def zVal(x: String, y: String, bits: Int, intDiv: String): String = {
     val terms = (0 until bits).flatMap { i =>
       Seq(s"((($y) $intDiv ${1L << i}) % 2) * ${1L << (2 * i)}",
         s"((($x) $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
     }
     terms.mkString("(", " + ", ")")
   }
+
+  /** The z-order WRITE path q75 audits: range-partition the rows into
+    * `nFiles` contiguous z-ranges, sort within each, and write parquet —
+    * the Delta/Iceberg OPTIMIZE ZORDER shape. Because each output file
+    * covers one contiguous slice of the space-filling curve, its parquet
+    * footer min/max box in the ORIGINAL dimensions is tight in BOTH, and
+    * a stats-pruning reader touches only files whose box intersects the
+    * predicate — LayoutSpec writes both this and a single-column control
+    * layout and pins the touched-file counts from the real footers.
+    *
+    * Scale posture: the z-value is a per-row map; repartitionByRange is
+    * ONE range-sampled exchange and the sort is partition-local — the
+    * same cost as any clustered write, no driver state. */
+  private[graft] def zorderWrite(df: DataFrame, zc: Column, nFiles: Int,
+      path: String): Unit =
+    df.withColumn("graft_z", zc)
+      .repartitionByRange(nFiles, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
+      .write.mode("overwrite").parquet(path)
 
   /** Q75 — Z-order storage layout audit (the Delta/Iceberg OPTIMIZE
     * ZORDER story): cluster `part` on the interleaved-bit Morton code

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
@@ -146,5 +148,61 @@ class LayoutSpec extends SparkSpec {
     val p = plan(Layout.q76_vocab_encode).split("\n\n").head
     assert(p.contains("BroadcastHashJoin"), s"vocab lookup must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"exploded corpus must not shuffle for the lookup:\n$p")
+  }
+
+  // ---- z-order WRITE path ----------------------------------------------
+
+  test("z-order write: parquet footer stats prune files for a 2-D box; 1-D control cannot") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    val nFiles = 16
+    val ySql = "greatest(0, least(127, CAST(floor(p_retailprice) AS BIGINT) - 900))"
+    val b = graft.engine.Tables.table(spark, dir, "part")
+      .select(col("p_size").cast("long").as("x"), expr(ySql).as("y"))
+    Layout.zorderWrite(b, expr(Layout.zVal("x", "y div 2", 6, "div")), nFiles, s"$tmp/z")
+    // single-column control: same writer discipline, clustered on x only
+    Layout.zorderWrite(b, col("x"), nFiles, s"$tmp/ctrl")
+
+    /** Per-file (min,max) of columns x and y read from the REAL parquet
+      * footers — exactly what a stats-pruning reader consults. */
+    def footerBoxes(path: String): Seq[(Long, Long, Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.endsWith(".parquet")).toSeq.map { st =>
+          val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+            st.getPath, spark.sessionState.newHadoopConf()))
+          try {
+            val cols = rd.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+            def mm(name: String): (Long, Long) = {
+              val stats = cols.filter(_.getPath.toDotString == name).map(_.getStatistics)
+              (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+               stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+            }
+            val (x0, x1) = mm("x"); val (y0, y1) = mm("y")
+            (x0, x1, y0, y1)
+          } finally rd.close()
+        }
+    }
+    // a box selective ONLY in the second dimension: every x, y <= 24
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (_, _, y0, _) => y0 <= 24 }
+    val zBoxes = footerBoxes(s"$tmp/z")
+    val cBoxes = footerBoxes(s"$tmp/ctrl")
+    assert(zBoxes.size == nFiles && cBoxes.size == nFiles)
+    val (zt, ct) = (touched(zBoxes), touched(cBoxes))
+    // 16 z-ranges fix the top two bits of each dim, so only the y-low
+    // quadrant row of the curve can intersect y<=24 — at most half the
+    // files; the x-clustered control bounds y nowhere, so ~all its files
+    // intersect
+    assert(zt <= nFiles / 2, s"z layout should prune, touched $zt of $nFiles")
+    assert(ct >= nFiles - 2, s"control should NOT prune on y, touched $ct of $nFiles")
+    assert(zt < ct, s"z layout must beat the 1-D control ($zt vs $ct)")
+    // the layout is a reorganization, not a transformation: the box
+    // query answers identically from both
+    val full = b.filter(col("y") <= 24).count()
+    assert(spark.read.parquet(s"$tmp/z").filter(col("y") <= 24).count() == full)
+    assert(spark.read.parquet(s"$tmp/ctrl").filter(col("y") <= 24).count() == full)
   }
 }
