@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Native Catalyst expression: the `k` nearest centroid cells of a
+  * float-vector column by dot product — the IVF coarse-quantizer
+  * assignment (k=1) and multi-probe set (k=nprobe) in one fused,
+  * whole-stage-codegen'd kernel.
+  *
+  * `graft_nearest_cells(vector, centroids, k)`: `centroids` and `k`
+  * must be foldable (the centroid matrix is MODEL state — a literal
+  * nlist×dim array fitted on a driver sample, the FAISS posture), so
+  * both are evaluated once and the generated loop references the
+  * decoded `double[][]` directly. Output cells are ordered by dot
+  * product DESCENDING with ties broken toward the LOWER cell id —
+  * bitwise the argmax/stable-sort semantics of the interpreted UDFs it
+  * replaces (NearestCellsSpec pins the equivalence), so the IVF index
+  * layout is deterministic across engines and partitionings.
+  *
+  * This was the one interpreted per-row hot loop left in an index-build
+  * scan (round-5 advice): every other columnar kernel (graft_dot,
+  * graft_simhash, ...) was already a codegen Expression.
+  */
+case class NearestCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val cOk = second.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    val kOk = third.dataType == IntegerType
+    if (!vOk || !cOk || !kOk)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_cells expects (array<float>, array<array<double>>, int), got " +
+          Seq(first, second, third).map(_.dataType.catalogString).mkString(", "))
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_cells centroids and k must be foldable (model state, not data)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_nearest_cells"
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  @transient private lazy val kVal: Int = third.eval().asInstanceOf[Int]
+
+  /** Top-k cell ids for one vector: dot desc, ties to the lower id —
+    * exactly a stable sort by -dot followed by take(k). */
+  private[functions] def topCells(get: Int => Double, dim: Int): Array[Int] = {
+    val n = cents.length
+    val ds = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ct = cents(c); var d = 0.0; var i = 0
+      while (i < dim) { d += ct(i) * get(i); i += 1 }
+      ds(c) = d; c += 1
+    }
+    val kk = math.min(kVal, n)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < kk) {
+      var best = -1; var bd = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < n) {
+        if (!used(c2) && ds(c2) > bd) { bd = ds(c2); best = c2 }
+        c2 += 1
+      }
+      used(best) = true; out(j) = best; j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any, k: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    new GenericArrayData(topCells(i => x.getFloat(i).toDouble, x.numElements()))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val n = ctx.freshName("n"); val dim = ctx.freshName("dim")
+      val ds = ctx.freshName("ds"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out"); val kk = ctx.freshName("kk")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd"); val ct = ctx.freshName("ct")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $cRef.length;
+         |int $dim = $a.numElements();
+         |double[] $ds = new double[$n];
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double[] $ct = $cRef[$c];
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $d += $ct[$i] * ((double) $a.getFloat($i));
+         |  }
+         |  $ds[$c] = $d;
+         |}
+         |int $kk = java.lang.Math.min($kVal, $n);
+         |int[] $out = new int[$kk];
+         |boolean[] $used = new boolean[$n];
+         |for (int $j = 0; $j < $kk; $j++) {
+         |  int $best = -1; double $bd = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $n; $c++) {
+         |    if (!$used[$c] && $ds[$c] > $bd) { $bd = $ds[$c]; $best = $c; }
+         |  }
+         |  $used[$best] = true; $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCells =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCells {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{call_function, lit, typedlit}
+
+  /** Column API: `k` nearest cells of `v` under the fitted `cents`
+    * matrix (embedded as a foldable literal — model state rides the
+    * plan, the data never sees a driver round trip). */
+  def nearestCells(v: Column, cents: Array[Array[Double]], k: Int): Column =
+    call_function("graft_nearest_cells", v,
+      typedlit(cents.map(_.toSeq).toSeq), lit(k))
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
 
 import graft.engine.Tables
+import graft.functions.NearestCells.nearestCells
 
 /** Vector / embedding surface over the `embeddings` table (SURVEY.md
   * §2.10, Q17/Q18): similarity search, all-pairs similarity, and a typed
@@ -272,7 +273,7 @@ object VectorOps {
     // surviving pairs instead of every candidate with two embedding
     // arrays (~10× less shuffle, measured)
     val idx = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
+      explode(nearestCells(col("embedding"), cents, nprobe)).as("cell"))
     val lhs = idx.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val rhs = idx.select(col("cell"), col("vec_id").as("v2"),
@@ -386,7 +387,7 @@ object VectorOps {
       .sortBy(_.getLong(0))
       .map(r => normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
     for (_ <- 0 until rounds) {
-      val sums = e.withColumn("cell", assignCellUdf(cents)(col("embedding")))
+      val sums = e.withColumn("cell", assignCell(col("embedding"), cents))
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos").agg(sum(col("col").cast("double")).as("s"))
         .collect()
@@ -403,37 +404,21 @@ object VectorOps {
 
   /** Nearest-centroid assignment as a fused primitive loop (cells are
     * unit vectors, so argmax dot == argmax cosine for a fixed |v|). */
-  private[graft] def assignCellUdf(cs: Array[Array[Double]]) = udf { (v: Array[Float]) =>
-    var best = 0; var bestD = Double.NegativeInfinity
-    var c = 0
-    while (c < cs.length) {
-      val ct = cs(c); var d = 0.0; var i = 0
-      while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
-      if (d > bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
-  }
-
-  /** Top-`k` nearest-centroid cells (multi-probe assignment): the IVF
-    * search probe set, and q62's overlapping index cells. */
-  private[graft] def probeCellsUdf(cs: Array[Array[Double]], k: Int) = udf { (v: Array[Float]) =>
-    cs.indices.map { c =>
-      val ct = cs(c); var d = 0.0; var i = 0
-      while (i < ct.length) { d += ct(i) * v(i).toDouble; i += 1 }
-      (c, d)
-    }.sortBy(-_._2).take(k).map(_._1)
-  }
+  /** Argmax cell assignment — `graft_nearest_cells` at k=1 (the
+    * codegen'd [[graft.functions.NearestCells]] kernel; NearestCellsSpec
+    * pins bitwise equality with the interpreted argmax it replaced). */
+  private[graft] def assignCell(v: Column, cs: Array[Array[Double]]): Column =
+    element_at(nearestCells(v, cs, 1), 1)
 
   val q43_ann_ivf: Query = Query.noOracle { (s, dir) =>
     val nlist = 16
     val nprobe = 4
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val cents = fitKmeans(e, nlist, rounds = 3)
-    val index = e.withColumn("cell", assignCellUdf(cents)(col("embedding")))
+    val index = e.withColumn("cell", assignCell(col("embedding"), cents))
     val probes = index.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"), explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
+        col("nrm").as("p_nrm"), explode(nearestCells(col("embedding"), cents, nprobe)).as("cell"))
     val cand = index.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
@@ -683,13 +668,13 @@ object VectorOps {
     val cents = fitKmeans(e, nlist, rounds = 3)
     val cb = fitPq(e, m, ksub, rounds = 3)
     val codes = e
-      .withColumn("cell", assignCellUdf(cents)(col("embedding")))
+      .withColumn("cell", assignCell(col("embedding"), cents))
       .select(col("vec_id"), col("cell"), encodePqUdf(cb)(col("embedding")).as("codes"))
       .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
         col("nrm").as("p_nrm"),
-        explode(probeCellsUdf(cents, nprobe)(col("embedding"))).as("cell"))
+        explode(nearestCells(col("embedding"), cents, nprobe)).as("cell"))
     // equi-join on cell: each candidate belongs to exactly ONE cell and a
     // probe's nprobe cells are distinct, so no (probe, cand) dup possible
     val scored = codes.join(broadcast(probes), Seq("cell"))
