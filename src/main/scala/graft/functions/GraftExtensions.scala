@@ -14,6 +14,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Pure range joins (no equi key) become binned equi-joins instead of
     // nested-loop plans; see graft.plans.RangeJoinBinning.
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+    // Whole-operator columnar extension: the batched embedding-inference
+    // stage (LogicalPlan + columnar SparkPlan); see graft.plans.EmbedInference.
+    ext.injectPlannerStrategy(_ => graft.plans.EmbedInferenceStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -228,9 +228,43 @@ object Multimodal {
     }
   }
 
+  /** Wrap a frame carrying a binary payload column with the batched-
+    * columnar embedding-inference stage ([[graft.plans.EmbedInference]]):
+    * appends `embedding array<float>(dim)` computed ColumnarBatch-at-a-
+    * time directly off the scan's batches — the JVM analog of a
+    * `mapInArrow` inference UDF, as a first-class plan node. */
+  def embedStub(df: DataFrame, dim: Int): DataFrame =
+    org.apache.spark.sql.graft.PlanBridge.ofRows(df.sparkSession,
+      graft.plans.EmbedInference(dim, df.queryExecution.analyzed))
+
+  /** Q31e — batched-columnar embedding inference over the media
+    * payloads: the custom columnar operator appends a stub embedding per
+    * document (batch-at-a-time off the parquet scan — MultimodalSpec
+    * pins the plan: no ColumnarToRow below the stage), exploded to
+    * (doc_id, pos, value) for the oracle. The stub arithmetic runs in
+    * FLOAT on both engines, so the doubles compared are bit-equal. */
+  val q31e_embed_infer: Query = Query(
+    """WITH m AS (SELECT doc_id,
+      |                  coalesce(octet_length(encode(text)), 0) AS len
+      |           FROM documents),
+      |     f AS (SELECT doc_id, len, unnest(range(8)) AS pos FROM m)
+      |SELECT doc_id, CAST(pos AS INT) AS pos,
+      |       CAST(CAST((len + 31 * pos) % 127 AS REAL) / CAST(127 AS REAL) AS DOUBLE) AS emb_val
+      |FROM f
+      |ORDER BY doc_id, pos""") { (s, dir) =>
+    // read the string column directly: a cast/alias would interpose a
+    // row-wise Project between the scan and the columnar stage
+    val payload = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+    embedStub(payload, 8)
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .select(col("doc_id"), col("pos"), col("col").cast("double").as("emb_val"))
+      .orderBy("doc_id", "pos")
+  }
+
   val all: Map[String, Query] = Map(
     "q31_multimodal_meta" -> q31_multimodal_meta,
     "q31b_frame_sample" -> q31b_frame_sample,
     "q31c_resize_features" -> q31c_resize_features,
-    "q31d_frame_ann" -> q31d_frame_ann)
+    "q31d_frame_ann" -> q31d_frame_ann,
+    "q31e_embed_infer" -> q31e_embed_infer)
 }
