@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -53,6 +53,34 @@ object Linkage {
       .orderBy("name_a", "name_b")
   }
 
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "tax_nz")
+
+  /** Shared q82/q82b profile body, parameterized on the distinct-count
+    * aggregate (exact countDistinct vs HLL approx_count_distinct). */
+  private def profileOf(s: SparkSession, dir: String,
+      distinctOf: Column => Column): DataFrame = {
+    val cols = ProfileCols
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      nullif(col("l_tax"), lit(0.0)).as("tax_nz"))
+      // spread the aggregation across the cluster even when the scan
+      // is a single split (one row group locally; a straggler file at
+      // scale): hash-repartition on the near-unique price — unlike a
+      // round-robin repartition this needs no local sort, and every
+      // profile aggregate is partitioning-invariant
+      .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nv_$c"), distinctOf(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"), max(col(c)).cast("double").as(s"mx_$c"),
+        dsum(col(c)).as(s"sm_$c"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', n_rows, nv_$c, nd_$c, mn_$c, mx_$c, sm_$c").mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n_rows, n_val, n_distinct, min_val, max_val, sum_val)"))
+      .orderBy("col_name")
+  }
+
   /** Q82 — single-pass column profiling over lineitem: per profiled
     * column, row count, non-null count, exact distinct count, min, max
     * and exact (decimal-summed) total. `tax_nz` derives NULLs via
@@ -62,12 +90,12 @@ object Linkage {
     * counts make Catalyst plan a 5-way Expand (4 distinct groups + the
     * plain aggregates), i.e. a 5x read amplification of the projected
     * columns but still a single scan of the table and one partial+final
-    * exchange keyed by the expand gid. At 100 TB you would swap the
-    * exact distincts for approx_count_distinct (HLL partials, q06b) and
-    * keep everything else identical; the exact form here is the
-    * semantics that sketch approximates. */
+    * exchange keyed by the expand gid. The 100 TB form —
+    * approx_count_distinct (HLL partials, q06b), which removes the
+    * Expand entirely — is benched alongside as [[q82b_profile_approx]];
+    * the exact form here is the semantics that sketch approximates. */
   val q82_profile: Query = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "tax_nz")
+    val cols = ProfileCols
     def perColSql(c: String) =
       s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_val,
          |       count(DISTINCT $c) AS n_distinct,
@@ -80,26 +108,19 @@ object Linkage {
          |            FROM lineitem)
          |${cols.map(perColSql).mkString("\nUNION ALL\n")}
          |ORDER BY col_name""") { (s, dir) =>
-      val li = t(s, dir, "lineitem").select(
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        nullif(col("l_tax"), lit(0.0)).as("tax_nz"))
-        // spread the 5-way Expand across the cluster even when the scan
-        // is a single split (one row group locally; a straggler file at
-        // scale): hash-repartition on the near-unique price — unlike a
-        // round-robin repartition this needs no local sort, and every
-        // profile aggregate is partitioning-invariant
-        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-        Seq(count(col(c)).as(s"nv_$c"), countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("double").as(s"mn_$c"), max(col(c)).cast("double").as(s"mx_$c"),
-          dsum(col(c)).as(s"sm_$c"))
-      }
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stacked = cols.map(c => s"'$c', n_rows, nv_$c, nd_$c, mn_$c, mx_$c, sm_$c").mkString(", ")
-      one.select(expr(
-        s"stack(${cols.size}, $stacked) AS (col_name, n_rows, n_val, n_distinct, min_val, max_val, sum_val)"))
-        .orderBy("col_name")
+      profileOf(s, dir, countDistinct(_))
     }
+  }
+
+  /** Q82b — the documented 100 TB form of the profile, benched as a
+    * first-class query: `approx_count_distinct` (HLL partials, rsd 2%)
+    * replaces the exact distincts, which removes the 5-way Expand
+    * entirely — one plain partial+final aggregation pass, O(1) sketch
+    * state per task. HLL estimates are implementation-specific → no SQL
+    * oracle; LinkageSpec gates every non-distinct column exactly equal
+    * to q82 and the distinct estimates within 5% of exact. */
+  val q82b_profile_approx: Query = Query.noOracle { (s, dir) =>
+    profileOf(s, dir, approx_count_distinct(_, 0.02))
   }
 
   /** Q97 — declarative data-quality audit (the Deequ/expectations
@@ -161,5 +182,6 @@ object Linkage {
   val all: Map[String, Query] = Map(
     "q97_dq_checks" -> q97_dq_checks,
     "q81_fuzzy_match" -> q81_fuzzy_match,
-    "q82_profile" -> q82_profile)
+    "q82_profile" -> q82_profile,
+    "q82b_profile_approx" -> q82b_profile_approx)
 }

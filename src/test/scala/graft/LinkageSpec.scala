@@ -95,6 +95,28 @@ class LinkageSpec extends SparkSpec {
     assert(math.abs(q.getDouble(6) - qs.getDouble(2)) < 1e-6)
   }
 
+
+  test("q82b approx profile: exact columns equal q82, distinct estimates within 5%, no Expand") {
+    val exact = Linkage.q82_profile.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Linkage.q82b_profile_approx.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, a) =>
+      val e = exact(c)
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2), s"$c counts")
+      assert(a.getDouble(4) == e.getDouble(4) && a.getDouble(5) == e.getDouble(5), s"$c min/max")
+      assert(a.getDouble(6) == e.getDouble(6), s"$c sum")
+      val (nd, ndE) = (a.getLong(3).toDouble, e.getLong(3).toDouble)
+      assert(math.abs(nd - ndE) <= 0.05 * ndE + 1, s"$c distinct: $nd vs exact $ndE")
+    }
+    // the whole point of the swap: the 5-way Expand disappears
+    val p = Linkage.q82b_profile_approx.fn(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.split("\n\n").head.contains("Expand"),
+      s"approx profile must plan a plain aggregation, no Expand:\n$p")
+  }
+
   // ---- q37b cluster representatives ------------------------------------
 
   test("q37b picks the max-quality member of every q37 cluster") {
