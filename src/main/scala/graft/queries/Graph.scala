@@ -409,9 +409,53 @@ object Graph {
     }
   }
 
+  /** Q98 — community detection by bounded synchronous min-label
+    * propagation: every node starts labeled with its own id, and each of
+    * the 4 rounds relabels a node with the minimum label among itself
+    * and its in-neighbors. After k rounds a node carries the minimum
+    * node id within its k-hop neighborhood — the standard label-
+    * propagation community signal (and, run to convergence, exactly
+    * connected components; q37's union-find posture is the
+    * to-convergence form, this is the bounded-round one a scheduled
+    * pipeline runs). Pure integer min-arithmetic: deterministic with no
+    * rounding discipline, like q90. The oracle unrolls the same 4
+    * rounds as chained CTEs.
+    *
+    * Scale posture: identical to q90 — the node-sized label table joins
+    * the persisted src-partitioned edge cache each round (only labels
+    * shuffle, never edges), min() partial-aggregates map-side, and
+    * [[Iterate]] supplies the persist/localCheckpoint/one-action
+    * discipline. Bounded rounds = bounded barriers. */
+  val q98_label_prop: Query = {
+    def roundCte(k: Int): String =
+      s"""l$k AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l${k - 1}
+         |        UNION ALL
+         |        SELECT e.dst AS node, l.lbl AS lbl
+         |        FROM e JOIN l${k - 1} l ON e.src = l.node) u
+         |        GROUP BY node)""".stripMargin
+    Query(
+      s"""WITH $edgeCtes,
+         |     l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |     ${(1 to 4).map(roundCte).mkString(",\n")}
+         |SELECT node, lbl AS community FROM l4 ORDER BY node""") { (s, dir) =>
+      val edges = coPurchaseEdges(s, dir).select("src", "dst")
+      val init = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")).persist()
+      val fix = Iterate.loop(init, maxRounds = 4) { (cur, _) =>
+        cur.union(
+          edges.join(cur, edges("src") === cur("node"))
+            .select(col("dst").as("node"), col("lbl")))
+          .groupBy("node").agg(min(col("lbl")).as("lbl"))
+      } { (_, next) => next.count(); false }
+      fix.cur.select(col("node"), col("lbl").as("community")).orderBy("node")
+    }
+  }
+
   val all: Map[String, Query] = Map(
     "q85_pagerank" -> q85_pagerank,
     "q85b_weighted_pagerank" -> q85b_weighted_pagerank,
     "q88_triangles" -> q88_triangles,
-    "q90_sssp" -> q90_sssp)
+    "q90_sssp" -> q90_sssp,
+    "q98_label_prop" -> q98_label_prop)
 }

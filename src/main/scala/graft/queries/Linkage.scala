@@ -179,8 +179,61 @@ object Linkage {
       .orderBy("chk")
   }
 
+  /** Q99 — equi-depth (decile) histogram of order totals via a
+    * DISTRIBUTED global row-number: bucket i holds ranks
+    * (i·N/10, (i+1)·N/10], computed with pure integer arithmetic
+    * ((rn−1)·10 DIV N) over a deterministic total order
+    * (o_totalprice, o_orderkey), so bucket assignment is exact and
+    * engine-independent — no interpolated quantiles, no float boundary
+    * ties. Reports each decile's row count and exact [lo, hi] value
+    * range — the profiling primitive behind equi-depth binning,
+    * drift-bin construction, and range-layout planning.
+    *
+    * Scale posture: the textbook two-pass global rank, with NO
+    * single-partition sort anywhere on the data path.
+    * `repartitionByRange(p, k)` range-partitions the rows so partition
+    * ids are globally ordered; pass 1 is a partition-count-sized
+    * count-per-pid aggregate whose running-sum window runs over ~one
+    * row per partition (the only unpartitioned window in the plan — a
+    * few thousand rows at 100 TB, partition-count-sized metadata like
+    * the IVF centroid table); pass 2 ranks rows LOCALLY within each
+    * range partition and adds the broadcast pid offset. Total data
+    * movement: one range exchange + one pid-local window — the same
+    * shape `zipWithIndex` uses, kept declarative. The decile histogram
+    * itself is a 10-group map-side-combinable aggregate. */
+  val q99_rank_histogram: Query = Query(
+    """WITH r AS (SELECT o_totalprice AS p,
+      |                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |                  count(*) OVER () AS n
+      |           FROM orders)
+      |SELECT CAST(((rn - 1) * 10) // n AS INT) AS bucket,
+      |       count(*) AS n_rows, min(p) AS lo, max(p) AS hi
+      |FROM r GROUP BY 1 ORDER BY bucket""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "orders")
+      .select(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+    val parted = base.repartitionByRange(col("p"), col("k"))
+      .withColumn("pid", spark_partition_id()).persist()
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+    // pid-ordered running sum over the partition-count-sized table; the
+    // single-partition window is over ~32 rows (metadata, not data)
+    val offs = counts.select(col("pid"),
+      (sum("c").over(Window.orderBy("pid")) - col("c")).as("off"))
+    val n = counts.agg(sum("c").as("n"))
+    parted.join(broadcast(offs), "pid")
+      .withColumn("lrn",
+        row_number().over(Window.partitionBy("pid").orderBy("p", "k")).cast("long"))
+      .select(col("p"), (col("lrn") + col("off")).as("rn"))
+      .crossJoin(broadcast(n))
+      .select(col("p"), expr("CAST(((rn - 1) * 10) DIV n AS INT)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("p").as("lo"), max("p").as("hi"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Query] = Map(
     "q97_dq_checks" -> q97_dq_checks,
+    "q99_rank_histogram" -> q99_rank_histogram,
     "q81_fuzzy_match" -> q81_fuzzy_match,
     "q82_profile" -> q82_profile,
     "q82b_profile_approx" -> q82b_profile_approx)

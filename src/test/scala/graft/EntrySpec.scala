@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
     assert(noOracle == Set("q06b_approx_distinct", "q27_simhash",
       "q30_ann_lsh", "q35_stratified_sample", "q38b_approx_percentiles",
       "q43_ann_ivf", "q61_int8_topk",
-      "q62_semdedup", "q70_topk_sketch", "q78_hll_shards",
+      "q62_semdedup", "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx",
       "q79_pq_ann", "q79b_ivf_pq"), noOracle)
     // every oracle references a known table and is runnable-looking SQL
     val tables = graft.engine.Tables.names

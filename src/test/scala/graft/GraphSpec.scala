@@ -176,4 +176,21 @@ class GraphSpec extends SparkSpec {
     assert(n <= 3, s"dedups must not add exchanges, got $n:\n$p")
     assert(!p.contains("Window"), s"edge build must not sort the edge stream:\n$p")
   }
+  test("q98 equals a sequential 4-round synchronous min-label propagation") {
+    val e = Graph.coPurchaseEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inN = e.groupBy(_._2).map { case (n, es) => n -> es.map(_._1) }
+    var lbl = e.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      val old = lbl
+      lbl = old.map { case (n, l) =>
+        n -> (inN.getOrElse(n, Array.empty[Long]).map(old) :+ l).min
+      }
+    }
+    val got = Graph.q98_label_prop.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl, "communities equal the sequential synchronous replay")
+    assert(lbl.values.toSet.size < lbl.size, "labels actually coalesce")
+    assert(lbl.forall { case (n, l) => l <= n }, "labels only decrease")
+  }
 }

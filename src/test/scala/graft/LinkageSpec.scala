@@ -148,4 +148,31 @@ class LinkageSpec extends SparkSpec {
       assert(repSet.contains(best), s"best-quality member $best not chosen as a representative")
     }
   }
+  test("q99 distributed global rank equals the single-window form; one metadata-sized SinglePartition only") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Linkage.q99_rank_histogram.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // sequential oracle: global sort by (price, key), integer-decile ranks
+    val rows = graft.engine.Tables.table(spark, dir, "orders")
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+    val n = rows.length
+    val brute = rows.zipWithIndex.groupBy { case (_, i) => (i.toLong * 10 / n).toInt }
+      .map { case (b, rs) =>
+        (b, rs.length.toLong, rs.map(_._1._1).min, rs.map(_._1._1).max) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == brute, "deciles equal the sequential global rank")
+    assert(got.map(_._2).sum == n, "every row lands in exactly one bucket")
+    // plan pin: the DATA path must never collapse to one partition — the
+    // only SinglePartition exchange feeds the partition-count-sized
+    // offset table (metadata), and the base ranking window is
+    // partitioned by pid over a range exchange
+    val p = Linkage.q99_rank_histogram.fn(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning(p"), s"range exchange on (p, k) missing:\n$p")
+    // two metadata-sized SinglePartitions are legitimate: the pid-count
+    // offset window (~one row per partition) and the 1-row grand total n
+    val single = "SinglePartition".r.findAllIn(p).size
+    assert(single <= 2, s"only metadata-sized tables may SinglePartition, got $single:\n$p")
+  }
 }

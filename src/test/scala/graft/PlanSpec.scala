@@ -141,11 +141,16 @@ class PlanSpec extends SparkSpec {
     //  - q85/q85b: the per-round rank mail table (node-sized) broadcasts
     //    behind the NodeBroadcastLimit runtime gate (Graph.pagerankGated)
     //    — past it the rank table shuffles to the edge partitioning
-    //    (GraphSpec forces the shuffle side and equates bitwise).
+    //    (GraphSpec forces the shuffle side and equates bitwise);
+    //  - q99: the broadcast pid-offset table is ONE ROW PER RANGE
+    //    PARTITION (partition-count metadata, ~KBs at any data scale);
+    //    the boundedness heuristic can't see that pid is
+    //    spark_partition_id(), so the bound is pinned in LinkageSpec
+    //    (SinglePartition count + range-exchange plan pins).
     val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
       "q77_robust_clip", "q88_triangles",
-      "q85_pagerank", "q85b_weighted_pagerank")
+      "q85_pagerank", "q85b_weighted_pagerank", "q99_rank_histogram")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !exempt(name)

@@ -271,4 +271,32 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+  test("q100 PSI equals a sequential recomputation; terms nonnegative, shares sum to 1") {
+    val cut = java.time.LocalDateTime.of(2024, 1, 16, 0, 0)
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime, r.getDouble(1)))
+    val ref = ev.filter(_._1.isBefore(cut)).map(_._2)
+    val cur = ev.filter(e => !e._1.isBefore(cut)).map(_._2)
+    val (mn, mx) = (ref.min, ref.max)
+    def cr(x: Double, d: Int): Double = { val f = math.pow(10, d); math.floor(x * f + 0.5) / f }
+    def bucket(v: Double): Int =
+      math.min(9, math.max(0, math.floor((v - mn) * 10.0 / (mx - mn)).toInt))
+    val nr = ref.count(_ => true).toDouble
+    val nc = cur.length.toDouble
+    val rb = ref.groupBy(bucket).map { case (b, vs) => b -> vs.length.toLong }
+    val cb = cur.groupBy(bucket).map { case (b, vs) => b -> vs.length.toLong }
+    val brute = (rb.keySet ++ cb.keySet).toSeq.sorted.map { b =>
+      val (p, q) = (rb.getOrElse(b, 0L) / nr, cb.getOrElse(b, 0L) / nc)
+      (b, rb.getOrElse(b, 0L), cb.getOrElse(b, 0L), cr(p, 6), cr(q, 6),
+        cr((p - q) * math.log((p + 1e-6) / (q + 1e-6)), 6))
+    }
+    val got = Temporal.q100_psi_drift.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == brute, "PSI rows equal the sequential recomputation")
+    assert(got.forall(_._6 >= 0), "every PSI term is nonnegative")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4 &&
+      math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1 per window")
+  }
 }
