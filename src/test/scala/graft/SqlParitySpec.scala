@@ -28,7 +28,7 @@ class SqlParitySpec extends SparkSpec {
     "q45_smoothed_avg", "q07c_window_battery", "q33b_heroic_deep",
     "q66_corpus_upsert", "q81_fuzzy_match", "q82_profile",
     "q85_pagerank", "q85b_weighted_pagerank", "q86_ab_ttest", "q90_sssp",
-    "q95_chisq", "q97_dq_checks")
+    "q95_chisq", "q97_dq_checks", "q98_label_prop", "q100_psi_drift")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
