@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 
@@ -143,6 +143,72 @@ object Streams {
       col("user_id") === col("c_custkey"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("c_mktsegment").as("segment"), col("c_nationkey").cast("int").as("nationkey"))
+
+  /** Reference side of the streaming drift monitor (q100's streaming
+    * face), computed ONCE in batch from the reference window: a 10-row
+    * frame (bucket, ref_share, mn, mx) fixing both the equi-width bin
+    * edges and the reference distribution every live window is compared
+    * against. Metadata-sized — it broadcasts to the stream. */
+  def driftReference(refEvents: DataFrame): DataFrame = {
+    val stats = refEvents.agg(min("value").as("mn"), max("value").as("mx"),
+      count(lit(1)).as("nr"))
+    refEvents.crossJoin(broadcast(stats))
+      .select(driftBucket(col("value"), col("mn"), col("mx")).as("bucket"),
+        col("mn"), col("mx"), col("nr"))
+      .groupBy("bucket", "mn", "mx", "nr").agg(count(lit(1)).as("n_ref"))
+      .select(col("bucket"),
+        graft.queries.cround(col("n_ref") * lit(1.0) / col("nr"), 6).as("ref_share"),
+        col("mn"), col("mx"))
+  }
+
+  /** q100's bin expression: equi-width decile against the reference
+    * [mn, mx], outliers clamped into the edge bins. */
+  private def driftBucket(v: Column, mn: Column, mx: Column): Column =
+    least(lit(9), greatest(lit(0),
+      floor((v - mn) * lit(10.0) / (mx - mn)))).cast("int")
+
+  /** Streaming distribution-drift monitor — q100's streaming face. The
+    * live stream is binned STATELESSLY against the static reference
+    * (broadcast 10-row frame; the bin edges ride on every row, so the
+    * join is a 1-row-class broadcast, never stream state) and counted
+    * per (tumbling day, bucket) — ONE streaming aggregation whose state
+    * is ∝ open windows × 10 bins, watermark-evictable. Each output row
+    * already carries its bucket's reference share, so the PSI finalizer
+    * [[driftPsi]] is pure arithmetic on the (windows × 10)-row result —
+    * sink-side/foreachBatch work, never stream state. Same expression
+    * runs in batch; StreamsSpec asserts batch ≡ stream and finalizes
+    * both identically. */
+  def driftBinCounts(events: DataFrame, reference: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    val edges = reference.select("mn", "mx").distinct()
+    src.crossJoin(broadcast(edges))
+      .select(col("ts"), driftBucket(col("value"), col("mn"), col("mx")).as("bucket"))
+      .join(broadcast(reference.select("bucket", "ref_share")), Seq("bucket"))
+      .groupBy(window(col("ts"), "1 day"), col("bucket"))
+      .agg(count(lit(1)).as("n_cur"), max("ref_share").as("ref_share"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("bucket"), col("n_cur"), col("ref_share"))
+  }
+
+  /** PSI finalizer over [[driftBinCounts]] output: per live window,
+    * cur shares against the carried reference shares and the q100 PSI
+    * term (p−q)·ln((p+ε)/(q+ε)), ε = 1e-6. Runs on the finalized
+    * windows×10 count table (a per-trigger foreachBatch in production,
+    * plain batch here) — window totals via a partitioned window over
+    * tiny rows, no stream state. */
+  def driftPsi(binCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = col("ref_share")
+    val q = col("n_cur") * lit(1.0) / col("n_win")
+    binCounts
+      .withColumn("n_win", sum("n_cur").over(Window.partitionBy("win_us")))
+      .select(col("win_us"), col("bucket"), col("n_cur"),
+        col("ref_share"), graft.queries.cround(q, 6).as("cur_share"),
+        graft.queries.cround((p - q) * log((p + lit(1e-6)) / (q + lit(1e-6))), 6)
+          .as("psi_term"))
+      .orderBy("win_us", "bucket")
+  }
 
   /** Stateful streaming dedup on event_id; state for ids older than the
     * watermark is dropped (dropDuplicatesWithinWatermark). */

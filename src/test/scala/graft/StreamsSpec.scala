@@ -69,6 +69,30 @@ class StreamsSpec extends SparkSpec {
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("streaming PSI drift monitor equals the batch composition (stateless broadcast binning)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val cut = Timestamp.valueOf("2024-01-16 00:00:00")
+    val (refEvs, curEvs) = loadEvents().partition(_.ts.before(cut))
+    val reference = Streams.driftReference(refEvs.toDF()).persist()
+    assert(reference.count() == 10, "reference fixes all 10 decile bins")
+    val stream = MemoryStream[Event]
+    curEvs.grouped(400).foreach(chunk => stream.addData(chunk))
+    val got = runToCompletion(
+      Streams.driftBinCounts(stream.toDF(), reference), "t_drift", "complete")
+    val want = Streams.driftBinCounts(curEvs.toDF(), reference)
+    assert(canon(got) == canon(want))
+    assert(canon(Streams.driftPsi(got)) == canon(Streams.driftPsi(want)))
+    val psi = Streams.driftPsi(want).collect()
+    assert(psi.nonEmpty && psi.forall(_.getDouble(5) >= 0), "PSI terms nonnegative")
+    val shareSums = psi.groupBy(_.getLong(0)).values.map(_.map(_.getDouble(4)).sum)
+    assert(shareSums.forall(s => math.abs(s - 1.0) < 1e-3), "cur shares sum to ~1 per window")
+    // binning must be the stateless broadcast kind — no stream-stream state
+    val bp = want.queryExecution.executedPlan.toString
+    assert(bp.contains("Broadcast"), bp.linesIterator.take(8).mkString("\n"))
+    reference.unpersist()
+  }
+
   test("Q19 tumbling window: stream (complete mode) equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
