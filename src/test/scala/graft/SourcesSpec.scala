@@ -206,4 +206,54 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == src.filter(col("yr") === 1996).count())
     assert(plan.contains("PartitionFilters: [isnotnull(yr"), plan)
   }
+
+  test("dynamic partition pruning: a dimension filter prunes the fact scan at runtime") {
+    // the 100 TB posture for star joins: the fact side is partitioned on
+    // the join key, the dim side carries the selective predicate, and
+    // Spark injects the dim's key set into the fact scan's partition
+    // filters AT RUNTIME (no static literal anywhere) — the fact scan
+    // reads only matching partitions. Static pruning (test above) covers
+    // literal predicates; this covers predicates only a join can deliver.
+    import spark.implicits._
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    src.write.mode("overwrite").partitionBy("yr").parquet(s"$tmp/orders_dpp")
+    val fact = spark.read.parquet(s"$tmp/orders_dpp")
+    // the dim must be a real source (a LocalRelation constant-folds its
+    // filter away and the pruning rule sees no selective predicate)
+    Seq((1996, "keep"), (1997, "drop")).toDF("yr", "tag")
+      .write.mode("overwrite").parquet(s"$tmp/dim_dpp")
+    val dim = spark.read.parquet(s"$tmp/dim_dpp")
+    val joined = fact.join(dim.filter(col("tag") === "keep"), "yr")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"fact scan must carry a runtime partition filter:\n$plan")
+    assert(joined.count() == src.filter(col("yr") === 1996).count())
+  }
+
+  test("runtime bloom-filter join: the build side's key bloom filters the probe scan") {
+    // the second runtime-pruning shape: when the join key is NOT the
+    // partition column, Spark can still build a bloom filter from the
+    // (filtered, small) build side and inject might_contain into the
+    // probe scan — rows that cannot join die at the scan instead of
+    // traveling through the shuffle. Thresholds are sized for real
+    // clusters (10 MB build / 10 GB probe), so the fixture forces them
+    // down in a sibling session; the assertion is shape + equality.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // keep the join a shuffle join so the filter has a shuffle to save
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.table(s2, "/root/testdata/sf0.001", "lineitem")
+    val ords = Tables.table(s2, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val probe = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloom"), s"probe side must carry the runtime bloom filter:\n$plan")
+    val want = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .join(Tables.table(spark, "/root/testdata/sf0.001", "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(probe.count() == want)
+  }
 }
