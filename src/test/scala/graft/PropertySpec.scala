@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Duels, Heroic}
+import graft.streaming.Streams
 
 /** Property/law tests over randomized inputs (SURVEY.md §5.2.2): algebraic
   * invariants that must hold for any data, checked on seeded random duel
@@ -218,5 +219,42 @@ class PropertySpec extends SparkSpec {
       .fn(spark, dir).repartition(13).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(re == out.toSet)
+  }
+  test("q99 decile buckets: sizes differ by at most one, ranges are ordered and disjoint") {
+    // the equi-depth law: bucket b holds ranks ((b*N)/10, ((b+1)*N)/10],
+    // so sizes are floor(N/10) or ceil(N/10) for ANY value distribution
+    // (duplicates included — the composite (value, key) order breaks ties)
+    val got = graft.queries.Linkage.q99_rank_histogram
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = got.map(_._2).sum
+    assert(got.map(_._1).toSeq == (0 to 9), "all ten deciles present")
+    assert(got.forall { case (_, c, _, _) => c == n / 10 || c == n / 10 + 1 },
+      s"bucket sizes must be floor/ceil of N/10: ${got.map(_._2).mkString(",")}")
+    got.sliding(2).foreach { case Array((_, _, _, hi0), (_, _, lo1, _)) =>
+      assert(hi0 <= lo1, "decile value ranges are ordered and non-overlapping")
+    }
+    got.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+  }
+
+  test("PSI law: a window distributed exactly like the reference scores zero drift") {
+    // feed the SAME rows as reference and live traffic: every bucket's
+    // cur share equals its ref share, so each (p-q)ln((p+e)/(q+e)) term
+    // is 0 under canonical rounding — the monitor's null calibration
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val day = (1 to 2000).map { i =>
+      Streams.Event(i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-03-05 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(100).toLong, "view", rnd.nextGaussian() * 10 + 50)
+    }
+    val df = day.toDF()
+    val reference = Streams.driftReference(df)
+    val psi = Streams.driftPsi(Streams.driftBinCounts(df, reference)).collect()
+    assert(psi.nonEmpty)
+    psi.foreach { r =>
+      assert(r.getDouble(5) == 0.0, s"identical distribution must score 0, got $r")
+      assert(r.getDouble(3) == r.getDouble(4), "cur share equals ref share")
+    }
   }
 }
