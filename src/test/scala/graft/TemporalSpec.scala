@@ -299,4 +299,55 @@ class TemporalSpec extends SparkSpec {
     assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4 &&
       math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1 per window")
   }
+  test("q101 PIT join equals a sequential as-of-state replay; states vary; pre-activity purchases drop") {
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val byUser = ev.groupBy(_._2)
+    def stateAt(user: Long, us: Long, eid: Long): Option[(String, Long, Long)] = {
+      // runs of the user's non-purchase events in (us, event_id) order;
+      // the active run is the last one starting at or before the probe
+      val acts = byUser(user).filter(_._4 != "purchase").sortBy(e => (e._3, e._1))
+      if (acts.isEmpty) return None
+      val runs = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)] // (type, from, n)
+      acts.foreach { a =>
+        if (runs.nonEmpty && runs.last._1 == a._4)
+          runs.update(runs.size - 1, (runs.last._1, runs.last._2, runs.last._3 + 1))
+        else runs += ((a._4, a._3, 1L))
+      }
+      val active = runs.zipWithIndex.filter(_._1._2 <= us).lastOption
+      active.map { case ((tpe, from, n), _) => (tpe, from, n) }
+    }
+    val purchases = ev.filter(_._4 == "purchase")
+    val expect = purchases.flatMap { p =>
+      stateAt(p._2, p._3, p._1).map(st => p._1 -> st)
+    }.toMap
+    val got = Temporal.q101_pit_join.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, "every joined purchase carries the replay's as-of state")
+    assert(got.size < purchases.length, "some purchases predate any activity and drop")
+    assert(got.values.map(_._1).toSet.size > 1, "states are not a constant")
+  }
+
+  test("q102 OHLC bars equal a sequential resample replay") {
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def cr(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val brute = ev.groupBy(e => (e._1, Math.floorDiv(e._2, 21600000000L))).map { case ((tpe, bkt), rows) =>
+      val sorted = rows.sortBy(e => (e._2, e._3))
+      val mean = cr(rows.map(e => BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / rows.length)
+      (tpe, bkt) -> ((rows.length.toLong, sorted.head._4, rows.map(_._4).max,
+        rows.map(_._4).min, sorted.last._4, mean))
+    }
+    val got = Temporal.q102_ohlc_bars.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got == brute, "bars equal the sequential resample")
+    assert(got.exists { case (_, (_, o, h, l, c, _)) => o != c || h != l },
+      "the fixture has non-degenerate bars")
+  }
 }
