@@ -24,7 +24,8 @@ class AllPlansSpec extends SparkSpec {
     * broadcasts the 10 probe LUT rows (the code table side streams);
     * q84 crosses the one-row (min_day, max_day) spine bounds; q99
     * crosses the one-row grand total N; q100 crosses the one-row
-    * reference min/max/count and current-count frames. */
+    * reference min/max/count and current-count frames; q103 crosses
+    * the one-row (nr, nc) totals twice (CDF shares + p-value). */
   private val boundedCross = Set(
     "q17_cosine_topk", "q28_cosine_top_pairs", "q29_tfidf",
     "q46_embed_dedup", "q47_contamination", "q47b_contamination_bloom",
@@ -33,7 +34,7 @@ class AllPlansSpec extends SparkSpec {
     "q71_curate_corpus",
     "q78_hll_shards", "q79_pq_ann", "q84_gapfill_ffill", "q88_triangles",
     "q91_collocations", "q31d_frame_ann", "q95_chisq",
-    "q99_rank_histogram", "q100_psi_drift")
+    "q99_rank_histogram", "q100_psi_drift", "q103_ks_test")
 
   test("no registered query plans a cartesian or nested-loop join (whitelisted scalar crosses aside)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

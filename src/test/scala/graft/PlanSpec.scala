@@ -146,11 +146,13 @@ class PlanSpec extends SparkSpec {
     //    PARTITION (partition-count metadata, ~KBs at any data scale);
     //    the boundedness heuristic can't see that pid is
     //    spark_partition_id(), so the bound is pinned in LinkageSpec
-    //    (SinglePartition count + range-exchange plan pins).
+    //    (SinglePartition count + range-exchange plan pins);
+    //  - q103: same machinery, same bound, pinned in TemporalSpec.
     val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
       "q77_robust_clip", "q88_triangles",
-      "q85_pagerank", "q85b_weighted_pagerank", "q99_rank_histogram")
+      "q85_pagerank", "q85b_weighted_pagerank", "q99_rank_histogram",
+      "q103_ks_test")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !exempt(name)

@@ -350,4 +350,31 @@ class TemporalSpec extends SparkSpec {
     assert(got.exists { case (_, (_, o, h, l, c, _)) => o != c || h != l },
       "the fixture has non-degenerate bars")
   }
+  test("q103 KS statistic equals a sequential CDF replay; no data-sized single partition") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").toLocalDateTime
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime, r.getDouble(1)))
+    val ref = ev.filter(_._1.isBefore(cut)).map(_._2).sorted
+    val cur = ev.filter(e => !e._1.isBefore(cut)).map(_._2).sorted
+    def cdf(xs: Array[Double], v: Double): Double = {
+      var lo = 0; var hi = xs.length // first index with xs(i) > v
+      while (lo < hi) { val m = (lo + hi) / 2; if (xs(m) <= v) lo = m + 1 else hi = m }
+      lo.toDouble / xs.length
+    }
+    val d = (ref ++ cur).map(v => math.abs(cdf(ref, v) - cdf(cur, v))).max
+    def cr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val row = Temporal.q103_ks_test.fn(spark, dir).collect().head
+    assert(row.getLong(0) == ref.length && row.getLong(1) == cur.length)
+    assert(row.getDouble(2) == cr6(d), s"D ${row.getDouble(2)} != replay ${cr6(d)}")
+    assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1)
+    val p = Temporal.q103_ks_test.fn(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning(value"), s"range exchange on value missing:\n$p")
+    // metadata-sized SinglePartitions only: pid offsets, the 1-row
+    // totals (whose exchange prints once per broadcast use — twice),
+    // and the final 1-row D aggregate
+    val single = "SinglePartition".r.findAllIn(p).size
+    assert(single <= 4, s"only metadata-sized tables may SinglePartition, got $single:\n$p")
+  }
 }
