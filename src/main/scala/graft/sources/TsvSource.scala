@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,6 +33,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    task (the reference fixture is 518 rows — splitting within a file
   *    would be the standard byte-range extension and changes nothing
   *    structurally).
+  *  - **Aggregate pushdown** (`SupportsPushDownAggregates`): ungrouped
+  *    MIN/MAX/COUNT/COUNT(*) (composed with any pushed filters)
+  *    collapse each file to ONE partial row inside the reader — the
+  *    scan ships one row per file instead of the file's rows, and
+  *    Spark's final aggregate merges the partials (min of mins, sum of
+  *    counts). Partial, not complete, pushdown: correct under any
+  *    partition count, which is the posture that matters at scale.
   *
   * Usage: `spark.read.format(classOf[TsvTableProvider].getName)
   * .load(dir)`; [[graft.ops.Duels.readOriginV2]] wires it to the origin
@@ -79,6 +87,28 @@ object TsvSource {
     case _ => _ => true
   }
 
+  /** Compile a pushed aggregate into (fold, empty-value) over the
+    * parsed raw line columns: (state, raw) => state'. State longs,
+    * MIN/MAX seeded by the first row (empty partitions emit null). */
+  def compileAgg(a: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): AggFold = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Int =
+      colIndex(e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+        .fieldNames()(0))
+    a match {
+      case m: Min => val i = field(m.column); AggFold(math.min, i, countLike = false)
+      case m: Max => val i = field(m.column); AggFold(math.max, i, countLike = false)
+      case c: Count => val i = field(c.column); AggFold((s, _) => s + 1, i, countLike = true)
+      case _: CountStar => AggFold((s, _) => s + 1, 0, countLike = true)
+      case other => throw new IllegalArgumentException(s"unpushable aggregate ${other}")
+    }
+  }
+
+  /** One pushed aggregate's fold: combine(state, value), the source
+    * column index, and whether the empty state is 0 (counts) or null
+    * (extrema). */
+  final case class AggFold(combine: (Long, Long) => Long, col: Int, countLike: Boolean)
+
   def pushable(f: Filter): Boolean = f match {
     case EqualTo(a, _: Long) => colIndex.contains(a)
     case GreaterThan(a, _: Long) => colIndex.contains(a)
@@ -100,9 +130,11 @@ class TsvTable(path: String) extends Table with SupportsRead {
 }
 
 class TsvScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = TsvSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Array[AggregateFunc] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -112,7 +144,44 @@ class TsvScanBuilder(path: String) extends ScanBuilder
     reject // residual filters Catalyst must still evaluate
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TsvScan(path, required, pushed)
+
+  /** Single-column field name of a V2 expression when it names one of
+    * our columns. */
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames.length == 1 && TsvSource.colIndex.contains(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // ungrouped MIN/MAX/COUNT/COUNT(*) only; anything else stays in Spark
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val ok = aggregation.aggregateExpressions.forall {
+      case m: Min => fieldOf(m.column).isDefined
+      case m: Max => fieldOf(m.column).isDefined
+      case c: Count => !c.isDistinct && fieldOf(c.column).isDefined
+      case _: CountStar => true
+      case _ => false
+    }
+    if (ok) aggs = aggregation.aggregateExpressions
+    ok
+  }
+
+  /** Intermediate (partial) schema the scan emits when aggregated: one
+    * field per pushed function, long-typed; MIN/MAX are nullable (an
+    * empty partition has no extremum), counts are not. */
+  private def aggSchema: StructType = StructType(aggs.map {
+    case m: Min => StructField(s"min_${fieldOf(m.column).get}", LongType, nullable = true)
+    case m: Max => StructField(s"max_${fieldOf(m.column).get}", LongType, nullable = true)
+    case c: Count => StructField(s"count_${fieldOf(c.column).get}", LongType, nullable = false)
+    case _: CountStar => StructField("count_star", LongType, nullable = false)
+  })
+
+  override def build(): Scan =
+    if (aggs.isEmpty) new TsvScan(path, required, pushed)
+    else new TsvAggScan(path, aggSchema, aggs.map(TsvSource.compileAgg), pushed)
 }
 
 case class TsvFilePartition(file: String) extends InputPartition
@@ -128,6 +197,59 @@ class TsvScan(path: String, required: StructType, pushed: Array[Filter])
     TsvSource.listFiles(path).map(TsvFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(required.fieldNames, pushed)
+}
+
+/** Scan variant with pushed aggregation: one partial row per file. */
+class TsvAggScan(path: String, aggSchema: StructType,
+    folds: Array[TsvSource.AggFold], pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTsv path=$path, PushedAggregates=[${aggSchema.fieldNames.mkString(", ")}], " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    TsvSource.listFiles(path).map(TsvFilePartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvAggReaderFactory(folds, pushed)
+}
+
+class TsvAggReaderFactory(folds: Array[TsvSource.AggFold], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TsvFilePartition].file
+    val preds = pushed.map(TsvSource.compile)
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        val lines = scala.io.Source.fromFile(file)
+        try {
+          val state = new Array[Long](folds.length)
+          var n = 0L
+          lines.getLines().foreach { line =>
+            val parts = line.split("\t", -1)
+            val raw = Array.tabulate(4)(i => parts(i).trim.toLong)
+            if (preds.forall(_(raw))) {
+              var i = 0
+              while (i < folds.length) {
+                val f = folds(i)
+                state(i) = if (n == 0 && !f.countLike) raw(f.col)
+                  else f.combine(state(i), raw(f.col))
+                i += 1
+              }
+              n += 1
+            }
+          }
+          InternalRow.fromSeq(folds.zipWithIndex.map { case (f, i) =>
+            if (n == 0 && !f.countLike) null else java.lang.Long.valueOf(state(i))
+          }.toSeq)
+        } finally lines.close()
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class TsvReaderFactory(requiredCols: Array[String], pushed: Array[Filter])

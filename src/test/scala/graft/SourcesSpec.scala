@@ -256,4 +256,30 @@ class SourcesSpec extends SparkSpec {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(probe.count() == want)
   }
+  test("DSv2 graft-tsv aggregate pushdown: MIN/MAX/COUNT collapse to one partial row per file") {
+    val v2 = graft.ops.Duels.readOriginV2(spark, "/root/reference/origin")
+    val agg = v2.agg(count(lit(1)).as("n"), min("score").as("mn"),
+      max("duration").as("mx"), count("challenger").as("nc"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count_star, min_score, max_duration, count_challenger]"),
+      s"aggregates must reach the reader:\n$plan")
+    val want = graft.ops.Duels.readOrigin(spark, "/root/reference/origin")
+      .agg(count(lit(1)), min("score"), max("duration"), count("challenger"))
+      .collect().head
+    assert(agg.collect().head == want, "pushed partials finalize to the csv reader's answer")
+    // composes with pushed filters; a filter that kills every row yields
+    // count 0 and NULL extrema (the empty-partition contract)
+    val none = v2.filter(col("score") > Long.MaxValue - 1)
+      .agg(count(lit(1)).as("n"), min("score").as("mn"))
+    val nonePlan = none.queryExecution.executedPlan.toString
+    assert(nonePlan.contains("PushedAggregates=[count_star, min_score]"), nonePlan)
+    val r = none.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1), s"empty partials must finalize to (0, NULL): $r")
+    // grouped aggregation is NOT pushed — it stays a normal scan + shuffle agg
+    val grouped = v2.groupBy("challenger").agg(min("score"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "grouped aggregation must not push")
+    assert(grouped.count() == graft.ops.Duels.readOrigin(spark, "/root/reference/origin")
+      .groupBy("challenger").agg(min("score")).count())
+  }
 }
