@@ -125,7 +125,75 @@ object Funnel {
       .orderBy("user_id")
   }
 
+  /** Q104 — token-bucket rate-limiter audit: per user, replay events in
+    * the deterministic (ts, event_id) order against a token bucket
+    * (capacity 6 h of credit, each event costs 3 h, refill = elapsed
+    * microseconds, bucket starts full at the user's first event — sized
+    * so the fixture's burst structure actually throttles ~3% of events
+    * at every test SF) and
+    * report admitted/throttled counts plus the final balance. The
+    * clamped state update tokens' = min(CAP, tokens + elapsed) − cost
+    * is a SEQUENTIAL state machine — not window-expressible (the clamp
+    * makes each step depend on the previous step's full state, unlike a
+    * running sum) — so the engine runs it as a sorted-group fold
+    * (`flatMapSortedGroups`, the q80 secondary-sort posture) in pure
+    * integer arithmetic, exactly deterministic. The oracle walks the
+    * same machine as a recursive CTE over per-user row numbers.
+    *
+    * Scale posture: ONE shuffle (groupByKey on user_id); the sort is
+    * per-group inside the shuffle (secondary sort, no global sort); the
+    * fold is O(events-per-user) with O(1) state. The streaming twin of
+    * this shape is a transformWithState ValueState — the same machine
+    * the ledger already demonstrates. */
+  val q104_rate_limit: Query = {
+    val Cap = 21600000000L // 6 h of credit, in microseconds
+    val Cost = 10800000000L // each admitted event spends 3 h
+    Query(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |walk AS (
+         |  SELECT user_id, rn, us,
+         |         $Cap - $Cost AS tokens, 0 AS throttled
+         |  FROM e WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.us,
+         |         CASE WHEN least($Cap, w.tokens + (e.us - w.us)) >= $Cost
+         |              THEN least($Cap, w.tokens + (e.us - w.us)) - $Cost
+         |              ELSE least($Cap, w.tokens + (e.us - w.us)) END,
+         |         CASE WHEN least($Cap, w.tokens + (e.us - w.us)) >= $Cost
+         |              THEN 0 ELSE 1 END
+         |  FROM e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(throttled) AS BIGINT) AS n_throttled,
+         |       CAST(arg_max(tokens, rn) AS BIGINT) AS final_tokens
+         |FROM walk GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      import s.implicits._
+      ev(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapSortedGroups(col("us"), col("event_id")) { (uid, events) =>
+          var tokens = Cap
+          var prevUs = 0L
+          var n = 0L; var throttled = 0L
+          events.foreach { e =>
+            if (n > 0) tokens = math.min(Cap, tokens + (e.us - prevUs))
+            if (tokens >= Cost) tokens -= Cost else throttled += 1
+            prevUs = e.us
+            n += 1
+          }
+          if (n == 0) Iterator.empty else Iterator((uid, n, throttled, tokens))
+        }
+        .toDF("user_id", "n_events", "n_throttled", "final_tokens")
+        .orderBy("user_id")
+    }
+  }
+
   val all: Map[String, Query] = Map(
+    "q104_rate_limit" -> q104_rate_limit,
     "q35_stratified_sample" -> q35_stratified_sample,
     "q36_funnel" -> q36_funnel,
     "q80_cogroup_attribution" -> q80_cogroup_attribution)

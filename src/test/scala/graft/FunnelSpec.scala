@@ -58,4 +58,37 @@ class FunnelSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"))
     assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"))
   }
+  test("q104 token bucket equals a sequential replay; throttling is non-vacuous; one exchange + in-shuffle sort") {
+    val dir = "/root/testdata/sf0.001"
+    val Cap = 21600000000L; val Cost = 10800000000L
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = ev.groupBy(_._1).map { case (u, es) =>
+      var tokens = Cap; var prev = 0L; var n = 0L; var thr = 0L
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        if (n > 0) tokens = math.min(Cap, tokens + (e._2 - prev))
+        if (tokens >= Cost) tokens -= Cost else thr += 1
+        prev = e._2; n += 1
+      }
+      u -> ((n, thr, tokens))
+    }
+    val got = Funnel.q104_rate_limit.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == brute, "bucket states equal the sequential replay")
+    assert(got.values.map(_._2).sum > 0, "the fixture actually throttles")
+    assert(got.values.map(_._2).sum < got.values.map(_._1).sum, "and actually admits")
+    // one user-keyed exchange; the (us, event_id) order is a sort INSIDE
+    // the shuffle partition, never a global sort
+    val p = Funnel.q104_rate_limit.fn(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the typed groupByKey key is projected as `value`
+    assert(p.contains("hashpartitioning(value"),
+      s"key-hashed exchange expected:\n$p")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+      "sorted-group fold operator expected")
+    // the only range partitioning is the presentation sort of the
+    // result (one row per user), never the event stream
+    assert(!p.contains("rangepartitioning(us#"), "no global sort of the event stream")
+  }
 }
