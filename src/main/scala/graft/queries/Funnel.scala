@@ -145,9 +145,14 @@ object Funnel {
     * fold is O(events-per-user) with O(1) state. The streaming twin of
     * this shape is a transformWithState ValueState — the same machine
     * the ledger already demonstrates. */
+  /** q104's bucket parameters, shared with the streaming twin
+    * ([[graft.streaming.Streams.rateLimitStream]]). */
+  private[graft] val RateCap = 21600000000L // 6 h of credit, in microseconds
+  private[graft] val RateCost = 10800000000L // each admitted event spends 3 h
+
   val q104_rate_limit: Query = {
-    val Cap = 21600000000L // 6 h of credit, in microseconds
-    val Cost = 10800000000L // each admitted event spends 3 h
+    val Cap = RateCap
+    val Cost = RateCost
     Query(
       s"""WITH RECURSIVE e AS (
          |  SELECT user_id, epoch_us(ts) AS us, event_id,

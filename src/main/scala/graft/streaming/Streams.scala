@@ -782,6 +782,54 @@ object Streams {
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-user token-bucket state held by [[rateLimitStream]]. */
+  final case class BucketState(tokens: Long, prev_us: Long, n: Long, throttled: Long)
+  final case class BucketRow(user_id: Long, n_events: Long, n_throttled: Long,
+      final_tokens: Long)
+
+  /** Streaming token-bucket rate limiter — q104's streaming face and the
+    * third `transformWithState` user: per user, ONE ValueState holds
+    * (tokens, prev event time, counts); each micro-batch's rows for a
+    * key are sorted by (us, event_id) BEFORE the fold, so within-batch
+    * disorder is absorbed, and the clamp arithmetic is the exact integer
+    * machine of the batch query (same RateCap/RateCost constants —
+    * a fix lands in one place). Cross-batch order is the replay
+    * contract, as for [[scd2Stream]]; a disorder-tolerant variant would
+    * buffer behind a watermark exactly like [[scd2StreamBuffered]].
+    * Emits the running audit row per key per batch (Update mode);
+    * O(1) state per key. StreamsSpec replays chunked WITH within-chunk
+    * shuffling and asserts the final rows equal batch q104. */
+  def rateLimitStream(events: Dataset[Event]): Dataset[BucketRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val Cap = graft.queries.Funnel.RateCap
+    val Cost = graft.queries.Funnel.RateCost
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val processor = new StatefulProcessor[Long, Event, BucketRow] {
+      @transient private var st: org.apache.spark.sql.streaming.ValueState[BucketState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[BucketState]("bucket",
+          Encoders.product[BucketState], TTLConfig.NONE)
+      override def handleInputRows(user: Long, rows: Iterator[Event],
+          timers: TimerValues): Iterator[BucketRow] = {
+        var s = if (st.exists()) st.get() else BucketState(Cap, 0L, 0L, 0L)
+        rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val us = micros(e.ts)
+          val refilled = if (s.n > 0) math.min(Cap, s.tokens + (us - s.prev_us)) else s.tokens
+          s = if (refilled >= Cost)
+            BucketState(refilled - Cost, us, s.n + 1, s.throttled)
+          else BucketState(refilled, us, s.n + 1, s.throttled + 1)
+        }
+        st.update(s)
+        Iterator.single(BucketRow(user, s.n, s.throttled, s.tokens))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** An SCD2 interval closed by [[scd2Stream]]: the user's event_type
     * held from valid_from_us until a different type arrived at
     * valid_to_us. */

@@ -655,6 +655,42 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("transformWithState token bucket equals batch q104 under shuffled within-batch delivery") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = loadEvents()
+    // chunks preserve cross-batch time order (the replay contract), but
+    // each chunk's rows are shuffled so the per-batch (us, event_id)
+    // sort provably does the ordering work
+    val rnd = new scala.util.Random(11L)
+    val chunks = evs.grouped(350).map(c => rnd.shuffle(c)).toSeq
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      chunks.foreach(chunk => stream.addData(chunk))
+      val q = Streams.rateLimitStream(stream.toDS())
+        .writeStream.format("memory").queryName("t_bucket").outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("t_bucket").withColumn("seq", monotonically_increasing_id())
+        .collect().groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          val r = rows.maxBy(_.getAs[Long]("seq"))
+          u -> ((r.getAs[Long]("n_events"), r.getAs[Long]("n_throttled"),
+            r.getAs[Long]("final_tokens")))
+        }
+      val want = graft.queries.Funnel.q104_rate_limit.fn(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, "final streamed bucket state equals batch q104")
+      assert(want.values.map(_._2).sum > 0, "non-vacuous: the replay throttles")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState ledger is exactly-once under injected redelivery and equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
