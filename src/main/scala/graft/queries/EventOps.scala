@@ -188,7 +188,61 @@ object EventOps {
       .orderBy("event_type", "key")
   }
 
+  /** Q105 — conversion-delay percentiles per market segment: each
+    * purchase attributes to the user's LATEST click in the preceding
+    * hour (q14b's as-of semantics, expressed as the per-purchase max
+    * over the candidate window so the oracle is engine-portable), the
+    * delay lands in seconds, and per customer segment the query reports
+    * pair count, median and p90 delay — the funnel-latency readout
+    * every growth dashboard runs.
+    *
+    * Scale posture: clicks⋈purchases is an equi-join on user_id with
+    * the 1-hour band as residual (candidates per purchase = that user's
+    * clicks in the hour); the per-purchase max is a map-side-combinable
+    * groupBy riding the same user-keyed exchange; the customer segment
+    * is a broadcast dimension (the enrichment posture); the exact
+    * percentile aggregates over segment groups (q38's posture — at
+    * extreme group cardinality the documented swap is
+    * approx_percentile). */
+  val q105_conversion_delay: Query = Query(
+    s"""WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+       |           WHERE event_type = 'click'),
+       |     p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+       |           WHERE event_type = 'purchase'),
+       |     pair AS (SELECT p.event_id, p.user_id, p.us, max(c.us) AS c_us
+       |              FROM p JOIN c ON c.user_id = p.user_id
+       |                AND c.us <= p.us AND c.us >= p.us - $HourUs
+       |              GROUP BY p.event_id, p.user_id, p.us),
+       |     seg AS (SELECT cu.c_mktsegment AS segment,
+       |                    (pair.us - pair.c_us) / 1e6 AS delay_s
+       |             FROM pair JOIN customer cu ON pair.user_id = cu.c_custkey)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       ${croundSql("quantile_cont(delay_s, 0.5)")} AS med_delay_s,
+       |       ${croundSql("quantile_cont(delay_s, 0.9)")} AS p90_delay_s
+       |FROM seg GROUP BY segment ORDER BY segment""") { (s, dir) =>
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val pairs = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("c_us") <= col("us") && col("c_us") >= col("us") - HourUs)
+      .groupBy("event_id", "user_id", "us")
+      .agg(max(col("c_us")).as("c_us"))
+    val cust = Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    pairs.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("segment"), ((col("us") - col("c_us")) / lit(1e6)).as("delay_s"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_pairs"),
+        cround(expr("percentile(delay_s, 0.5)")).as("med_delay_s"),
+        cround(expr("percentile(delay_s, 0.9)")).as("p90_delay_s"))
+      .orderBy("segment")
+  }
+
   val all: Map[String, Query] = Map(
+    "q105_conversion_delay" -> q105_conversion_delay,
     "q13_json_props" -> q13_json_props,
     "q13b_map_props" -> q13b_map_props,
     "q14_interval_selfjoin" -> q14_interval_selfjoin,

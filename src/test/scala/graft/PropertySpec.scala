@@ -257,4 +257,39 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(3) == r.getDouble(4), "cur share equals ref share")
     }
   }
+  test("q105 equals a sequential attribution-and-percentile replay; median <= p90, delays in (0, 1h]") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val seg = graft.engine.Tables.table(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clicksBy = ev.filter(_._2 == "click").groupBy(_._1)
+    val H = 3600L * 1000000L
+    val delays = ev.filter(_._2 == "purchase").flatMap { p =>
+      val cand = clicksBy.getOrElse(p._1, Array.empty).map(_._3)
+        .filter(c => c <= p._3 && c >= p._3 - H)
+      if (cand.isEmpty || !seg.contains(p._1)) None
+      else Some(seg(p._1) -> (p._3 - cand.max) / 1e6)
+    }
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * q
+      val lo = s(pos.toInt)
+      val hi = s(math.min(s.length - 1, pos.toInt + 1))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    def cr(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val brute = delays.groupBy(_._1).map { case (g, ds) =>
+      val xs = ds.map(_._2).toSeq
+      g -> ((xs.length.toLong, cr(pct(xs, 0.5)), cr(pct(xs, 0.9))))
+    }
+    val got = graft.queries.EventOps.q105_conversion_delay.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == brute, s"$got vs $brute")
+    got.values.foreach { case (_, med, p90) =>
+      assert(med <= p90 && med > 0 && p90 <= 3600.0)
+    }
+  }
 }
