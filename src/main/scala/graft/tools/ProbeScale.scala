@@ -20,8 +20,15 @@ object ProbeScale {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    // mode "dense" (default): tag every 8th word — replicas stay NEAR-DUPS
+    // of each other (~10 near-copies per doc, the extreme-density stress).
+    // mode "sparse": tag every 2nd word — cross-replica similarity dies,
+    // the corpus is K× the DISTINCT near-dup structure (the normal-density
+    // 10× claim: near-linear, spill-free).
+    val mode = if (args.length > 1) args(1) else "dense"
+    val step = if (mode == "sparse") 2 else 8
     val base = "/root/testdata/sf0.1"
-    val out = s"/tmp/scale$k"
+    val out = s"/tmp/scale$k$mode"
     val spill = new AtomicLong; val shuffle = new AtomicLong; val cpuNs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -37,7 +44,7 @@ object ProbeScale {
     spark.range(k).crossJoin(docs)
       .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
         array_join(expr("transform(split(text, ' '), (w, i) -> " +
-          "CASE WHEN i % 8 = 0 THEN concat(w, '_s', id) ELSE w END)"), " ").as("text"),
+          s"CASE WHEN i % $step = 0 THEN concat(w, '_s', id) ELSE w END)"), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -56,9 +63,9 @@ object ProbeScale {
     def lsh(dir: String) = graft.queries.TextOps.lshJaccardPairs(spark, dir).count()
     run(base, "exact-1x(warm-up)")(exact)
     run(base, "exact-1x")(exact)
-    run(out, s"exact-${k}x")(exact)
+    run(out, s"exact-${k}x-$mode")(exact)
     run(base, "lsh-1x")(lsh)
-    run(out, s"lsh-${k}x")(lsh)
+    run(out, s"lsh-${k}x-$mode")(lsh)
     spark.stop()
   }
 }
