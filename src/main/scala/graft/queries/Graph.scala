@@ -358,8 +358,13 @@ object Graph {
     // so at most one match per wedge — counts triangles (matched) and
     // wedges (all) in the same aggregation instead of enumerating the
     // wedges twice for the two counts.
+    // Past the gate the edge side carries the SHUFFLE_HASH hint (the
+    // rawJaccard posture): a sort-merge join would SORT the W-sized
+    // wedge stream — measured 16 GB of sort spill at a 24M-edge /
+    // 410M-wedge scale probe — while the hash build side is the
+    // compact edge keys, shrinking with partition count.
     val counts = wedge.join(
-      if (e.count() <= broadcastLimit) broadcast(und) else und,
+      if (e.count() <= broadcastLimit) broadcast(und) else und.hint("shuffle_hash"),
       col("a") === col("u") && col("b") === col("v"), "left")
       .agg(count(col("u")).as("n_triangles"), count(lit(1)).as("n_wedges"))
     val opn = deg.agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
