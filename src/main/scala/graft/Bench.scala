@@ -185,8 +185,12 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       warmDir.foreach { wd =>
         reset()
+        // NonFatal only: an OOM/fatal error here leaves the JVM degraded
+        // and must surface, not silently skew the timed run that follows
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // the timed run reports real failures
+        catch { case scala.util.control.NonFatal(e) => // timed run reports real failures
+          System.err.println(s"[bench] warmup $name failed: $e")
+        }
       }
       reset()
       prewarm.get(name).foreach(_(spark, sfDir))

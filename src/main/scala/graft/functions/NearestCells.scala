@@ -60,14 +60,19 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
   @transient private lazy val kVal: Int = third.eval().asInstanceOf[Int]
 
   /** Top-k cell ids for one vector: dot desc, ties to the lower id —
-    * exactly a stable sort by -dot followed by take(k). */
+    * exactly a stable sort by -dot followed by take(k). Robustness
+    * matches the interpreted UDFs this replaced: each dot iterates
+    * min(vector dim, centroid dim) (a longer vector must not index past
+    * the centroid), and an all-NaN dot table (NaN embedding values — no
+    * `> bd` comparison ever true) falls back to the lowest unused cell
+    * id instead of indexing `used(-1)`. */
   private[functions] def topCells(get: Int => Double, dim: Int): Array[Int] = {
     val n = cents.length
     val ds = new Array[Double](n)
     var c = 0
     while (c < n) {
-      val ct = cents(c); var d = 0.0; var i = 0
-      while (i < dim) { d += ct(i) * get(i); i += 1 }
+      val ct = cents(c); val m = math.min(dim, ct.length); var d = 0.0; var i = 0
+      while (i < m) { d += ct(i) * get(i); i += 1 }
       ds(c) = d; c += 1
     }
     val kk = math.min(kVal, n)
@@ -80,6 +85,10 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
       while (c2 < n) {
         if (!used(c2) && ds(c2) > bd) { bd = ds(c2); best = c2 }
         c2 += 1
+      }
+      if (best < 0) { // all remaining dots NaN: lowest unused id
+        var c3 = 0
+        while (best < 0 && c3 < n) { if (!used(c3)) best = c3; c3 += 1 }
       }
       used(best) = true; out(j) = best; j += 1
     }
@@ -107,8 +116,9 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
          |double[] $ds = new double[$n];
          |for (int $c = 0; $c < $n; $c++) {
          |  double[] $ct = $cRef[$c];
+         |  int ${d}m = java.lang.Math.min($dim, $ct.length);
          |  double $d = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
+         |  for (int $i = 0; $i < ${d}m; $i++) {
          |    $d += $ct[$i] * ((double) $a.getFloat($i));
          |  }
          |  $ds[$c] = $d;
@@ -120,6 +130,11 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
          |  int $best = -1; double $bd = Double.NEGATIVE_INFINITY;
          |  for (int $c = 0; $c < $n; $c++) {
          |    if (!$used[$c] && $ds[$c] > $bd) { $bd = $ds[$c]; $best = $c; }
+         |  }
+         |  if ($best < 0) { // all remaining dots NaN: lowest unused id
+         |    for (int $c = 0; $best < 0 && $c < $n; $c++) {
+         |      if (!$used[$c]) $best = $c;
+         |    }
          |  }
          |  $used[$best] = true; $out[$j] = $best;
          |}

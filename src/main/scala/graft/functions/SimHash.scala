@@ -10,13 +10,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * column, as one fused per-row pass.
   *
   * Semantically identical to the exploded-aggregation form q27 shipped
-  * with — `explode(toks)` → `xxhash64(w)` → 64 per-bit
+  * with — `explode(toks)` → 64-bit token hash → 64 per-bit
   * `sum(((h >> k) & 1) * 2 - 1)` aggregate columns → sign-pack — bit
-  * for bit: the per-token hash is XXH64 over the token's UTF-8 bytes
-  * with seed 42 (exactly SQL `xxhash64` on a STRING), each hash bit
-  * contributes ±1 to its counter, and bit k of the result is set iff
-  * counter k >= 0 (the aggregation form's `when(s_k >= 0, ...)`).
-  * SimHashSpec pins the equivalence bitwise.
+  * for bit: the per-token hash is the FIRST 8 BYTES of md5 over the
+  * token's UTF-8 bytes, read big-endian (exactly DuckDB
+  * `CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT)` — same 64 bits,
+  * signedness aside), each hash bit contributes ±1 to its counter, and
+  * bit k of the result is set iff counter k >= 0 (the aggregation
+  * form's `when(s_k >= 0, ...)`). SimHashSpec pins the equivalence
+  * bitwise against an independent ByteBuffer-based reference.
+  *
+  * md5 (not xxhash64) is deliberate: it is the one 64-bit token hash
+  * BOTH engines compute identically from SQL, which is what lets q27
+  * carry a full DuckDB hash oracle (the q73 md5-digest precedent)
+  * instead of a spec-only gate. Cost: ~0.3 µs/token of digest work in
+  * the map stage — linear, shuffle-free, irrelevant next to the
+  * banding join it feeds.
   *
   * What the fusion removes is not arithmetic but machinery: the
   * explode, the exchange it forces, and a 64-buffer HashAggregate whose
@@ -61,16 +70,30 @@ case class SimHash(child: Expression) extends UnaryExpression {
 
 object SimHash {
 
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(bytes), big-endian — the oracle-shared token
+    * hash (DuckDB: `CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT)`). */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+    h
+  }
+
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val sums = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      // XXH64 over the token's UTF-8 bytes, seed 42 — bit-identical to
-      // SQL xxhash64(stringCol) (the ShingleHashes-verified identity)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = tokenHash(arr.getUTF8String(i).getBytes)
       var k = 0
       while (k < 64) {
         if (((h >>> k) & 1L) != 0L) sums(k) += 1 else sums(k) -= 1

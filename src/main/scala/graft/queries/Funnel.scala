@@ -45,18 +45,44 @@ object Funnel {
       .orderBy("stage")
   }
 
-  /** Q35 — stratified sampling per event type (sampleBy): the
-    * training-data downsampling primitive. Seeded and deterministic
-    * within Spark, but RNG-specific → rows-only for the driver; the
-    * PropertySpec asserts per-stratum fraction tolerance. */
-  val q35_stratified_sample: Query = Query.noOracle { (s, dir) =>
-    val fractions = Map("view" -> 0.1, "click" -> 0.5, "purchase" -> 1.0,
+  /** Q35 — stratified sampling per event type: the training-data
+    * downsampling primitive. Each stratum keeps a row iff the Knuth mix
+    * of its event_id (mod 10^4, the q56 engine-portable sampler) falls
+    * below the stratum's threshold — deterministic and engine-
+    * independent, so the driver hash-oracles the exact kept counts
+    * (previously `df.stat.sampleBy`, whose RNG made it rows-only).
+    * Resumable/auditable for the same reason as q56: re-running the
+    * sample on any engine reproduces the identical kept set.
+    *
+    * Scale shape: the keep decision is a pure map-side filter on the
+    * scan (threshold lookup is a when-chain over 5 literals — no join,
+    * no broadcast, nothing shuffles but the final tiny per-type
+    * aggregation). PropertySpec additionally asserts per-stratum
+    * fraction tolerance, which the 16-bit mix meets at sf0.01. */
+  val q35_stratified_sample: Query = {
+    val fractions = Seq("view" -> 0.1, "click" -> 0.5, "purchase" -> 1.0,
       "signup" -> 1.0, "error" -> 0.25)
-    ev(s, dir)
-      .stat.sampleBy("event_type", fractions, seed = 42L)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_sampled"))
-      .orderBy("event_type")
+    def thresh(f: Double): Long = math.round(f * 10000)
+    val valuesSql = fractions
+      .map { case (t, f) => s"('$t', ${thresh(f)})" }.mkString(", ")
+    Query(
+      s"""WITH f(event_type, thresh) AS (VALUES $valuesSql),
+         |     k AS (SELECT e.event_type FROM events e JOIN f USING (event_type)
+         |           WHERE ${Pipeline.mixSql("event_id")} % 10000 < f.thresh)
+         |SELECT event_type, count(*) AS n_sampled FROM k
+         |GROUP BY 1 ORDER BY event_type""") { (s, dir) =>
+      val th = fractions.tail.foldLeft(
+        when(col("event_type") === fractions.head._1, thresh(fractions.head._2))) {
+        case (c, (t, f)) => c.when(col("event_type") === t, thresh(f))
+      }
+      ev(s, dir)
+        .select(col("event_type"),
+          expr(s"${Pipeline.mixExpr("event_id")} % 10000").as("h"))
+        .filter(col("h") < th)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("event_type")
+    }
   }
 
   /** Minimal typed event for the cogroup walk. */

@@ -212,8 +212,12 @@ object Linkage {
     import org.apache.spark.sql.expressions.Window
     val base = t(s, dir, "orders")
       .select(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
-    val parted = base.repartitionByRange(col("p"), col("k"))
-      .withColumn("pid", spark_partition_id()).persist()
+    // memoized (not bare-persisted): repeated invocations in a long
+    // session reuse one cached frame instead of accumulating orphaned
+    // blocks, and TextOps.resetCaches()/evict covers it
+    val parted = TextOps.memo("q99.parted", s, dir)(
+      base.repartitionByRange(col("p"), col("k"))
+        .withColumn("pid", spark_partition_id()).persist())
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
     // pid-ordered running sum over the partition-count-sized table; the
     // single-partition window is over ~32 rows (metadata, not data)

@@ -531,6 +531,22 @@ object TextOps {
       .join(prefix.select(col("doc_id").as("d2"), col("g"), col("pos").as("pb"), col("n").as("nb")), "g")
       .filter(col("d1") < col("d2"))
       .filter(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
+      // PPJoin's PER-ROW positional filter, applied MAP-SIDE between the
+      // join and the pair aggregation — this is what tames df-inflation
+      // (SCALING.md's Σ prefdf(g)² law): a hot shingle is by definition
+      // LATE in the rarest-first order, so its join rows carry
+      // end-of-prefix positions and fail 1 + min(suffix) >= minOverlap
+      // right here, before they ever reach the (d1, d2) exchange.
+      // Soundness with the aggregated bound below: within one pair,
+      // positions increase together along the global (df, g) order, so
+      // min(na-pa, nb-pb) is DECREASING along it and survival is
+      // prefix-closed — (a) a qualifying pair's FIRST common shingle
+      // row always survives (|A∩B| <= 1 + min suffix past it), so no
+      // true candidate is lost, and (b) every dropped common shingle is
+      // ordered after the last surviving one, i.e. it still lies inside
+      // the suffix that cnt + min(na - pam, nb - pbm) already budgets
+      // for — the aggregated test stays a valid upper bound.
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
       .groupBy("d1", "d2", "na", "nb")
       .agg(count(lit(1)).as("cnt"), max(col("pa")).as("pam"), max(col("pb")).as("pbm"))
       .filter(col("cnt") + least(col("na") - col("pam"), col("nb") - col("pbm")) >= minOverlap)
@@ -645,10 +661,42 @@ object TextOps {
 
   /** Q27 — SimHash near-dup: 64-bit signature from token hashes, banded
     * into 4×16-bit chunks (pigeonhole-exact for hamming ≤ 3), hamming
-    * verification on chunk-collision candidates. Hash-specific, so no SQL
-    * oracle — covered by the ScalaTest equivalence to the brute-force
-    * pairing. */
-  val q27_simhash: Query = Query.noOracle { (s, dir) =>
+    * verification on chunk-collision candidates.
+    *
+    * Hash-ORACLED since the token hash moved to md5-first-8-bytes
+    * ([[graft.functions.SimHash]], the q73 digest precedent): the oracle
+    * rebuilds the same signatures bit-by-bit in DuckDB — per-token
+    * UBIGINT from the md5 hex prefix, 64 per-(doc, bit) majority votes
+    * (bit set iff 2·ones >= n, i.e. the ±1 counter >= 0), 16-bit chunk
+    * values by arithmetic packing (no 1<<63 overflow, signatures never
+    * materialize as a single integer), the same chunk-collision
+    * candidate join, and hamming as the count of disagreeing bit rows.
+    * The banding is pigeonhole-EXACT (4 chunks, radius 3), so both
+    * engines enumerate identical pair sets — a hash match, not a
+    * recall bound. */
+  val q27_simhash: Query = Query(
+    s"""WITH d AS (SELECT doc_id,
+       |                  list_distinct(list_filter(string_split($normSql, ' '),
+       |                                            w -> len(w) > 0)) AS toks
+       |           FROM documents),
+       |     th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h
+       |            FROM (SELECT doc_id, unnest(toks) AS w FROM d WHERE len(toks) > 0)),
+       |     bits AS (SELECT doc_id, k,
+       |                     CASE WHEN 2 * sum((h >> k) & 1) >= count(*) THEN 1 ELSE 0 END AS b
+       |              FROM th, (SELECT unnest(range(64)) AS k) ks
+       |              GROUP BY doc_id, k),
+       |     chunks AS (SELECT doc_id, k // 16 AS ci, sum(b << (k % 16)) AS chunk
+       |                FROM bits GROUP BY 1, 2),
+       |     cand AS (SELECT DISTINCT c1.doc_id AS d1, c2.doc_id AS d2
+       |              FROM chunks c1 JOIN chunks c2 ON c1.ci = c2.ci AND c1.chunk = c2.chunk
+       |              WHERE c1.doc_id < c2.doc_id),
+       |     ham AS (SELECT d1, d2,
+       |                    CAST(sum(CASE WHEN b1.b <> b2.b THEN 1 ELSE 0 END) AS INT) AS hamming
+       |             FROM cand
+       |             JOIN bits b1 ON b1.doc_id = cand.d1
+       |             JOIN bits b2 ON b2.doc_id = cand.d2 AND b2.k = b1.k
+       |             GROUP BY d1, d2)
+       |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""") { (s, dir) =>
     val sigs = simhashSignatures(s, dir)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
@@ -672,7 +720,7 @@ object TextOps {
     memo("simhash", s, dir)(buildSimhash(s, dir).persist())
 
   private def buildSimhash(s: SparkSession, dir: String): DataFrame =
-    // one fused map pass ([[graft.functions.SimHash]]): per-token XXH64 +
+    // one fused map pass ([[graft.functions.SimHash]]): per-token md5-64 +
     // 64 ±1 counters + sign-pack, computed where the token array lives.
     // The explode + 64-buffer HashAggregate it replaced was q27's CPU
     // (~22 s of 27 s at sf0.1); this leaves NO shuffle before banding.

@@ -182,11 +182,18 @@ object Streams {
       watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
     val edges = reference.select("mn", "mx").distinct()
+    // LEFT join (stream side left, still the stateless stream-static
+    // broadcast kind): a live bin the reference never populated must
+    // keep its rows with ref_share 0 — an inner join would silently
+    // drop exactly the rows that signal the strongest drift, and
+    // understate every window's n_cur total in [[driftPsi]]. The
+    // finalizer's 1e-6 epsilon already handles p = 0.
     src.crossJoin(broadcast(edges))
       .select(col("ts"), driftBucket(col("value"), col("mn"), col("mx")).as("bucket"))
-      .join(broadcast(reference.select("bucket", "ref_share")), Seq("bucket"))
+      .join(broadcast(reference.select("bucket", "ref_share")), Seq("bucket"), "left")
       .groupBy(window(col("ts"), "1 day"), col("bucket"))
-      .agg(count(lit(1)).as("n_cur"), max("ref_share").as("ref_share"))
+      .agg(count(lit(1)).as("n_cur"),
+        coalesce(max("ref_share"), lit(0d)).as("ref_share"))
       .select(unix_micros(col("window.start")).as("win_us"),
         col("bucket"), col("n_cur"), col("ref_share"))
   }

@@ -12,8 +12,8 @@ class EntrySpec extends SparkSpec {
     assert(keys.forall(_.matches("q\\d+[a-z]?_[a-z0-9_]+")))
     // exactly the documented approximate/hash-specific queries lack an oracle
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q06b_approx_distinct", "q27_simhash",
-      "q30_ann_lsh", "q35_stratified_sample", "q38b_approx_percentiles",
+    assert(noOracle == Set("q06b_approx_distinct",
+      "q30_ann_lsh", "q38b_approx_percentiles",
       "q43_ann_ivf", "q61_int8_topk",
       "q62_semdedup", "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx",
       "q79_pq_ann", "q79b_ivf_pq"), noOracle)

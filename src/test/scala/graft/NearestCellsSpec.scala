@@ -71,6 +71,24 @@ class NearestCellsSpec extends SparkSpec {
     }
   }
 
+  test("robustness: all-NaN vectors fall back to lowest cells; long vectors clamp to centroid dim") {
+    import spark.implicits._
+    val cents = mkCents(4, 8, 7)
+    // NaN embedding: every dot is NaN, no comparison fires — the old
+    // interpreted UDF returned cell 0; the k>1 form must keep emitting
+    // lowest-unused ids, never index used(-1)
+    val nan = Seq(Tuple1(Array.fill(8)(Float.NaN))).toDF("v")
+      .select(nearestCells(col("v"), cents, 3).as("cells"))
+      .head().getSeq[Int](0)
+    assert(nan == Seq(0, 1, 2), s"NaN fallback must be lowest unused ids: $nan")
+    // vector longer than the centroid dim: iterate min(dims), as the
+    // UDF's ct.length loop did — must not throw AIOOBE
+    val long = Seq(Tuple1(Array.fill(12)(1.0f))).toDF("v")
+      .select(nearestCells(col("v"), cents, 1).as("cells"))
+      .head().getSeq[Int](0)
+    assert(long == refCells(cents, Array.fill(8)(1.0f), 1), s"clamped dot mismatch: $long")
+  }
+
   test("the IVF build scan stays whole-stage codegen (no BatchEvalPython/ScalaUDF)") {
     val cents = mkCents(16, 64, 5)
     val e = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")

@@ -4,14 +4,26 @@ import org.apache.spark.sql.functions._
 
 /** Bitwise gate for the fused graft_simhash expression: it must equal
   * the exploded 64-column aggregation form it replaced, value for
-  * value — same per-token xxhash64 (XXH64 seed 42 over UTF-8 bytes),
-  * same ±1 counters, same >= 0 sign packing. */
+  * value — same per-token hash (first 8 bytes of md5 over UTF-8 bytes,
+  * big-endian: the hash q27's DuckDB oracle recomputes from
+  * `substr(md5(w), 1, 16)`), same ±1 counters, same >= 0 sign packing.
+  * The reference hash here is an INDEPENDENT implementation
+  * (MessageDigest + ByteBuffer.getLong big-endian), not the
+  * expression's shift loop. */
 class SimHashSpec extends SparkSpec {
 
-  /** The aggregation form q27 originally shipped with, verbatim. */
+  /** Independent md5-first-8-bytes-big-endian token hash. */
+  private val md5Long = udf { (w: String) =>
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(dig).getLong
+  }
+
+  /** The aggregation form q27 originally shipped with, verbatim (only
+    * the per-token hash swapped to the oracle-shared md5-64). */
   private def aggSimhash(tokens: org.apache.spark.sql.DataFrame) = {
     val toks = tokens.select(col("doc_id"), explode(col("toks")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("th"))
+      .select(col("doc_id"), md5Long(col("w")).as("th"))
     val bitSums = (0 until 64).map(k =>
       sum(shiftrightunsigned(col("th"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$k"))
     val sig = (0 until 64)
@@ -52,7 +64,14 @@ class SimHashSpec extends SparkSpec {
     assert(fused(3L) == -1L)
     // single token: signature IS the token's hash bit pattern
     val h = df.filter($"doc_id" === 2L)
-      .select(xxhash64(element_at(col("toks"), 1))).head().getLong(0)
+      .select(md5Long(element_at(col("toks"), 1))).head().getLong(0)
     assert(fused(2L) == h)
+  }
+
+  test("tokenHash matches the DuckDB hex-prefix formula's big-endian read") {
+    // pin the byte order against a hand-computed value: md5("hello") =
+    // 5d41402abc4b2a76b9719d911017c592 -> first 16 hex chars as uint64
+    val h = functions.SimHash.tokenHash("hello".getBytes("UTF-8"))
+    assert(h == 0x5d41402abc4b2a76L)
   }
 }

@@ -93,6 +93,33 @@ class StreamsSpec extends SparkSpec {
     reference.unpersist()
   }
 
+  test("PSI drift monitor keeps live bins the reference never populated (ref_share 0)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, v: Double) =
+      Event(id, Timestamp.valueOf("2024-01-16 12:00:00"), id, "view", v)
+    // reference only at the extremes -> deciles 1..8 have ZERO ref rows;
+    // the live window lands squarely in those empty bins (the strongest
+    // drift signal) — an inner binning join would drop them entirely
+    val refEvs = Seq(ev(1, 0.0), ev(2, 0.5), ev(3, 10.0))
+    val curEvs = (10L until 30L).map(i => ev(i, 5.0 + (i % 3))) // bins 5-7
+    val reference = Streams.driftReference(refEvs.toDF()).persist()
+    assert(reference.count() < 10, "fixture must leave reference bins empty")
+    val stream = MemoryStream[Event]
+    stream.addData(curEvs)
+    val got = runToCompletion(
+      Streams.driftBinCounts(stream.toDF(), reference), "t_drift_gap", "complete")
+    val want = Streams.driftBinCounts(curEvs.toDF(), reference)
+    assert(canon(got) == canon(want))
+    assert(got.agg(sum("n_cur")).head().getLong(0) == curEvs.size,
+      "every live row must survive binning even in reference-empty bins")
+    val gapBins = got.filter(col("ref_share") === 0.0)
+    assert(gapBins.count() > 0, "reference-empty live bins carry ref_share 0")
+    val psi = Streams.driftPsi(want).collect()
+    assert(psi.forall(_.getDouble(5) >= 0), "PSI terms stay finite/nonnegative at p=0")
+    reference.unpersist()
+  }
+
   test("Q19 tumbling window: stream (complete mode) equals batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
