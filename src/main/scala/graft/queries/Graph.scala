@@ -426,11 +426,16 @@ object Graph {
     * rounding discipline, like q90. The oracle unrolls the same 4
     * rounds as chained CTEs.
     *
-    * Scale posture: identical to q90 — the node-sized label table joins
-    * the persisted src-partitioned edge cache each round (only labels
-    * shuffle, never edges), min() partial-aggregates map-side, and
-    * [[Iterate]] supplies the persist/localCheckpoint/one-action
-    * discipline. Bounded rounds = bounded barriers. */
+    * Scale posture: the node-sized label table joins the persisted
+    * src-partitioned edge cache each round (only labels shuffle, never
+    * edges) and min() partial-aggregates map-side. Unlike q90 (whose
+    * frontier is data-dependent and keeps the [[Iterate]] discipline),
+    * the FIXED round count here unrolls into one lazy plan with zero
+    * per-round actions — below the node gate each round is a broadcast
+    * map stage over edges ∪ self-loops; past it the mail join rides the
+    * bare edge partitioning and a lazy per-generation persist makes the
+    * (own ∪ mail) double reference compute once. Bounded rounds =
+    * bounded barriers — and after the unroll, ONE barrier total. */
   val q98_label_prop: Query = {
     def roundCte(k: Int): String =
       s"""l$k AS (SELECT node, min(lbl) AS lbl FROM (
@@ -444,17 +449,57 @@ object Graph {
          |     l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
          |     ${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT node, lbl AS community FROM l4 ORDER BY node""") { (s, dir) =>
-      val edges = coPurchaseEdges(s, dir).select("src", "dst")
-      val init = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl")).persist()
-      val fix = Iterate.loop(init, maxRounds = 4) { (cur, _) =>
-        cur.union(
-          edges.join(cur, edges("src") === cur("node"))
-            .select(col("dst").as("node"), col("lbl")))
-          .groupBy("node").agg(min(col("lbl")).as("lbl"))
-      } { (_, next) => next.count(); false }
-      fix.cur.select(col("node"), col("lbl").as("community")).orderBy("node")
+      labelPropGated(s, dir, NodeBroadcastLimit)
     }
+  }
+
+  /** q98's dataflow with the broadcast gate exposed (GraphSpec forces
+    * both sides and equates them, the q85 fallback-test pattern).
+    *
+    * ROUNDS UNROLLED into one lazy plan (the q85 discipline): a FIXED
+    * 4-round count needs none of Iterate.loop's per-round persist/count
+    * barriers — on a real cluster each barrier is a full-cluster sync,
+    * and locally the 4 extra jobs were most of q98's wall.
+    * distinct(src) rides the persisted src partitioning (no exchange),
+    * so nodes is a local agg scan per use. */
+  private[graft] def labelPropGated(s: SparkSession, dir: String,
+      broadcastLimit: Long): DataFrame = {
+    val edges = coPurchaseEdges(s, dir).select("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val init = nodes.select(col("node"), col("node").as("lbl"))
+    val n = nodes.count() // graph metadata (the q85 gate precedent)
+    var cur = init
+    for (_ <- 1 to 4) {
+      cur =
+        if (n <= broadcastLimit) {
+          // below the gate: the oracle's (own label ∪ mail) min is
+          // restated as mail over edges ∪ SELF-LOOPS so each
+          // generation is referenced exactly ONCE and the unrolled
+          // plan stays linear in rounds (the union form references it
+          // twice → 2^k subplans); the union costs nothing here
+          // because the whole mail join is a broadcast map stage
+          val edgesPlus = edges.unionByName(
+            nodes.select(col("node").as("src"), col("node").as("dst")))
+          val m = broadcast(cur)
+          edgesPlus.join(m, edgesPlus("src") === m("node"))
+            .select(col("dst").as("node"), col("lbl"))
+            .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        } else {
+          // past the gate: keep the mail join on the BARE persisted
+          // edge frame (a union would discard its src partitioning
+          // and re-exchange edge-sized data every round); the second
+          // reference to the generation is made safe by a LAZY
+          // persist — within the one final action each generation
+          // computes once and its cache serves both references, with
+          // no extra job and no barrier
+          val c = cur.persist()
+          c.unionByName(
+            edges.join(c, edges("src") === c("node"))
+              .select(col("dst").as("node"), col("lbl")))
+            .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        }
+    }
+    cur.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
 
   val all: Map[String, Query] = Map(

@@ -388,6 +388,26 @@ object TextOps {
   /** Jaccard threshold shared by q25/q26/q37 (Scala and oracle SQL). */
   private[graft] val JaccardTau = 0.8
 
+  /** τ as the exact rational TauNum/TauDen — the PPJoin pruning bounds
+    * (prefix length, length-ratio, minimum overlap) must be computed in
+    * INTEGER arithmetic. The float forms are off-by-one at exact
+    * boundaries: 0.8d is the double just ABOVE 4/5, so ceil(0.8d·n)
+    * exceeds ceil(4n/5) whenever 5 | n, and ceil((τ/(1+τ))d·s) exceeds
+    * ceil(4s/9) whenever 9 | 4s — measured on the 10× dense fixture as
+    * 45 jac-exactly-0.8 true pairs REJECTED by the (otherwise sound)
+    * aggregated positional bound. Verification compares jac >= 0.8d
+    * identically in both engines (same nearest-double of the same
+    * rational), so only the integer pruning bounds needed fixing. */
+  private val TauNum = 4L
+  private val TauDen = 5L
+  assert(TauNum.toDouble / TauDen == JaccardTau)
+
+  /** ceil(num·x / den) over a nonneg long column, exactly: the double
+    * division is correctly rounded and num·x + den − 1 < 2^52, so
+    * floor((num·x + den − 1) / den) hits the true integer quotient. */
+  private def ceilDiv(x: Column, num: Long, den: Long): Column =
+    floor((lit(num) * x + lit(den - 1)) / lit(den.toDouble))
+
   /** Shared oracle CTE chain: exact near-dup pairs (d1, d2) at
     * jac >= JaccardTau over distinct 5-gram shingles. */
   private[graft] val pairCtesSql =
@@ -510,7 +530,9 @@ object TextOps {
     // qualifying pair to intersect, so only the first n - ceil(tau*n) + 1
     // shingles per doc can seed a candidate (Chaudhuri et al.)
     val prefix = ranked
-      .filter(col("pos") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      // n - ceil(τ·n) + 1 in exact integer arithmetic (see TauNum note:
+      // the float ceil truncated the prefix by one whenever 5 | n)
+      .filter(col("pos") <= col("n") - ceilDiv(col("n"), TauNum, TauDen) + 1)
       .select("doc_id", "g", "pos", "n")
       .persist()
     // prefix-filter candidates + size filter + the AGGREGATED positional
@@ -526,26 +548,39 @@ object TextOps {
     // candidates from 5k docs at sf0.1 before this; the aggregation
     // replaces the old .distinct() with the SAME exchange shape, so the
     // tightening is free).
-    val minOverlap = ceil(lit(tau) / (1 + tau) * (col("na") + col("nb")))
+    // ceil(τ/(1+τ)·(na+nb)) = ceil(TauNum·(na+nb) / (TauNum+TauDen)),
+    // exact (the float form rejected jac-exactly-τ pairs — TauNum note)
+    val minOverlap = ceilDiv(col("na") + col("nb"), TauNum, TauNum + TauDen)
     val cand = prefix.select(col("doc_id").as("d1"), col("g"), col("pos").as("pa"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("d2"), col("g"), col("pos").as("pb"), col("n").as("nb")), "g")
       .filter(col("d1") < col("d2"))
-      .filter(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
+      // na >= τ·nb ⇔ TauDen·na >= TauNum·nb — integer, boundary-exact
+      .filter(lit(TauDen) * col("na") >= lit(TauNum) * col("nb") &&
+        lit(TauDen) * col("nb") >= lit(TauNum) * col("na"))
       // PPJoin's PER-ROW positional filter, applied MAP-SIDE between the
       // join and the pair aggregation — this is what tames df-inflation
       // (SCALING.md's Σ prefdf(g)² law): a hot shingle is by definition
       // LATE in the rarest-first order, so its join rows carry
       // end-of-prefix positions and fail 1 + min(suffix) >= minOverlap
-      // right here, before they ever reach the (d1, d2) exchange.
-      // Soundness with the aggregated bound below: within one pair,
-      // positions increase together along the global (df, g) order, so
-      // min(na-pa, nb-pb) is DECREASING along it and survival is
-      // prefix-closed — (a) a qualifying pair's FIRST common shingle
-      // row always survives (|A∩B| <= 1 + min suffix past it), so no
-      // true candidate is lost, and (b) every dropped common shingle is
-      // ordered after the last surviving one, i.e. it still lies inside
-      // the suffix that cnt + min(na - pam, nb - pbm) already budgets
-      // for — the aggregated test stays a valid upper bound.
+      // right here, before they ever reach the partial-agg hash map — a
+      // pair whose EVERY common shingle is that hot never enters the map
+      // at all (the 60-83 GB → ~1 GB dense-regime spill fix).
+      // Soundness: within one pair, positions increase together along
+      // the global (df, g) order, so min(na-pa, nb-pb) is DECREASING
+      // along it and survival is prefix-closed — (a) a qualifying
+      // pair's FIRST common shingle row always survives (|A∩B| <= 1 +
+      // min suffix past it), so no true candidate is lost, and (b)
+      // every dropped common shingle is ordered after the last
+      // surviving one, i.e. it still lies inside the suffix that
+      // cnt + min(na - pam, nb - pbm) already budgets for — the
+      // aggregated test stays a valid upper bound on the survivors.
+      // Cost profile (SCALE10X.md round-7 table): the filter trades a
+      // somewhat looser aggregated bound (dropped late rows shrink cnt)
+      // for bounded partial-agg memory — dense 10× goes 99 s/60-83 GB
+      // spill → 44 s/~1 GB; sparse 10× keeps more near-miss pairs into
+      // the verify (165 s vs 84 s unfiltered) but at a QUARTER of the
+      // unfiltered spill. Bounded memory is the 100 TB-relevant
+      // property; replicated corpora should use the LSH-banded finder.
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
       .groupBy("d1", "d2", "na", "nb")
       .agg(count(lit(1)).as("cnt"), max(col("pa")).as("pam"), max(col("pb")).as("pbm"))

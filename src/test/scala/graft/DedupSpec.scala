@@ -318,6 +318,32 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"pipeline $got vs brute force $want")
   }
 
+  test("PPJoin keeps pairs at jac EXACTLY tau with 5|n lengths (τ-boundary regression)") {
+    import spark.implicits._
+    // A ⊂ B with |A| = 20, |B| = 25: jac = 20/25 = 0.8 = τ exactly, and
+    // both lengths are multiples of 5 — the float-ceil bounds this
+    // round replaced (ceil(0.8d·n), ceil((τ/(1+τ))d·(na+nb))) overshoot
+    // by one exactly here and silently rejected such pairs (45 of them
+    // on the 10× dense fixture). The bounds must be integer-exact.
+    val sh = (
+      (1L to 20L).map(g => (1L, g)) ++        // A
+      (1L to 25L).map(g => (2L, g)) ++        // B ⊃ A
+      ((1L to 10L) ++ (300L to 309L)).map(g => (3L, g)) // C: jac(A,C) = 10/30 < τ
+    ).toDF("doc_id", "g")
+    val docSets = Seq(
+      (1L, (1L to 20L).toArray), (2L, (1L to 25L).toArray),
+      (3L, ((1L to 10L) ++ (300L to 309L)).toArray))
+      .toDF("doc_id", "gs")
+      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
+    val (cand, prefix) = TextOps.ppjoinCandidates(sh)
+    val got = TextOps.rawJaccard(docSets, cand)
+      .select("d1", "d2", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    prefix.unpersist()
+    assert(got.keySet == Set((1L, 2L)), s"exactly the boundary pair: $got")
+    assert(got((1L, 2L)) == 0.8, s"jac must be exactly tau: $got")
+  }
+
   test("q61 int8-quantized top-k: storage is bytes, recall >= 0.9 vs exact, cosine error <= 0.02") {
     // the 4× storage claim IS the element type — pin it
     val qvecType = VectorOps.quantized(spark, dir).schema("qvec").dataType

@@ -193,4 +193,12 @@ class GraphSpec extends SparkSpec {
     assert(lbl.values.toSet.size < lbl.size, "labels actually coalesce")
     assert(lbl.forall { case (n, l) => l <= n }, "labels only decrease")
   }
+
+  test("q98 label-shuffle fallback (node set past the broadcast gate) is identical") {
+    val gated = Graph.labelPropGated(spark, dir, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = Graph.q98_label_prop.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == bcast, "label tables must be identical across the gate")
+  }
 }

@@ -142,6 +142,10 @@ class PlanSpec extends SparkSpec {
     //    behind the NodeBroadcastLimit runtime gate (Graph.pagerankGated)
     //    — past it the rank table shuffles to the edge partitioning
     //    (GraphSpec forces the shuffle side and equates bitwise);
+    //  - q98: the per-round label table (node-sized) broadcasts behind
+    //    the same NodeBroadcastLimit runtime gate (Graph.labelPropGated)
+    //    — past it the mail join rides the bare persisted edge
+    //    partitioning (GraphSpec forces gate = 0 and equates);
     //  - q99: the broadcast pid-offset table is ONE ROW PER RANGE
     //    PARTITION (partition-count metadata, ~KBs at any data scale);
     //    the boundedness heuristic can't see that pid is
@@ -151,8 +155,8 @@ class PlanSpec extends SparkSpec {
     val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
       "q77_robust_clip", "q88_triangles",
-      "q85_pagerank", "q85b_weighted_pagerank", "q99_rank_histogram",
-      "q103_ks_test")
+      "q85_pagerank", "q85b_weighted_pagerank", "q98_label_prop",
+      "q99_rank_histogram", "q103_ks_test")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !exempt(name)

@@ -1,0 +1,54 @@
+package graft
+
+/** Collects [[StreamsSpec]]'s batch≡stream replay evidence and dumps it
+  * as a driver/judge-visible artifact (VERDICT r6 item 7): one JSON
+  * object per test with its pass/fail outcome and the canonical SHA-256
+  * of every replay side it compared (equal hashes within a test = the
+  * equivalence that test asserted). Written round-stamped the same way
+  * Bench stamps docs/BENCH_driver_r{N}.json — the current round is
+  * max(BENCH_r{N}.json at the repo root) + 1. */
+object StreamsAudit {
+
+  private val hashes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Int, String)]]
+  private val outcomes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+
+  def record(test: String, rows: Seq[Seq[Any]]): Unit = synchronized {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h = md.digest(rows.map(_.mkString("|")).mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    hashes(test) = hashes.getOrElse(test, Vector.empty) :+ ((rows.size, h))
+  }
+
+  def outcome(test: String, passed: Boolean): Unit = synchronized {
+    outcomes(test) = passed
+  }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+                case c => c.toString }
+
+  def write(): Unit = synchronized {
+    try {
+      val tests = outcomes.map { case (name, ok) =>
+        val hs = hashes.getOrElse(name, Vector.empty)
+          .map { case (n, h) => s"""{"rows":$n,"sha256":"$h"}""" }
+          .mkString("[", ",", "]")
+        s"""{"test":"${esc(name)}","passed":$ok,"replay_hashes":$hs}"""
+      }.mkString("[", ",", "]")
+      val json =
+        s"""{"suite":"graft.StreamsSpec","n_tests":${outcomes.size},""" +
+        s""""n_passed":${outcomes.values.count(identity)},"tests":$tests}"""
+      val rPat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
+      val prev = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        .flatMap { f => val m = rPat.matcher(f); if (m.matches()) Some(m.group(1).toInt) else None }
+      val round = prev.foldLeft(0)(math.max) + 1
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"docs/STREAMS_r$round%02d.json"), json + "\n")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[streams-audit] could not write artifact: $e")
+    }
+  }
+}

@@ -13,7 +13,7 @@ import graft.streaming.Streams.Event
 /** Streaming equivalence suite (SURVEY.md §5.2.5): replay events.parquet
   * through MemoryStream and assert the streaming results equal the batch
   * results of the same expressions. */
-class StreamsSpec extends SparkSpec {
+class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -42,8 +42,28 @@ class StreamsSpec extends SparkSpec {
 
   private def canon(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted
-    df.select(cols.map(col): _*).collect()
+    val rows = df.select(cols.map(col): _*).collect()
       .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    StreamsAudit.record(currentTest, rows)
+    rows
+  }
+
+  // ---- audit artifact (VERDICT r6 item 7): every canon() call above is
+  // one side of a batch≡stream replay equivalence; recording its hash
+  // per test and dumping docs/STREAMS_r{N}.json at suite end makes the
+  // streaming coverage auditable without reading test logs. The asserts
+  // remain the gate — the artifact is the visible record of what ran.
+  private var currentTest: String = ""
+
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    currentTest = test.name
+    val out = super.withFixture(test)
+    StreamsAudit.outcome(test.name, out.isSucceeded)
+    out
+  }
+
+  override protected def afterAll(): Unit = {
+    try StreamsAudit.write() finally super.afterAll()
   }
 
   test("stream-static enrichment join equals batch, stays stateless, and broadcasts the dimension") {
