@@ -26,12 +26,18 @@ object ProbeScaleGraph {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    val family = Seq("q85_pagerank", "q85b_weighted_pagerank",
+      "q88_triangles", "q90_sssp", "q98_label_prop")
     def run(dir: String, label: String): Unit = {
+      family.foreach { q =>
+        graft.queries.TextOps.resetCaches()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, dir).count()
+        println(f"[gscale] $label $q rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       graft.queries.TextOps.resetCaches()
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = graft.queries.Graph.q85_pagerank.fn(spark, dir).count()
-      println(f"[gscale] $label nodes=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
       val e = graft.queries.Graph.coPurchaseEdges(spark, dir).count()
       println(s"[gscale] $label edges=$e")
     }
