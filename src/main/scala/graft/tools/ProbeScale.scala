@@ -61,9 +61,17 @@ object ProbeScale {
     }
     def exact(dir: String) = graft.queries.TextOps.jaccardPairs(spark, dir).count()
     def lsh(dir: String) = graft.queries.TextOps.lshJaccardPairs(spark, dir).count()
-    run(base, "exact-1x(warm-up)")(exact)
-    run(base, "exact-1x")(exact)
-    run(out, s"exact-${k}x-$mode")(exact)
+    // optional third arg "lsh": fixture + LSH runs only — the exact
+    // path's candidate volume is Σ prefdf² ∝ K², so at K = 30 its
+    // verify spill would exceed the sandbox disk; the LSH finder is
+    // the documented path at that density and is what the probe checks
+    val lshOnly = args.length > 2 && args(2) == "lsh"
+    if (!lshOnly) {
+      run(base, "exact-1x(warm-up)")(exact)
+      run(base, "exact-1x")(exact)
+      run(out, s"exact-${k}x-$mode")(exact)
+    }
+    run(base, "lsh-1x(warm-up)")(lsh)
     run(base, "lsh-1x")(lsh)
     run(out, s"lsh-${k}x-$mode")(lsh)
     spark.stop()
