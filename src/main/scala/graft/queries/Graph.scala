@@ -469,7 +469,7 @@ object Graph {
     val init = nodes.select(col("node"), col("node").as("lbl"))
     val n = nodes.count() // graph metadata (the q85 gate precedent)
     var cur = init
-    for (_ <- 1 to 4) {
+    for (round <- 1 to 4) {
       cur =
         if (n <= broadcastLimit) {
           // below the gate: the oracle's (own label ∪ mail) min is
@@ -491,8 +491,10 @@ object Graph {
           // reference to the generation is made safe by a LAZY
           // persist — within the one final action each generation
           // computes once and its cache serves both references, with
-          // no extra job and no barrier
-          val c = cur.persist()
+          // no extra job and no barrier. Memoized (not bare-persisted)
+          // so repeated session calls reuse the generations instead of
+          // accumulating orphaned blocks, and resetCaches covers them.
+          val c = TextOps.memo(s"q98.gen$round", s, dir)(cur.persist())
           c.unionByName(
             edges.join(c, edges("src") === c("node"))
               .select(col("dst").as("node"), col("lbl")))
