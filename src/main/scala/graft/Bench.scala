@@ -243,17 +243,14 @@ object Bench {
         java.nio.file.Paths.get("docs/BENCH_driver_last.json"), fullJson + "\n")
       // ALSO write a round-stamped copy so per-query history survives in
       // git (the round-6 judge could not diff r5→r6 beyond the slowest-5
-      // because last.json is overwritten). The current driver round is
-      // inferred from the BENCH_r{N}.json files the driver has already
-      // committed at the repo root: we are inside round max+1. Builder
-      // test runs may overwrite the file mid-round; the driver's own
-      // end-of-round bench is the last writer before the round commit.
-      val rPat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-      val prev = Option(new java.io.File(".").list()).getOrElse(Array.empty)
-        .flatMap { f => val m = rPat.matcher(f); if (m.matches()) Some(m.group(1).toInt) else None }
-      val round = (prev.foldLeft(0)(math.max)) + 1
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"docs/BENCH_driver_r$round%02d.json"), fullJson + "\n")
+      // because last.json is overwritten). Round inference is shared
+      // with the StreamsSpec audit ([[RoundStamp]]); builder test runs
+      // may overwrite the file mid-round — the driver's own end-of-round
+      // bench is the last writer before the round commit.
+      RoundStamp.current().foreach { round =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"docs/BENCH_driver_r$round%02d.json"), fullJson + "\n")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write docs/BENCH_driver_last.json: ${e.getMessage}")
     }

@@ -47,28 +47,37 @@ object Funnel {
 
   /** Q35 — stratified sampling per event type: the training-data
     * downsampling primitive. Each stratum keeps a row iff the Knuth mix
-    * of its event_id (mod 10^4, the q56 engine-portable sampler) falls
-    * below the stratum's threshold — deterministic and engine-
-    * independent, so the driver hash-oracles the exact kept counts
-    * (previously `df.stat.sampleBy`, whose RNG made it rows-only).
+    * of its event_id (the q56 engine-portable sampler) falls below the
+    * stratum's threshold — deterministic and engine-independent, so the
+    * driver hash-oracles the exact kept counts (previously
+    * `df.stat.sampleBy`, whose RNG made it rows-only).
     * Resumable/auditable for the same reason as q56: re-running the
     * sample on any engine reproduces the identical kept set.
+    *
+    * Thresholds compare against the RAW 16-bit mix output (range
+    * [0, 2^16)), NOT mix mod 10^4: 65536 % 10000 ≠ 0 makes low
+    * residues ~6.8% over-represented, which would silently inflate
+    * every stratum's realized fraction by the same factor. Against the
+    * full range, round(f·2^16)/2^16 is within 2^-17 of the declared
+    * fraction. (q56 documents the mod-10^4 bias for its rate grid; the
+    * keep DECISION here has no grid to match, so it uses the unbiased
+    * form.)
     *
     * Scale shape: the keep decision is a pure map-side filter on the
     * scan (threshold lookup is a when-chain over 5 literals — no join,
     * no broadcast, nothing shuffles but the final tiny per-type
     * aggregation). PropertySpec additionally asserts per-stratum
-    * fraction tolerance, which the 16-bit mix meets at sf0.01. */
+    * fraction tolerance at sf0.01. */
   val q35_stratified_sample: Query = {
     val fractions = Seq("view" -> 0.1, "click" -> 0.5, "purchase" -> 1.0,
       "signup" -> 1.0, "error" -> 0.25)
-    def thresh(f: Double): Long = math.round(f * 10000)
+    def thresh(f: Double): Long = math.round(f * 65536)
     val valuesSql = fractions
       .map { case (t, f) => s"('$t', ${thresh(f)})" }.mkString(", ")
     Query(
       s"""WITH f(event_type, thresh) AS (VALUES $valuesSql),
          |     k AS (SELECT e.event_type FROM events e JOIN f USING (event_type)
-         |           WHERE ${Pipeline.mixSql("event_id")} % 10000 < f.thresh)
+         |           WHERE ${Pipeline.mixSql("event_id")} < f.thresh)
          |SELECT event_type, count(*) AS n_sampled FROM k
          |GROUP BY 1 ORDER BY event_type""") { (s, dir) =>
       val th = fractions.tail.foldLeft(
@@ -77,7 +86,7 @@ object Funnel {
       }
       ev(s, dir)
         .select(col("event_type"),
-          expr(s"${Pipeline.mixExpr("event_id")} % 10000").as("h"))
+          expr(Pipeline.mixExpr("event_id")).as("h"))
         .filter(col("h") < th)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_sampled"))

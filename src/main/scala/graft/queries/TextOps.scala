@@ -519,7 +519,6 @@ object TextOps {
     * vocabulary is actually small). */
   private[graft] def ppjoinCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val tau = JaccardTau
     val dfTab = sh.groupBy("g").agg(count(lit(1)).as("df"))
     // per-doc rank in the global (df, g) order — partitioned by doc_id
     val ranked = sh.join(dfTab, "g")

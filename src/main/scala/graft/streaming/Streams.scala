@@ -204,11 +204,37 @@ object Streams {
     * windows×10 count table (a per-trigger foreachBatch in production,
     * plain batch here) — window totals via a partitioned window over
     * tiny rows, no stream state. */
-  def driftPsi(binCounts: DataFrame): DataFrame = {
+  def driftPsi(binCounts: DataFrame, reference: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // complete each live window against the FULL reference spine: a
+    // reference-heavy bucket the live data VACATED entirely produces no
+    // streaming-aggregation row at all (count-based group, nothing to
+    // count), yet its (p − 0)·ln((p+ε)/ε) term is precisely the
+    // strongest drift signal — the mirror image of the live-only-bin
+    // case the binning left-join handles. SINGLE scan of binCounts
+    // (never a self-join: a streaming MemorySink relation is not
+    // re-instanceable, so spine-vs-counts would die on conflicting
+    // attributes): fold each window's live bins into a map, cross-join
+    // the one-row broadcast reference map, and explode the UNION of
+    // bucket keys — live-only bins keep their carried ref_share (0 when
+    // the reference never saw the bin), vacated reference bins
+    // materialize with n_cur = 0 at the reference's share. Sink-side
+    // arithmetic over windows × ≤10 rows, no stream state.
+    val refMap = reference.agg(map_from_entries(
+      collect_list(struct(col("bucket"), col("ref_share")))).as("rm"))
+    val lm = col("lm"); val rm = col("rm"); val b = col("bucket")
+    val full = binCounts.groupBy("win_us")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), struct(col("n_cur"), col("ref_share"))))).as("lm"))
+      .crossJoin(broadcast(refMap))
+      .select(col("win_us"),
+        explode(array_union(map_keys(lm), map_keys(rm))).as("bucket"), lm, rm)
+      .select(col("win_us"), b,
+        coalesce(lm(b)("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(lm(b)("ref_share"), rm(b), lit(0d)).as("ref_share"))
     val p = col("ref_share")
     val q = col("n_cur") * lit(1.0) / col("n_win")
-    binCounts
+    full
       .withColumn("n_win", sum("n_cur").over(Window.partitionBy("win_us")))
       .select(col("win_us"), col("bucket"), col("n_cur"),
         col("ref_share"), graft.queries.cround(q, 6).as("cur_share"),

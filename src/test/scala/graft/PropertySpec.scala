@@ -250,7 +250,7 @@ class PropertySpec extends SparkSpec {
     }
     val df = day.toDF()
     val reference = Streams.driftReference(df)
-    val psi = Streams.driftPsi(Streams.driftBinCounts(df, reference)).collect()
+    val psi = Streams.driftPsi(Streams.driftBinCounts(df, reference), reference).collect()
     assert(psi.nonEmpty)
     psi.foreach { r =>
       assert(r.getDouble(5) == 0.0, s"identical distribution must score 0, got $r")

@@ -4,9 +4,10 @@ package graft
   * as a driver/judge-visible artifact (VERDICT r6 item 7): one JSON
   * object per test with its pass/fail outcome and the canonical SHA-256
   * of every replay side it compared (equal hashes within a test = the
-  * equivalence that test asserted). Written round-stamped the same way
-  * Bench stamps docs/BENCH_driver_r{N}.json — the current round is
-  * max(BENCH_r{N}.json at the repo root) + 1. */
+  * equivalence that test asserted). Written round-stamped via the same
+  * [[graft.RoundStamp]] inference Bench uses for
+  * docs/BENCH_driver_r{N}.json, and skipped entirely when the suite
+  * runs outside the repo root. */
 object StreamsAudit {
 
   private val hashes =
@@ -40,13 +41,11 @@ object StreamsAudit {
       val json =
         s"""{"suite":"graft.StreamsSpec","n_tests":${outcomes.size},""" +
         s""""n_passed":${outcomes.values.count(identity)},"tests":$tests}"""
-      val rPat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-      val prev = Option(new java.io.File(".").list()).getOrElse(Array.empty)
-        .flatMap { f => val m = rPat.matcher(f); if (m.matches()) Some(m.group(1).toInt) else None }
-      val round = prev.foldLeft(0)(math.max) + 1
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"docs/STREAMS_r$round%02d.json"), json + "\n")
+      RoundStamp.current().foreach { round =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"docs/STREAMS_r$round%02d.json"), json + "\n")
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[streams-audit] could not write artifact: $e")
     }

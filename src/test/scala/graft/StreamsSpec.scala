@@ -102,8 +102,8 @@ class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       Streams.driftBinCounts(stream.toDF(), reference), "t_drift", "complete")
     val want = Streams.driftBinCounts(curEvs.toDF(), reference)
     assert(canon(got) == canon(want))
-    assert(canon(Streams.driftPsi(got)) == canon(Streams.driftPsi(want)))
-    val psi = Streams.driftPsi(want).collect()
+    assert(canon(Streams.driftPsi(got, reference)) == canon(Streams.driftPsi(want, reference)))
+    val psi = Streams.driftPsi(want, reference).collect()
     assert(psi.nonEmpty && psi.forall(_.getDouble(5) >= 0), "PSI terms nonnegative")
     val shareSums = psi.groupBy(_.getLong(0)).values.map(_.map(_.getDouble(4)).sum)
     assert(shareSums.forall(s => math.abs(s - 1.0) < 1e-3), "cur shares sum to ~1 per window")
@@ -135,8 +135,17 @@ class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "every live row must survive binning even in reference-empty bins")
     val gapBins = got.filter(col("ref_share") === 0.0)
     assert(gapBins.count() > 0, "reference-empty live bins carry ref_share 0")
-    val psi = Streams.driftPsi(want).collect()
+    val psi = Streams.driftPsi(want, reference).collect()
     assert(psi.forall(_.getDouble(5) >= 0), "PSI terms stay finite/nonnegative at p=0")
+    // the mirror case: reference-heavy buckets the live window VACATED
+    // (0 and 9 here) must still appear, with n_cur = 0 and a POSITIVE
+    // psi term — the spine completion in driftPsi, not stream state
+    val vacated = psi.filter(_.getLong(2) == 0L)
+    assert(vacated.nonEmpty, "vacated reference bins must appear with n_cur = 0")
+    assert(vacated.forall(r => r.getDouble(3) > 0 && r.getDouble(5) > 0),
+      s"vacated bins carry the reference share and a positive PSI term: ${vacated.toSeq}")
+    val binSum = psi.map(_.getLong(2)).sum
+    assert(binSum == curEvs.size, "spine completion must not change window totals")
     reference.unpersist()
   }
 
