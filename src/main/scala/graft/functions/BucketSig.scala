@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Bucketed-count signature of a shingle-hash set: a B-bucket byte
+  * histogram of the set's elements, B the smallest power of two >= the
+  * set size (clamped to [64, 65536]), bucket = low bits of the xxhash64
+  * shingle hash.
+  *
+  * The point (reference semantics: the exact-jaccard verify of
+  * exercise_2.py, scaled): for any two sets, every SHARED element lands
+  * in the same bucket on both sides, so
+  * S = Σ_i min(cntA_i, cntB_i) >= |A ∩ B| — a sound, deterministic
+  * upper bound on intersection size from payloads ~8× smaller than the
+  * sorted hash arrays themselves (1-2 bytes per element vs 8). The
+  * near-dup sift ships THESE through the per-pair exchange, rejects
+  * every candidate whose bound already fails τ (S/(n1+n2-S) >= jac by
+  * monotonicity of x/(c-x), so the test never drops a true pair), and
+  * reserves the fat array exchange for the survivors. Tightness: the
+  * overshoot is Σ min over the NON-shared elements' collisions,
+  * E ≈ uniqueA·uniqueB/B — with B >= n that is ~1% of n at jaccard
+  * 0.75, so the 0.5-0.78 near-miss band that no prefix/positional
+  * bound can touch (SCALE10X.md sparse regime) is rejected almost
+  * entirely.
+  *
+  * Returns NULL when any bucket would exceed 255 (saturated counts
+  * could under-count the intersection and break soundness) — callers
+  * must treat a null signature as "cannot reject". With B >= n the
+  * expected bucket load is <= 1, so saturation needs 256 of a doc's
+  * shingle hashes to collide in their low bits — astronomically rare,
+  * but guarded anyway because correctness here is load-bearing. */
+case class BucketCountSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull rejected at analysis: a null element would read as 0
+    // and shift a phantom count into bucket 0 — fail loudly instead
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bucket_sig expects array<bigint NOT NULL>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  // nullable even over non-null input: saturation returns null
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_bucket_sig"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var b = 64
+    while (b < n && b < 65536) b <<= 1
+    val counts = new Array[Int](b)
+    val mask = b - 1
+    var i = 0
+    while (i < n) {
+      val j = (x.getLong(i) & mask).toInt
+      counts(j) += 1
+      if (counts(j) > 255) return null
+      i += 1
+    }
+    val out = new Array[Byte](b)
+    i = 0
+    while (i < b) { out(i) = counts(i).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val b = ctx.freshName("b")
+      val counts = ctx.freshName("counts"); val mask = ctx.freshName("mask")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val out = ctx.freshName("out"); val sat = ctx.freshName("sat")
+      s"""
+         |int $n = $a.numElements();
+         |int $b = 64;
+         |while ($b < $n && $b < 65536) { $b <<= 1; }
+         |int[] $counts = new int[$b];
+         |int $mask = $b - 1;
+         |boolean $sat = false;
+         |for (int $i = 0; $i < $n && !$sat; $i++) {
+         |  int $j = (int) ($a.getLong($i) & $mask);
+         |  $counts[$j] += 1;
+         |  if ($counts[$j] > 255) { $sat = true; }
+         |}
+         |if ($sat) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[$b];
+         |  for (int $i = 0; $i < $b; $i++) { $out[$i] = (byte) $counts[$i]; }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BucketCountSig =
+    copy(child = newChild)
+}
+
+/** S = Σ_i min(cntA_i, cntB_i) over two [[BucketCountSig]] signatures —
+  * the intersection-size upper bound. Signatures of different widths
+  * (both powers of two) are FOLDED to the narrower one by summing
+  * congruent buckets: m | B and both are low-bit masks, so
+  * (g mod B) mod m = g mod m — the fold is exactly the coarser
+  * bucketing, and the bound stays sound across any pair of doc sizes.
+  * Folded sums accumulate in ints (the byte cap is a storage property;
+  * exact counts were proven <= 255 at write time, and their fold-sums
+  * fit trivially). */
+case class SigMinSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sig_min_sum expects two binary arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sig_min_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val m = math.min(x.length, y.length)
+    if (m == 0) return 0L
+    val fa = new Array[Int](m)
+    val fb = new Array[Int](m)
+    val mask = m - 1
+    var i = 0
+    while (i < x.length) { fa(i & mask) += x(i) & 0xFF; i += 1 }
+    i = 0
+    while (i < y.length) { fb(i & mask) += y(i) & 0xFF; i += 1 }
+    var s = 0L
+    i = 0
+    while (i < m) { s += math.min(fa(i), fb(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val mask = ctx.freshName("mask")
+      val fa = ctx.freshName("fa"); val fb = ctx.freshName("fb")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |if ($m > 0) {
+         |  int $mask = $m - 1;
+         |  int[] $fa = new int[$m];
+         |  int[] $fb = new int[$m];
+         |  for (int $i = 0; $i < $a.length; $i++) { $fa[$i & $mask] += $a[$i] & 0xFF; }
+         |  for (int $i = 0; $i < $b.length; $i++) { $fb[$i & $mask] += $b[$i] & 0xFF; }
+         |  for (int $i = 0; $i < $m; $i++) { $s += java.lang.Math.min($fa[$i], $fb[$i]); }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMinSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object BucketSig {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
+  /** Column API (resolves via [[graft.functions.GraftExtensions]]). */
+  def bucketSig(gs: Column): Column = call_function("graft_bucket_sig", gs)
+
+  def sigMinSum(a: Column, b: Column): Column =
+    call_function("graft_sig_min_sum", a, b)
+}

@@ -86,6 +86,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bucket_sig"),
+      new ExpressionInfo(classOf[BucketCountSig].getName, "graft_bucket_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_bucket_sig expects exactly 1 argument, got ${children.length}")
+        BucketCountSig(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sig_min_sum"),
+      new ExpressionInfo(classOf[SigMinSum].getName, "graft_sig_min_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_sig_min_sum expects exactly 2 arguments, got ${children.length}")
+        SigMinSum(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => {

@@ -476,6 +476,41 @@ object TextOps {
       .filter(col("jac") >= JaccardTau)
   }
 
+  /** [[rawJaccard]] behind a bucketed-count signature sift — the exact
+    * path's answer to the sparse-regime near-miss band (SCALE10X.md:
+    * ~10⁸ candidate pairs at jaccard 0.5-0.8 that no prefix/positional
+    * bound can reject, whose array shipping was the 26 GB write /
+    * 36.7 GB spill "architectural floor"). Before any shingle array
+    * moves, each candidate is tested against the SOUND intersection
+    * upper bound S = Σ min of the pair's [[graft.functions
+    * .BucketCountSig]] byte histograms: S >= |A∩B| (shared shingles
+    * share buckets), and x/(c-x) is monotone, so
+    * TauDen·S >= TauNum·(n1+n2-S) is implied by jac >= τ in exact
+    * integer arithmetic — no true pair is ever dropped (the TauNum
+    * discipline; a NULL signature = saturated counts = cannot reject).
+    * The per-pair exchange thus carries 1-2 bytes per shingle instead
+    * of 8, near-misses below ~0.78 die before the fat exchange, and
+    * [[rawJaccard]]'s array attach runs over survivors only — same
+    * join/partitioning shape (skinny pair exchange + doc-frame-local
+    * shuffle-hash attaches), so the no-repartition fusion that is
+    * load-bearing in this pipeline is preserved. */
+  private[graft] def siftedJaccard(docSets: DataFrame, cand: DataFrame): DataFrame = {
+    import graft.functions.BucketSig.{bucketSig, sigMinSum}
+    val sigs = docSets.select(col("doc_id"), col("n"), bucketSig(col("gs")).as("sig"))
+    val s1 = sigs.hint("shuffle_hash")
+      .select(col("doc_id").as("d1"), col("sig").as("sig1"), col("n").as("sn1"))
+    val s2 = sigs.hint("shuffle_hash")
+      .select(col("doc_id").as("d2"), col("sig").as("sig2"), col("n").as("sn2"))
+    val pass = cand.select("d1", "d2")
+      .join(s1, "d1")
+      .join(s2, "d2")
+      .withColumn("ub", sigMinSum(col("sig1"), col("sig2")))
+      .filter(col("ub").isNull ||
+        lit(TauDen) * col("ub") >= lit(TauNum) * (col("sn1") + col("sn2") - col("ub")))
+      .select("d1", "d2")
+    rawJaccard(docSets, pass)
+  }
+
   /** [[rawJaccard]] with the canonical output shape (rounded, ordered). */
   private def verifiedJaccard(docSets: DataFrame, cand: DataFrame): DataFrame =
     rawJaccard(docSets, cand)
@@ -596,7 +631,10 @@ object TextOps {
     val (cand, prefix) = ppjoinCandidates(sh)
     // exact verification via doc-set equi-joins — candidate-volume-bound,
     // nothing broadcast by construction, sets computed scan-side
-    val out = rawJaccard(shingleSets(s, dir), cand).persist()
+    // signature sift between candidates and the array verify: near-miss
+    // candidates die on the sound Σ-min bound before any shingle array
+    // is shipped (the sparse-regime floor fix — see siftedJaccard)
+    val out = siftedJaccard(shingleSets(s, dir), cand).persist()
     // materialize once (this builder runs once per session/dir), then drop
     // the prefix intermediate — only the tiny pair set stays cached
     out.count()
