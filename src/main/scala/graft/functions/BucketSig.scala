@@ -3,16 +3,19 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, IntegerType, LongType}
 
 /** Bucketed-count signature of a shingle-hash set: a B-bucket byte
   * histogram of the set's elements, B the smallest power of two >= the
   * set size (clamped to [64, 65536]), bucket = low bits of the xxhash64
   * shingle hash.
   *
-  * The point (reference semantics: the exact-jaccard verify of
-  * exercise_2.py, scaled): for any two sets, every SHARED element lands
+  * The point (serving the exact-jaccard near-dup semantics of
+  * /root/reference/exercise_3.py:10-22's distinct-pair shape, as
+  * generalized in SURVEY §2.10 Q16/Q25): for any two sets, every SHARED
+  * element lands
   * in the same bucket on both sides, so
   * S = Σ_i min(cntA_i, cntB_i) >= |A ∩ B| — a sound, deterministic
   * upper bound on intersection size from payloads ~8× smaller than the
@@ -110,7 +113,14 @@ case class BucketCountSig(child: Expression) extends UnaryExpression {
   * bucketing, and the bound stays sound across any pair of doc sizes.
   * Folded sums accumulate in ints (the byte cap is a storage property;
   * exact counts were proven <= 255 at write time, and their fold-sums
-  * fit trivially). */
+  * fit trivially).
+  *
+  * The fold's congruence argument REQUIRES power-of-two widths — the
+  * function is SQL-registered and user-callable, so a non-power-of-two
+  * input (any binary that didn't come from graft_bucket_sig) throws a
+  * clear error rather than silently folding into a meaningless
+  * in-bounds number. An empty signature (the empty set) short-circuits
+  * to bound 0 — sound, since the empty set intersects nothing. */
 case class SigMinSum(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -130,6 +140,8 @@ case class SigMinSum(left: Expression, right: Expression)
     val y = b.asInstanceOf[Array[Byte]]
     val m = math.min(x.length, y.length)
     if (m == 0) return 0L
+    SigMinSum.requirePow2(x.length)
+    SigMinSum.requirePow2(y.length)
     val fa = new Array[Int](m)
     val fb = new Array[Int](m)
     val mask = m - 1
@@ -152,6 +164,8 @@ case class SigMinSum(left: Expression, right: Expression)
          |int $m = java.lang.Math.min($a.length, $b.length);
          |long $s = 0L;
          |if ($m > 0) {
+         |  graft.functions.SigMinSum.requirePow2($a.length);
+         |  graft.functions.SigMinSum.requirePow2($b.length);
          |  int $mask = $m - 1;
          |  int[] $fa = new int[$m];
          |  int[] $fb = new int[$m];
@@ -166,6 +180,146 @@ case class SigMinSum(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SigMinSum =
     copy(left = newLeft, right = newRight)
+}
+
+object SigMinSum {
+  /** Called from interpreted eval AND generated code (hence public +
+    * JVM-static-friendly): rejects signatures whose width can't have
+    * come from graft_bucket_sig. */
+  def requirePow2(len: Int): Unit =
+    if ((len & (len - 1)) != 0)
+      throw new IllegalArgumentException(
+        s"graft_sig_min_sum: signature length $len is not a power of two — " +
+          "inputs must be graft_bucket_sig outputs (the width fold is only " +
+          "sound between power-of-two bucket counts)")
+}
+
+/** graft_sig_tau_ok(sig1, sig2, total, num, den) — the WHOLE per-pair
+  * sift test den·S >= num·(total − S) fused into one boolean expression
+  * (S = the [[SigMinSum]] bound, total = n1+n2, num/den = τ as an exact
+  * rational). True = "cannot reject at jaccard >= num/den".
+  *
+  * Exists because the map-side sift runs this test once per CANDIDATE
+  * ROW on the hot q25 path, where the compositional
+  * isnull(min_sum) OR den·min_sum >= num·(total−min_sum) form evaluated
+  * graft_sig_min_sum up to three times per row after predicate inlining
+  * and allocated two fold arrays per call (measured ~1960 s CPU at the
+  * sparse-10× probe). This form:
+  *   - evaluates S exactly once;
+  *   - equal-width signatures (the overwhelmingly common case — widths
+  *     only differ across ~2× doc-size ratios, which the PPJoin length
+  *     filter has already bounded) take a ZERO-ALLOCATION single pass
+  *     of min(b1_i, b2_i);
+  *   - unequal widths fold only the wider signature (one int array);
+  *   - the scan EARLY-ACCEPTS once the running sum crosses the
+  *     threshold ceil(num·total/(num+den)) — S only grows, so the
+  *     verdict is already decided (true pairs exit after ~τ of the
+  *     mass; rejected rows — the common case — scan fully, which is
+  *     the information-theoretic minimum for a sound bound).
+  * NULL handling is "cannot reject": a null signature (saturated
+  * counts) or null total yields TRUE, never null — so the expression is
+  * non-nullable and safe directly under a Filter. */
+case class SigTauOk(children: Seq[Expression]) extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val Seq(a, b, t, n, d) = children
+    if (a.dataType != BinaryType || b.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure("graft_sig_tau_ok: sig1/sig2 must be binary")
+    else if (t.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("graft_sig_tau_ok: total must be bigint")
+    else if (!n.foldable || !d.foldable ||
+      n.dataType != IntegerType || d.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure("graft_sig_tau_ok: num/den must be int literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_sig_tau_ok"
+
+  private lazy val num: Int = children(3).eval(null).asInstanceOf[Int]
+  private lazy val den: Int = children(4).eval(null).asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = children(0).eval(input)
+    val b = children(1).eval(input)
+    val t = children(2).eval(input)
+    if (a == null || b == null || t == null) return true
+    java.lang.Boolean.valueOf(SigTauOk.passes(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      t.asInstanceOf[Long], num, den))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = children(0).genCode(ctx)
+    val b = children(1).genCode(ctx)
+    val t = children(2).genCode(ctx)
+    val code =
+      code"""
+        |${a.code}
+        |${b.code}
+        |${t.code}
+        |boolean ${ev.value} = true;
+        |if (!${a.isNull} && !${b.isNull} && !${t.isNull}) {
+        |  ${ev.value} = graft.functions.SigTauOk.passes(
+        |    ${a.value}, ${b.value}, ${t.value}, $num, $den);
+        |}
+       """.stripMargin
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SigTauOk = copy(children = newChildren)
+}
+
+object SigTauOk {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
+  /** Shared by interpreted eval and generated code. */
+  def passes(x: Array[Byte], y: Array[Byte], total: Long, num: Int, den: Int): Boolean = {
+    // threshold: den·S >= num·(total−S) ⇔ S·(den+num) >= num·total
+    // ⇔ S >= ceil(num·total / (den+num)) — exact integer arithmetic
+    val dn = (den + num).toLong
+    val thr = (num * total + dn - 1) / dn
+    if (thr <= 0) return true
+    var s = 0L
+    if (x.length == y.length) {
+      // equal widths: same masking on both sides — direct bucketwise min,
+      // no fold, no allocation
+      var i = 0
+      while (i < x.length) {
+        val mx = x(i) & 0xFF; val my = y(i) & 0xFF
+        s += (if (mx < my) mx else my)
+        if (s >= thr) return true
+        i += 1
+      }
+    } else {
+      val (narrow, wide) = if (x.length < y.length) (x, y) else (y, x)
+      if (narrow.length == 0) return false // empty set: S = 0 < thr
+      SigMinSum.requirePow2(narrow.length)
+      SigMinSum.requirePow2(wide.length)
+      val m = narrow.length
+      val mask = m - 1
+      val fw = new Array[Int](m)
+      var i = 0
+      while (i < wide.length) { fw(i & mask) += wide(i) & 0xFF; i += 1 }
+      i = 0
+      while (i < m) {
+        val mn = narrow(i) & 0xFF; val mw = fw(i)
+        s += (if (mn < mw) mn else mw)
+        if (s >= thr) return true
+        i += 1
+      }
+    }
+    false
+  }
+
+  /** Column API (resolves via [[graft.functions.GraftExtensions]]). */
+  def sigTauOk(sig1: Column, sig2: Column, total: Column,
+      num: Int, den: Int): Column =
+    call_function("graft_sig_tau_ok", sig1, sig2, total,
+      org.apache.spark.sql.functions.lit(num), org.apache.spark.sql.functions.lit(den))
 }
 
 object BucketSig {

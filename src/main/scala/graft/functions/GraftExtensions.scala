@@ -102,6 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SigMinSum(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sig_tau_ok"),
+      new ExpressionInfo(classOf[SigTauOk].getName, "graft_sig_tau_ok"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"graft_sig_tau_ok expects exactly 5 arguments, got ${children.length}")
+        SigTauOk(children)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_sorted_intersect"),
       (children: Seq[Expression]) => {

@@ -44,14 +44,19 @@ object Graph {
     * step further and sums the long numerators directly (see
     * [[pagerankOf]]) — identical values, no decimal at all. */
 
-  /** Symmetrized co-purchase edge list (src, dst): distinct
+  /** Symmetrized co-purchase edge list (src, dst, outdeg): distinct
     * (order, part) incidences self-joined on the order key, both
-    * directions kept. Deliberately BARE — no outdegree column: degrees
-    * live in the node-sized [[nodeDegrees]] table and are joined onto
-    * the RANK side each round (node-sized work), so the E-row build is
-    * just dedup-then-persist with no window sort over the edges and the
-    * cached frame is two longs per edge. Repartitioned by src before
-    * persisting so each iteration's rank join reuses this partitioning
+    * directions kept, plus THE SRC NODE'S OUTDEGREE folded onto each
+    * edge row (round-8: one wide persist instead of a per-round
+    * node-sized degree join — each PageRank round's mail is now the
+    * bare (node, rank) table and the per-edge contribution numerator
+    * reads outdeg straight off the cached frame; q88's orientation
+    * reads du the same way and joins degrees only for the dst side).
+    * The fold itself is free of new exchanges: degrees are a
+    * src-local map-side-combinable count over the deduped pair frame,
+    * and the degree join runs src-to-src on the partitioning the
+    * frame already has. Repartitioned by src before persisting so
+    * each iteration's rank join reuses this partitioning
     * (InMemoryTableScan preserves outputPartitioning — only the
     * generation's small rank table shuffles per round, never the
     * edges). */
@@ -61,8 +66,14 @@ object Graph {
     // (the bench's cache reset still charges each query its full
     // standalone cost)
     TextOps.memo("coPurchaseEdges", s, dir) {
-      val out = buildCoPurchaseEdges(s, dir).persist()
+      // materialize the bare dedup first so the degree fold reads the
+      // cache instead of re-running the order self-join for its own
+      // subtree; the narrow cache is dropped once the wide frame exists
+      val bare = coPurchasePairs(s, dir).dropDuplicates("src", "dst").persist()
+      val out = foldSrcStat(bare,
+        bare.groupBy("src").agg(count(lit(1)).as("outdeg"))).persist()
       out.count()
+      bare.unpersist()
       out
     }
 
@@ -87,6 +98,18 @@ object Graph {
       .repartition(col("src"))
   }
 
+  /** Join a node-sized per-src statistic onto the src-partitioned edge
+    * frame with ZERO new exchanges and no edge sort: the stat frame is
+    * itself derived from the edge frame (groupBy("src") rides the
+    * existing partitioning), and the SHUFFLE_HASH hint builds the
+    * per-partition hash table from the node-sized stat side while the
+    * E-row side streams — a sort-merge join would sort the edges
+    * (exactly the window-sort this builder has always avoided). */
+  private def foldSrcStat(edges: DataFrame, stat: DataFrame): DataFrame =
+    edges.join(stat.hint("shuffle_hash"), "src")
+
+  /** The bare (src, dst) edge set — plan-shape test surface; the
+    * memoized production frame additionally folds outdeg on. */
   private[graft] def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     coPurchasePairs(s, dir).dropDuplicates("src", "dst")
 
@@ -144,9 +167,8 @@ object Graph {
   private[graft] val NodeBroadcastLimit = 4000000L
 
   private def pagerankOf(edges: DataFrame, stats: DataFrame,
-      msg: DataFrame => DataFrame,
       kExpr: org.apache.spark.sql.Column): DataFrame =
-    pagerankGated(edges, stats, msg, kExpr, NodeBroadcastLimit)
+    pagerankGated(edges, stats, kExpr, NodeBroadcastLimit)
 
   /** The shared dataflow, rounds UNROLLED into one lazy plan exactly
     * like the oracle's chained CTEs: generation k is a subplan over
@@ -175,16 +197,23 @@ object Graph {
     * per edge. Same exactness, same order-invariance (GraphSpec's
     * bitwise replay), a fraction of the CPU. */
   private[graft] def pagerankGated(edges: DataFrame, stats: DataFrame,
-      msg: DataFrame => DataFrame,
       kExpr: org.apache.spark.sql.Column,
       broadcastLimit: Long): DataFrame = {
+    // round-8: the mail is the BARE (node, rank) table — the per-node
+    // static divisor (outdeg / wsum) lives ON the persisted edge frame
+    // (see coPurchaseEdges), so the old per-round node-sized stats join
+    // (one exchange + one join job per round) is gone and kExpr computes
+    // the grid numerator per edge from cached columns. Value-identity:
+    // the numerator is a pure function of (r, static), both unchanged,
+    // so every contribution — and hence every round — is bitwise
+    // identical to the joined form (GraphSpec's sequential replay pins
+    // it). `stats` is now only the node universe: init + the count.
     val statsP = stats.persist()
     val n = statsP.count()
     val scaleF = math.pow(10, Digits)
     var cur = statsP.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to Rounds) {
-      val m0 = msg(cur.join(statsP, "node"))
-      val m = if (n <= broadcastLimit) broadcast(m0) else m0
+      val m = if (n <= broadcastLimit) broadcast(cur) else cur
       cur = edges.join(m, edges("src") === m("node"))
         .select(col("dst"), kExpr.as("k"))
         .groupBy("dst")
@@ -221,12 +250,13 @@ object Graph {
           k => s"e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src")}
        |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
     val edges = coPurchaseEdges(s, dir)
-    // r/outdeg is per-NODE constant, so its grid numerator is computed
-    // once per node on the rank table and the edge pass is a bare
-    // long lookup — identical values to the oracle's per-edge rounding
+    // r/outdeg is a pure function of the mail rank and the outdeg column
+    // already cached on the edge frame — per-edge evaluation gives the
+    // SAME grid numerator as the old once-per-node form (same two
+    // doubles in, same floor), for one codegen'd divide instead of a
+    // per-round node join
     pagerankOf(edges, nodeDegrees(edges),
-      msg = ranked => ranked.select(col("node"), kOf(col("r") / col("outdeg")).as("kc")),
-      kExpr = col("kc"))
+      kExpr = kOf(col("r") / col("outdeg")))
   }
 
   /** WEIGHTED co-purchase edges (src, dst, w): w counts the orders
@@ -236,10 +266,16 @@ object Graph {
     * [[weightSums]] table, not on the edges. */
   private[graft] def coPurchaseEdgesW(s: SparkSession, dir: String): DataFrame =
     TextOps.memo("coPurchaseEdgesW", s, dir) {
-      val out = coPurchasePairs(s, dir)
+      // same wide-persist discipline as [[coPurchaseEdges]]: wsum (the
+      // src's total outgoing weight) folds onto the edge rows so q85b's
+      // rounds need no per-round stats join either
+      val bare = coPurchasePairs(s, dir)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .persist()
+      val out = foldSrcStat(bare,
+        bare.groupBy("src").agg(sum(col("w")).as("wsum"))).persist()
       out.count()
+      bare.unpersist()
       out
     }
 
@@ -273,11 +309,9 @@ object Graph {
           k => s"ew e JOIN r${k - 1} r ON e.src = r.node JOIN ws s ON e.src = s.src")}
        |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
     val edges = coPurchaseEdgesW(s, dir)
-    // w is per-EDGE, so the grid numerator is computed per edge with
-    // wsum carried on the rank side — the expression keeps the oracle's
-    // (r*w)/wsum association exactly
+    // w and wsum both live on the cached edge frame; the expression
+    // keeps the oracle's (r*w)/wsum association exactly
     pagerankOf(edges, weightSums(edges),
-      msg = identity,
       kExpr = kOf(col("r") * col("w") / col("wsum")))
   }
 
@@ -335,10 +369,13 @@ object Graph {
   private[graft] def trianglesOf(e: DataFrame, broadcastLimit: Long): DataFrame = {
     val und = e.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
     val deg = nodeDegrees(e)
-    val da = deg.select(col("node").as("u"), col("outdeg").as("du"))
+    // du comes FREE off the widened edge frame (outdeg = degree of src);
+    // only the dst side's degree still needs a node-sized join
+    val undD = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"), col("outdeg").as("du"))
     val db = deg.select(col("node").as("v"), col("outdeg").as("dv"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val orient = und.join(da, "u").join(db, "v")
+    val orient = undD.join(db, "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"))
     val o1 = orient.select(col("s"), col("t").as("t1"))

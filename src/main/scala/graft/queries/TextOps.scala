@@ -552,7 +552,8 @@ object TextOps {
     * window anywhere; and nothing is ever broadcast by construction (the
     * df join is a plain equi-join on g that AQE broadcasts only when the
     * vocabulary is actually small). */
-  private[graft] def ppjoinCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def ppjoinCandidates(sh: DataFrame,
+      sigs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dfTab = sh.groupBy("g").agg(count(lit(1)).as("df"))
     // per-doc rank in the global (df, g) order — partitioned by doc_id
@@ -585,7 +586,7 @@ object TextOps {
     // ceil(τ/(1+τ)·(na+nb)) = ceil(TauNum·(na+nb) / (TauNum+TauDen)),
     // exact (the float form rejected jac-exactly-τ pairs — TauNum note)
     val minOverlap = ceilDiv(col("na") + col("nb"), TauNum, TauNum + TauDen)
-    val cand = prefix.select(col("doc_id").as("d1"), col("g"), col("pos").as("pa"), col("n").as("na"))
+    val cand0 = prefix.select(col("doc_id").as("d1"), col("g"), col("pos").as("pa"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("d2"), col("g"), col("pos").as("pb"), col("n").as("nb")), "g")
       .filter(col("d1") < col("d2"))
       // na >= τ·nb ⇔ TauDen·na >= TauNum·nb — integer, boundary-exact
@@ -616,6 +617,39 @@ object TextOps {
       // unfiltered spill. Bounded memory is the 100 TB-relevant
       // property; replicated corpora should use the LSH-banded finder.
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
+    // MAP-SIDE signature sift (when the caller supplied a broadcastable
+    // (doc_id, sig) table): the sparse df-inflation regime's ~10⁸
+    // near-miss candidate ROWS all survive the sound positional bounds
+    // (their jaccard sits in the 0.5-0.8 band — SCALE10X.md), so without
+    // this they flood the pair-aggregation hash map, whose sort-fallback
+    // was measured as THE remaining spill (36.9 GB of the sparse-10×
+    // probe's 36.4 GB total, stage-attributed). Attaching both docs'
+    // [[graft.functions.BucketCountSig]] histograms via two broadcast
+    // hash joins keeps everything inside the same whole-stage-codegen
+    // span as the candidate join (broadcast joins preserve the streamed
+    // side's doc_id partitioning, so the no-exchange aggregation fusion
+    // below is untouched), and the sound Σ-min bound kills near-misses
+    // BEFORE they enter the aggregation map. Soundness: identical test
+    // to [[siftedJaccard]] (S >= |A∩B| and x/(c-x) monotone, null =
+    // saturated = cannot reject), and it is a per-PAIR property, so
+    // applying it per candidate row drops only rows of pairs the
+    // post-agg sift would have dropped anyway. The aggregated positional
+    // bound below stays valid: it only ever REJECTS more.
+    val rows = sigs match {
+      case Some(sg) =>
+        cand0
+          .join(broadcast(sg.select(col("doc_id").as("d1"), col("sig").as("sig1"))), Seq("d1"))
+          .join(broadcast(sg.select(col("doc_id").as("d2"), col("sig").as("sig2"))), Seq("d2"))
+          // the FUSED test expression: one evaluation of the Σ-min bound
+          // per row (the compositional isnull/min_sum form triple-
+          // evaluated after predicate inlining), zero-allocation
+          // equal-width fast path, early accept — see SigTauOk
+          .filter(graft.functions.SigTauOk.sigTauOk(
+            col("sig1"), col("sig2"), col("na") + col("nb"), TauNum.toInt, TauDen.toInt))
+          .drop("sig1", "sig2")
+      case None => cand0
+    }
+    val cand = rows
       .groupBy("d1", "d2", "na", "nb")
       .agg(count(lit(1)).as("cnt"), max(col("pa")).as("pam"), max(col("pb")).as("pbm"))
       .filter(col("cnt") + least(col("na") - col("pam"), col("nb") - col("pbm")) >= minOverlap)
@@ -623,18 +657,36 @@ object TextOps {
     (cand, prefix)
   }
 
+  /** Doc-count gate for broadcasting the per-doc signature table into
+    * the candidate stage (sig ≈ next-pow2(|gs|) bytes, so ~1M docs is a
+    * few hundred MB — comfortable on production executors; the 10×/30×
+    * probe fixtures at 50k/150k docs are far inside). Past the gate the
+    * exact path falls back to the post-aggregation [[siftedJaccard]] —
+    * same bound, pair-linear shuffle instead of broadcast — and the
+    * LSH-banded finder is the documented default at that scale anyway. */
+  private[graft] val SigBroadcastGate = 1000000L
+
   private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // shingles() is memoized AND persisted per (session, dir) — all three
     // consumers here (df ranking, prefix window, verify docSets) plus any
     // later query share one materialization
     val sh = shingles(s, dir)
-    val (cand, prefix) = ppjoinCandidates(sh)
+    val sets = shingleSets(s, dir)
+    // count() on the persisted frame: one cheap job, and the
+    // materialization is needed by every consumer below anyway
+    val inGate = sets.count() <= SigBroadcastGate
+    val sigTab =
+      if (inGate) Some(sets.select(col("doc_id"),
+        graft.functions.BucketSig.bucketSig(col("gs")).as("sig")))
+      else None
+    val (cand, prefix) = ppjoinCandidates(sh, sigTab)
     // exact verification via doc-set equi-joins — candidate-volume-bound,
-    // nothing broadcast by construction, sets computed scan-side
-    // signature sift between candidates and the array verify: near-miss
-    // candidates die on the sound Σ-min bound before any shingle array
-    // is shipped (the sparse-regime floor fix — see siftedJaccard)
-    val out = siftedJaccard(shingleSets(s, dir), cand).persist()
+    // nothing broadcast by construction, sets computed scan-side. In-gate
+    // the map-side sift already applied the Σ-min bound per row, so the
+    // post-agg sift would be pure redundancy (identical per-pair test);
+    // past the gate it still kills near-misses before the array attach.
+    val verified = if (inGate) rawJaccard(sets, cand) else siftedJaccard(sets, cand)
+    val out = verified.persist()
     // materialize once (this builder runs once per session/dir), then drop
     // the prefix intermediate — only the tiny pair set stays cached
     out.count()

@@ -457,10 +457,44 @@ object VectorOps {
     * cosine scale-invariant (dot(q1,q2)/(‖q1‖‖q2‖): the two per-vector
     * scales cancel), so there is no dequantize step anywhere and the
     * byte dot product stays inside whole-stage codegen via the extended
-    * [[graft.functions.DotProduct]]. Quantization-specific (no SQL
-    * oracle); DedupSpec gates recall vs exact q17 and the cosine error
-    * bound. */
-  val q61_int8_topk: Query = Query.noOracle { (s, dir) =>
+    * [[graft.functions.DotProduct]].
+    *
+    * Fully DuckDB-oracled (the q27 precedent: a deterministic function
+    * of the input is replayable in SQL even when it looks
+    * "quantization-specific"): the oracle replays the symmetric
+    * quantization — scale = max|x|/127 floored at 1e-30, qv =
+    * round(x/scale) — then scores with EXACT integer dot products.
+    * Determinism argument, term by term: float→double casts are exact;
+    * both engines round half away from zero (Spark's HALF_UP via
+    * shortest-decimal BigDecimal equals C round() on every double,
+    * since no double's shortest representation crosses a .5 boundary);
+    * byte products sum to ≤ 64·127² ≈ 1.03M, exactly representable, so
+    * Spark's sequential double sum equals DuckDB's HUGEINT sum in any
+    * order; sqrt and the final divide are IEEE-deterministic.
+    * DedupSpec additionally gates recall vs exact q17 and the cosine
+    * error bound. */
+  val q61_int8_topk: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     sc AS (SELECT vec_id, greatest(max(abs(v)) / 127.0, 1e-30) AS scale
+       |            FROM u GROUP BY 1),
+       |     q AS (SELECT u.vec_id, i, CAST(round(v / scale) AS INTEGER) AS qv
+       |           FROM u JOIN sc USING (vec_id)),
+       |     nrm AS (SELECT vec_id, sqrt(CAST(sum(qv * qv) AS DOUBLE)) AS nrm
+       |             FROM q GROUP BY 1),
+       |     d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |                  CAST(sum(p.qv * c.qv) AS DOUBLE) AS dot
+       |           FROM q p JOIN q c ON p.i = c.i AND p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT probe_id, cand_id, d.dot / (np.nrm * nc.nrm) AS cos
+       |             FROM d JOIN nrm np ON np.vec_id = probe_id
+       |                    JOIN nrm nc ON nc.vec_id = cand_id),
+       |     rk AS (SELECT probe_id, cand_id, cos,
+       |                   CAST(row_number() OVER (PARTITION BY probe_id
+       |                                           ORDER BY cos DESC, cand_id) AS INT) AS rn
+       |            FROM cos)
+       |SELECT probe_id, rn, cand_id, floor(cos * 10000 + 0.5e0) / 10000 AS cos_sim
+       |FROM rk WHERE rn <= 5
+       |ORDER BY probe_id, rn""") { (s, dir) =>
     val q = quantized(s, dir)
       .select(col("vec_id"), col("qvec"), norm2(col("qvec")).as("nrm"))
     val probes = q.filter(col("vec_id") < 10)

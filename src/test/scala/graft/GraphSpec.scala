@@ -100,9 +100,8 @@ class GraphSpec extends SparkSpec {
   test("q85 rank-shuffle fallback (node set past the broadcast gate) is bitwise identical") {
     import org.apache.spark.sql.functions.{col, floor}
     val edges = Graph.coPurchaseEdges(spark, dir)
-    val msg = (ranked: org.apache.spark.sql.DataFrame) => ranked.select(col("node"),
-      floor(col("r") / col("outdeg") * 1e12 + 0.5).cast("long").as("kc"))
-    val gated = Graph.pagerankGated(edges, Graph.nodeDegrees(edges), msg, col("kc"), 0L)
+    val kExpr = floor(col("r") / col("outdeg") * 1e12 + 0.5).cast("long")
+    val gated = Graph.pagerankGated(edges, Graph.nodeDegrees(edges), kExpr, 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bcast = Graph.q85_pagerank.fn(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
