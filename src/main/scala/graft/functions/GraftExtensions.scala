@@ -102,6 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SigMinSum(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cells_grid"),
+      new ExpressionInfo(classOf[NearestCellsGrid].getName, "graft_nearest_cells_grid"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_nearest_cells_grid expects exactly 3 arguments, got ${children.length}")
+        NearestCellsGrid(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_sig_tau_ok"),
       new ExpressionInfo(classOf[SigTauOk].getName, "graft_sig_tau_ok"),
       (children: Seq[Expression]) => {

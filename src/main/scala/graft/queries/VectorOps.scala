@@ -256,13 +256,36 @@ object VectorOps {
     * determinism. At 100 TB the cell equi-join replaces the quadratic
     * scan the exact form needs; hot cells get split (cap the cell size by
     * re-clustering a cell that exceeds it) and the within-cell verify can
-    * drop to the q30 LSH index. Approximate by construction → no SQL
-    * oracle. */
-  val q62_semdedup: Query = Query.noOracle { (s, dir) =>
+    * drop to the q30 LSH index.
+    *
+    * Fully DuckDB-oracled since the quantizer moved to the exact integer
+    * grid ([[fitKmeansGrid]]): the oracle replays the fit (3 unrolled
+    * Lloyd rounds), the symmetric 2-cell multi-probe, and the
+    * within-cell exact-cosine verify — "approximate" here was always
+    * approximate RECALL, never nondeterminism, so the result is a pure
+    * function of the table. */
+  val q62_semdedup: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     ${kmeansCtes(16, 3)},
+       |     ${sqlAssign("pc", "c3", 2)},
+       |     cand AS (SELECT DISTINCT p1.vec_id AS v1, p2.vec_id AS v2
+       |              FROM pc p1 JOIN pc p2 ON p1.cell = p2.cell AND p1.vec_id < p2.vec_id),
+       |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+       |     d AS (SELECT ca.v1, ca.v2, sum(ua.v * ub.v) AS dot
+       |           FROM cand ca JOIN u ua ON ua.vec_id = ca.v1
+       |                        JOIN u ub ON ub.vec_id = ca.v2 AND ub.i = ua.i
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT v1, v2, d.dot / (na.nrm * nb.nrm) AS cos
+       |             FROM d JOIN nrm na ON na.vec_id = v1 JOIN nrm nb ON nb.vec_id = v2)
+       |SELECT v2 AS vec_id, count(*) AS n_dups,
+       |       floor(max(cos) * 10000 + 0.5e0) / 10000 AS best_cos
+       |FROM cos WHERE cos >= $EmbedDupTau
+       |GROUP BY 1
+       |ORDER BY 1""") { (s, dir) =>
     val nlist = 16
     val nprobe = 2
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cents = fitKmeans(e, nlist, rounds = 3)
+    val cents = fitKmeansGrid(e, nlist, rounds = 3)
     // symmetric multi-probe: each vector indexes under its nprobe nearest
     // cells, so a borderline pair straddling a Voronoi boundary still
     // shares a cell — 2× the index rows, ~4× the candidate volume, still
@@ -273,7 +296,8 @@ object VectorOps {
     // surviving pairs instead of every candidate with two embedding
     // arrays (~10× less shuffle, measured)
     val idx = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(nearestCells(col("embedding"), cents, nprobe)).as("cell"))
+      explode(graft.functions.NearestCells.nearestCellsGrid(
+        gridVec(col("embedding")), cents, nprobe)).as("cell"))
     val lhs = idx.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val rhs = idx.select(col("cell"), col("vec_id").as("v2"),
@@ -375,27 +399,71 @@ object VectorOps {
     * data (at 100 TB you train on a sample; assignment stays a full
     * parallel scan). Shared by q43's IVF coarse quantizer and q62's
     * SemDeDup clustering. */
-  private[graft] def fitKmeans(e: DataFrame, nlist: Int, rounds: Int): Array[Array[Double]] = {
-    def normalize(v: Array[Double]): Array[Double] = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      val n = math.sqrt(acc)
-      if (n == 0) v else v.map(_ / n)
+  /** Round half AWAY FROM ZERO — the rounding both Spark's `round()`
+    * (BigDecimal HALF_UP over the shortest decimal repr) and DuckDB's
+    * `round()` (C `round()`) apply to doubles. `math.round` would floor
+    * negative .5 ties (-2.5 → -2) and break oracle replay. */
+  private[graft] def rndAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+
+  /** The embedding on the 1e-6 integer grid: vnᵢ = round(vᵢ·1e6) as an
+    * exact long. vᵢ is a 24-bit-mantissa float and 1e6 = 2⁶·5⁶ adds
+    * ~14 bits, so vᵢ·1e6 is EXACT in double and the rounding is the
+    * same in both engines — the q61 determinism argument. */
+  private[graft] def gridVec(v: Column): Column =
+    transform(v, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Normalize a 1e-6-grid vector onto the 1e-8 centroid grid:
+    * cnᵢ = round(vnᵢ·1e8 / ‖vn‖) with ‖vn‖ = sqrt((Σ vnᵢ²).toDouble).
+    * Every step is a deterministic function of exact longs (vnᵢ·1e8 ≤
+    * ~1e15 is exact in double; Σ vnᵢ² ≤ 64·(1e7)² < 2⁵³ casts exactly),
+    * so DuckDB replays it verbatim. An all-zero vector stays itself
+    * (the old normalize(0) = 0 convention). */
+  private def gridNormalize(vn: Array[Long]): Array[Long] = {
+    var s2 = 0L; var i = 0
+    while (i < vn.length) { s2 += vn(i) * vn(i); i += 1 }
+    if (s2 == 0) vn
+    else {
+      val nrm = math.sqrt(s2.toDouble)
+      vn.map(x => rndAway(x.toDouble * 1e8 / nrm))
     }
-    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(nlist)
-      .select("vec_id", "embedding").collect()
+  }
+
+  /** Deterministic spherical k-means on the EXACT INTEGER GRID — the
+    * coarse quantizer shared by q43's IVF, q62's SemDeDup and q79b's
+    * IVF-PQ, now bit-replayable in DuckDB SQL (the PageRank
+    * long-numerator discipline applied to clustering): vectors live on
+    * the 1e-6 grid, centroids on the 1e-8 grid, Lloyd's per-cell sums
+    * are exact long sums (order-free by construction — THE property the
+    * old double-sum form lacked, where the reduction order of a
+    * distributed float sum made centroids partitioning-dependent at the
+    * last ulp), means re-quantize to the vector grid, and assignment
+    * scores are exact long dots divided by deterministic norms
+    * ([[graft.functions.NearestCellsGrid]]). Seeds are the `nlist`
+    * lowest-vec_id vectors grid-normalized; empty cells keep their
+    * previous centroid. Because every arithmetic step is a
+    * deterministic function of exact integers, the q62/q43 oracles
+    * replay the full fit with `rounds` unrolled CTE blocks (the q69 BPE
+    * unrolled-merge precedent). */
+  private[graft] def fitKmeansGrid(e: DataFrame, nlist: Int, rounds: Int): Array[Array[Long]] = {
+    val q = e.select(col("vec_id"), gridVec(col("embedding")).as("vn"))
+    var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(nlist).collect()
       .sortBy(_.getLong(0))
-      .map(r => normalize(r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .map(r => gridNormalize(r.getSeq[Long](1).toArray))
     for (_ <- 0 until rounds) {
-      val sums = e.withColumn("cell", assignCell(col("embedding"), cents))
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy("cell", "pos").agg(sum(col("col").cast("double")).as("s"))
+      val sums = q.withColumn("cell", assignCellGrid(col("vn"), cents))
+        .select(col("cell"), posexplode(col("vn")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
         .collect()
       val next = cents.clone()
       sums.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-        val v = new Array[Double](cents(cell).length)
-        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
-        next(cell) = normalize(v)
+        val mu = new Array[Long](cents(cell).length)
+        // mean back onto the 1e-6 grid: round(Σvn / n) — the long sum is
+        // exact and ≤ rows·1e7 < 2^53 at any realistic shard size, so
+        // the double division is a deterministic function of exact ints
+        rows.foreach(r => mu(r.getInt(1)) = rndAway(r.getLong(2).toDouble / r.getLong(3)))
+        next(cell) = gridNormalize(mu)
       }
       cents = next
     }
@@ -410,15 +478,114 @@ object VectorOps {
   private[graft] def assignCell(v: Column, cs: Array[Array[Double]]): Column =
     element_at(nearestCells(v, cs, 1), 1)
 
-  val q43_ann_ivf: Query = Query.noOracle { (s, dir) =>
+  /** Argmax GRID cell assignment — `graft_nearest_cells_grid` at k=1
+    * over the exact-integer quantizer ([[fitKmeansGrid]]). */
+  private[graft] def assignCellGrid(vn: Column, cs: Array[Array[Long]]): Column =
+    element_at(graft.functions.NearestCells.nearestCellsGrid(vn, cs, 1), 1)
+
+  // ── DuckDB replay of fitKmeansGrid (the q62/q43 oracles) ──
+  // Requires a CTE `u` = (vec_id, v DOUBLE, i). Every arithmetic step
+  // below mirrors the Scala fit term-for-term; the determinism argument
+  // lives on fitKmeansGrid.
+
+  /** Per-cell centroid norms of centroid CTE `c` (exact long Σcn² →
+    * deterministic double). */
+  private def sqlNorm(c: String): String =
+    s"n_$c AS MATERIALIZED (SELECT cell, sqrt(CAST(sum(cn * cn) AS DOUBLE)) AS nrm FROM $c GROUP BY 1)"
+
+  /** Top-`k` cell assignment of every `qg` vector (optionally filtered)
+    * under centroid CTE `c`: score = exact-long-dot / norm, ties to the
+    * lower cell — [[graft.functions.NearestCellsGrid]]'s order. */
+  private def sqlAssign(name: String, c: String, k: Int, where: String = "true"): String =
+    s"""$name AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |       SELECT qg.vec_id, c.cell,
+       |              row_number() OVER (PARTITION BY qg.vec_id ORDER BY
+       |                CASE WHEN n.nrm = 0 THEN -1e308
+       |                     ELSE CAST(sum(qg.vn * c.cn) AS DOUBLE) / n.nrm END DESC,
+       |                c.cell) AS rn
+       |       FROM qg JOIN $c c ON qg.i = c.i JOIN n_$c n ON n.cell = c.cell
+       |       WHERE $where
+       |       GROUP BY qg.vec_id, c.cell, n.nrm) WHERE rn <= $k)""".stripMargin
+
+  /** The unrolled Lloyd rounds (the q69 BPE unrolled-CTE precedent):
+    * emits qg (1e-6-grid vectors), seeded c0, then per round r the
+    * norms, assignment a_r, grid means m_r and next centroids c_r, plus
+    * the final norm CTE n_c{rounds} for downstream assignments. */
+  private def kmeansCtes(nlist: Int, rounds: Int): String = {
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    blocks += "qg AS MATERIALIZED (SELECT vec_id, i, CAST(round(v * 1000000.0) AS BIGINT) AS vn FROM u)"
+    blocks += "vv AS MATERIALIZED (SELECT vec_id, CAST(sum(vn * vn) AS DOUBLE) AS s2 FROM qg GROUP BY 1)"
+    blocks +=
+      s"""seed AS MATERIALIZED (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
+         |       FROM (SELECT DISTINCT vec_id FROM qg ORDER BY vec_id LIMIT $nlist))""".stripMargin
+    blocks +=
+      """c0 AS MATERIALIZED (SELECT s.cell, qg.i,
+        |       CASE WHEN n.s2 = 0 THEN qg.vn
+        |            ELSE CAST(round(qg.vn * 100000000.0 / sqrt(n.s2)) AS BIGINT) END AS cn
+        |       FROM qg JOIN seed s USING (vec_id) JOIN vv n USING (vec_id))""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = s"c${r - 1}"
+      blocks += sqlNorm(p)
+      blocks += sqlAssign(s"a$r", p, 1)
+      blocks +=
+        s"""m$r AS MATERIALIZED (SELECT a.cell, qg.i,
+           |       CAST(round(CAST(sum(qg.vn) AS DOUBLE) / count(*)) AS BIGINT) AS mn
+           |       FROM qg JOIN a$r a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      blocks += s"mm$r AS MATERIALIZED (SELECT cell, CAST(sum(mn * mn) AS DOUBLE) AS s2 FROM m$r GROUP BY 1)"
+      blocks +=
+        s"""c$r AS MATERIALIZED (SELECT m.cell, m.i,
+           |       CASE WHEN t.s2 = 0 THEN m.mn
+           |            ELSE CAST(round(m.mn * 100000000.0 / sqrt(t.s2)) AS BIGINT) END AS cn
+           |       FROM m$r m JOIN mm$r t USING (cell)
+           |       UNION ALL
+           |       SELECT cell, i, cn FROM $p
+           |       WHERE cell NOT IN (SELECT DISTINCT cell FROM a$r))""".stripMargin
+    }
+    blocks += sqlNorm(s"c$rounds")
+    blocks.mkString(",\n     ")
+  }
+
+  /** Q43 — IVF ANN (coarse-quantize, probe nprobe cells, exact re-rank).
+    * Fully DuckDB-oracled since the coarse quantizer moved to the exact
+    * integer grid ([[fitKmeansGrid]]): the oracle replays the whole fit
+    * with 3 unrolled Lloyd-round CTE blocks, reassigns every vector and
+    * the probes' top-4 cells with the same exact-long scoring, then
+    * re-ranks with the q17 float-cosine discipline. What was "sampled
+    * model state, honestly un-oracleable" is now a deterministic
+    * function of the table — the q27/q61 conversion precedent taken to
+    * model FITTING. */
+  val q43_ann_ivf: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     ${kmeansCtes(16, 3)},
+       |     ${sqlAssign("idxc", "c3", 1)},
+       |     ${sqlAssign("pc", "c3", 4, "qg.vec_id < 10")},
+       |     cp AS (SELECT pc.vec_id AS probe_id, ix.vec_id AS cand_id
+       |            FROM pc JOIN idxc ix ON ix.cell = pc.cell AND ix.vec_id <> pc.vec_id),
+       |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+       |     d AS (SELECT cp.probe_id, cp.cand_id, sum(ua.v * ub.v) AS dot
+       |           FROM cp JOIN u ua ON ua.vec_id = cp.probe_id
+       |                   JOIN u ub ON ub.vec_id = cp.cand_id AND ub.i = ua.i
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT probe_id, cand_id, d.dot / (np.nrm * nc.nrm) AS cos
+       |             FROM d JOIN nrm np ON np.vec_id = probe_id
+       |                    JOIN nrm nc ON nc.vec_id = cand_id),
+       |     rk AS (SELECT probe_id, cand_id, cos,
+       |                   CAST(row_number() OVER (PARTITION BY probe_id
+       |                                           ORDER BY cos DESC, cand_id) AS INT) AS rn
+       |            FROM cos)
+       |SELECT probe_id, rn, cand_id, floor(cos * 10000 + 0.5e0) / 10000 AS cos_sim
+       |FROM rk WHERE rn <= 5
+       |ORDER BY probe_id, rn""") { (s, dir) =>
     val nlist = 16
     val nprobe = 4
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cents = fitKmeans(e, nlist, rounds = 3)
-    val index = e.withColumn("cell", assignCell(col("embedding"), cents))
+    val cents = fitKmeansGrid(e, nlist, rounds = 3)
+    val index = e.withColumn("cell", assignCellGrid(gridVec(col("embedding")), cents))
     val probes = index.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nrm").as("p_nrm"), explode(nearestCells(col("embedding"), cents, nprobe)).as("cell"))
+        col("nrm").as("p_nrm"),
+        explode(graft.functions.NearestCells.nearestCellsGrid(
+          gridVec(col("embedding")), cents, nprobe)).as("cell"))
     val cand = index.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"), col("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
@@ -699,16 +866,17 @@ object VectorOps {
   val q79b_ivf_pq: Query = Query.noOracle { (s, dir) =>
     val m = 8; val ksub = 256; val shortlist = 40; val nlist = 16; val nprobe = 4
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cents = fitKmeans(e, nlist, rounds = 3)
+    val cents = fitKmeansGrid(e, nlist, rounds = 3)
     val cb = fitPq(e, m, ksub, rounds = 3)
     val codes = e
-      .withColumn("cell", assignCell(col("embedding"), cents))
+      .withColumn("cell", assignCellGrid(gridVec(col("embedding")), cents))
       .select(col("vec_id"), col("cell"), encodePqUdf(cb)(col("embedding")).as("codes"))
       .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
         col("nrm").as("p_nrm"),
-        explode(nearestCells(col("embedding"), cents, nprobe)).as("cell"))
+        explode(graft.functions.NearestCells.nearestCellsGrid(
+          gridVec(col("embedding")), cents, nprobe)).as("cell"))
     // equi-join on cell: each candidate belongs to exactly ONE cell and a
     // probe's nprobe cells are distinct, so no (probe, cand) dup possible
     val scored = codes.join(broadcast(probes), Seq("cell"))

@@ -14,8 +14,7 @@ class EntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q06b_approx_distinct",
       "q30_ann_lsh", "q38b_approx_percentiles",
-      "q43_ann_ivf",
-      "q62_semdedup", "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx",
+      "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx",
       "q79_pq_ann", "q79b_ivf_pq"), noOracle)
     // every oracle references a known table and is runnable-looking SQL
     val tables = graft.engine.Tables.names
