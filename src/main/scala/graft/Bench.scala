@@ -244,13 +244,15 @@ object Bench {
       // ALSO write a round-stamped copy so per-query history survives in
       // git (the round-6 judge could not diff r5→r6 beyond the slowest-5
       // because last.json is overwritten). Round inference is shared
-      // with the StreamsSpec audit ([[RoundStamp]]); builder test runs
-      // may overwrite the file mid-round — the driver's own end-of-round
-      // bench is the last writer before the round commit.
-      RoundStamp.current().foreach { round =>
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(f"docs/BENCH_driver_r$round%02d.json"), fullJson + "\n")
-      }
+      // with the StreamsSpec audit ([[RoundStamp]]). ONLY full runs
+      // stamp the round artifact (round-7 advice): a filtered/subset
+      // run would otherwise clobber the round's full history and leave
+      // a partial artifact until the next full bench happened to rerun.
+      if (selected.size == SparkEntry.queries.size)
+        RoundStamp.current().foreach { round =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"docs/BENCH_driver_r$round%02d.json"), fullJson + "\n")
+        }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write docs/BENCH_driver_last.json: ${e.getMessage}")
     }

@@ -18,8 +18,20 @@ object RoundStamp {
       if (m.matches()) Some(m.group(1).toInt) else None
     }
     if (prev.nonEmpty) Some(prev.max + 1)
-    else if (new java.io.File("docs").isDirectory &&
-      new java.io.File("build.sbt").isFile) Some(1)
+    else if (new java.io.File("docs").isDirectory && isGraftBuild) Some(1)
     else None
+  }
+
+  /** Repo-specific anchor (round-7 advice): a generic docs/+build.sbt
+    * test would stamp a bogus r01 from any sbt project with a docs dir —
+    * require THIS project's build.sbt (its name line) before defaulting
+    * to round 1. */
+  private def isGraftBuild: Boolean = {
+    val f = new java.io.File("build.sbt")
+    f.isFile && {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().exists(_.contains("bigdataplayeranalysisspark"))
+      finally src.close()
+    }
   }
 }

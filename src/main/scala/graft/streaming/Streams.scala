@@ -223,7 +223,16 @@ object Streams {
     val refMap = reference.agg(map_from_entries(
       collect_list(struct(col("bucket"), col("ref_share")))).as("rm"))
     val lm = col("lm"); val rm = col("rm"); val b = col("bucket")
-    val full = binCounts.groupBy("win_us")
+    // defensive pre-aggregation (round-7 advice): map_from_entries
+    // throws on duplicate keys, so un-finalized input — append-mode
+    // partials, a retried trigger's double batch — would die with an
+    // opaque map-key error. One row per (win_us, bucket) is still the
+    // CONTRACT (counts sum, the carried ref_share is constant per
+    // bucket); this fold merely makes violations merge identically to
+    // the finalized form instead of crashing the sink.
+    val oneRow = binCounts.groupBy("win_us", "bucket")
+      .agg(sum("n_cur").as("n_cur"), max("ref_share").as("ref_share"))
+    val full = oneRow.groupBy("win_us")
       .agg(map_from_entries(collect_list(
         struct(col("bucket"), struct(col("n_cur"), col("ref_share"))))).as("lm"))
       .crossJoin(broadcast(refMap))

@@ -1,0 +1,32 @@
+package graft
+
+/** Diffs every registered query's shape-normalized plan fingerprint
+  * against the committed docs/plan_fingerprints.json (VERDICT r7
+  * item 5): a refactor that silently changes a plan — lost pushdown,
+  * join strategy flip, new exchange — fails HERE with the offending
+  * query names instead of surfacing as a bench regression a round
+  * later. Intentional plan changes regenerate the file:
+  * `sbt "runMain graft.PlanFingerprints"` and commit it alongside the
+  * change. */
+class PlanFingerprintSpec extends SparkSpec {
+
+  test("every query's plan shape matches the committed fingerprint") {
+    val path = java.nio.file.Paths.get(PlanFingerprints.Path)
+    assert(java.nio.file.Files.isRegularFile(path),
+      s"${PlanFingerprints.Path} missing — run `sbt \"runMain graft.PlanFingerprints\"` and commit it")
+    val committed = java.nio.file.Files.readString(path)
+      .linesIterator.flatMap { l =>
+        "\"([^\"]+)\": \"([0-9a-f]{64})\"".r.findFirstMatchIn(l)
+          .map(m => m.group(1) -> m.group(2))
+      }.toMap
+    val current = PlanFingerprints.all(spark).toMap
+    val missing = current.keySet -- committed.keySet
+    val stale = committed.keySet -- current.keySet
+    val changed = (current.keySet & committed.keySet)
+      .filter(k => current(k) != committed(k)).toSeq.sorted
+    assert(missing.isEmpty && stale.isEmpty && changed.isEmpty,
+      s"plan fingerprints drifted — if intentional, regenerate via " +
+        s"`sbt \"runMain graft.PlanFingerprints\"` and commit. " +
+        s"missing=${missing.toSeq.sorted} stale=${stale.toSeq.sorted} changed=$changed")
+  }
+}

@@ -151,8 +151,15 @@ class PlanSpec extends SparkSpec {
     //    the boundedness heuristic can't see that pid is
     //    spark_partition_id(), so the bound is pinned in LinkageSpec
     //    (SinglePartition count + range-exchange plan pins);
-    //  - q103: same machinery, same bound, pinned in TemporalSpec.
-    val exempt = Set("q28_cosine_top_pairs", "q46_embed_dedup",
+    //  - q103: same machinery, same bound, pinned in TemporalSpec;
+    //  - q25: the two per-doc signature-table broadcasts (~300 B/doc)
+    //    sit behind the SigBroadcastGate doc-count gate
+    //    (TextOps.buildJaccardPairs) — past it the exact path falls
+    //    back to the post-aggregation sift (pair-linear shuffle, no
+    //    broadcast); DedupSpec's brute-force equivalence covers the
+    //    in-gate path and the gate constant documents the fallback.
+    val exempt = Set("q25_jaccard_neardup",
+      "q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
       "q77_robust_clip", "q88_triangles",
       "q85_pagerank", "q85b_weighted_pagerank", "q98_label_prop",

@@ -13,7 +13,7 @@ object StreamsAudit {
   private val hashes =
     scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Int, String)]]
   private val outcomes =
-    scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Double)]
 
   def record(test: String, rows: Seq[Seq[Any]]): Unit = synchronized {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -22,8 +22,11 @@ object StreamsAudit {
     hashes(test) = hashes.getOrElse(test, Vector.empty) :+ ((rows.size, h))
   }
 
-  def outcome(test: String, passed: Boolean): Unit = synchronized {
-    outcomes(test) = passed
+  /** Suite-end outcome + wall seconds (VERDICT r7 item 7: the replay
+    * hashes proved WHAT ran; the wall + rows/s make streaming THROUGHPUT
+    * regressions visible round-over-round without reading test logs). */
+  def outcome(test: String, passed: Boolean, wallS: Double): Unit = synchronized {
+    outcomes(test) = (passed, wallS)
   }
 
   private def esc(s: String): String =
@@ -32,15 +35,19 @@ object StreamsAudit {
 
   def write(): Unit = synchronized {
     try {
-      val tests = outcomes.map { case (name, ok) =>
-        val hs = hashes.getOrElse(name, Vector.empty)
+      val tests = outcomes.map { case (name, (ok, wallS)) =>
+        val recorded = hashes.getOrElse(name, Vector.empty)
+        val hs = recorded
           .map { case (n, h) => s"""{"rows":$n,"sha256":"$h"}""" }
           .mkString("[", ",", "]")
-        s"""{"test":"${esc(name)}","passed":$ok,"replay_hashes":$hs}"""
+        val rows = recorded.map(_._1.toLong).sum
+        val rps = if (wallS > 0) math.round(rows / wallS) else 0L
+        s"""{"test":"${esc(name)}","passed":$ok,"wall_s":${math.round(wallS * 1000) / 1000.0},""" +
+          s""""rows":$rows,"rows_per_s":$rps,"replay_hashes":$hs}"""
       }.mkString("[", ",", "]")
       val json =
         s"""{"suite":"graft.StreamsSpec","n_tests":${outcomes.size},""" +
-        s""""n_passed":${outcomes.values.count(identity)},"tests":$tests}"""
+        s""""n_passed":${outcomes.values.count(_._1)},"tests":$tests}"""
       RoundStamp.current().foreach { round =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("docs"))
         java.nio.file.Files.writeString(

@@ -57,8 +57,9 @@ class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
     currentTest = test.name
+    val t0 = System.nanoTime()
     val out = super.withFixture(test)
-    StreamsAudit.outcome(test.name, out.isSucceeded)
+    StreamsAudit.outcome(test.name, out.isSucceeded, (System.nanoTime() - t0) / 1e9)
     out
   }
 
