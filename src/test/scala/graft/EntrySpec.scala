@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     // exactly the documented approximate/hash-specific queries lack an oracle
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q06b_approx_distinct",
-      "q30_ann_lsh", "q38b_approx_percentiles",
+      "q38b_approx_percentiles",
       "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx",
       "q79_pq_ann", "q79b_ivf_pq"), noOracle)
     // every oracle references a known table and is runnable-looking SQL
