@@ -620,6 +620,100 @@ object VectorOps {
     blocks.mkString(",\n     ")
   }
 
+  /** The grid-vector CTE shared by every quantizer oracle (requires a
+    * CTE `u` = (vec_id, v DOUBLE, i)). Emitted by [[kmeansCtes]];
+    * oracles that only need PQ include it directly. */
+  private val qgCte =
+    "qg AS MATERIALIZED (SELECT vec_id, i, CAST(round(v * 1000000.0) AS BIGINT) AS vn FROM u)"
+
+  /** DuckDB replay of [[fitPq]] + the full-corpus encode (requires the
+    * `qg` CTE): per-subspace decomposition, seeded codebooks, `rounds`
+    * unrolled Lloyd rounds with EXACT integer L2 (ties to the lower
+    * code, the Scala `d < bestD` order), grid means with empty-cell
+    * carryover, then `codes` (every vector's per-subspace code) and
+    * `rn2` (reconstruction norms from exact Σcn²). */
+  private def pqCtes(m: Int, ksub: Int, rounds: Int, sampleCap: Int): String = {
+    val dsub = 64 / m
+    def assign(name: String, cbl: String, sampleOnly: Boolean): String = {
+      val smpJoin = if (sampleOnly) " JOIN smp USING (vec_id)" else ""
+      s"""$name AS MATERIALIZED (SELECT vec_id, j, code FROM (
+         |       SELECT qs.vec_id, qs.j, c.code,
+         |              row_number() OVER (PARTITION BY qs.vec_id, qs.j
+         |                ORDER BY sum((qs.vn - c.cn) * (qs.vn - c.cn)), c.code) AS rn
+         |       FROM qs$smpJoin JOIN $cbl c ON c.j = qs.j AND c.si = qs.si
+         |       GROUP BY qs.vec_id, qs.j, c.code) WHERE rn = 1)""".stripMargin
+    }
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    blocks +=
+      s"""qs AS MATERIALIZED (SELECT vec_id, CAST(i // $dsub AS INT) AS j,
+         |       CAST(i % $dsub AS INT) AS si, vn FROM qg)""".stripMargin
+    blocks +=
+      s"""smp AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+         |       FROM (SELECT DISTINCT vec_id FROM qg ORDER BY vec_id LIMIT $sampleCap))""".stripMargin
+    blocks +=
+      s"""pb0 AS MATERIALIZED (SELECT k.k AS code, qs.j, qs.si, qs.vn AS cn
+         |       FROM range($ksub) k(k)
+         |       JOIN smp ON smp.rnk = k.k % (SELECT count(*) FROM smp)
+         |       JOIN qs ON qs.vec_id = smp.vec_id)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = s"pb${r - 1}"
+      blocks += assign(s"pa$r", p, sampleOnly = true)
+      blocks +=
+        s"""pb$r AS MATERIALIZED (
+           |       SELECT a.code, qs.j, qs.si,
+           |              CAST(round(CAST(sum(qs.vn) AS DOUBLE) / count(*)) AS BIGINT) AS cn
+           |       FROM qs JOIN smp USING (vec_id)
+           |            JOIN pa$r a ON a.vec_id = qs.vec_id AND a.j = qs.j
+           |       GROUP BY 1, 2, 3
+           |       UNION ALL
+           |       SELECT code, j, si, cn FROM $p
+           |       WHERE NOT EXISTS (SELECT 1 FROM pa$r a
+           |                         WHERE a.code = $p.code AND a.j = $p.j))""".stripMargin
+    }
+    blocks += assign("codes", s"pb$rounds", sampleOnly = false)
+    blocks += s"cbn AS (SELECT j, code, sum(cn * cn) AS n2 FROM pb$rounds GROUP BY 1, 2)"
+    blocks +=
+      """rn2 AS (SELECT codes.vec_id, greatest(sqrt(CAST(sum(cbn.n2) AS DOUBLE)), 1e-30) AS rnrm
+        |       FROM codes JOIN cbn USING (j, code) GROUP BY 1)""".stripMargin
+    blocks +=
+      s"""lutn AS MATERIALIZED (SELECT qs.vec_id AS probe_id, c.j, c.code, sum(qs.vn * c.cn) AS ln
+         |       FROM qs JOIN pb$rounds c ON c.j = qs.j AND c.si = qs.si
+         |       WHERE qs.vec_id < 10 GROUP BY 1, 2, 3)""".stripMargin
+    blocks.mkString(",\n     ")
+  }
+
+  /** The ADC shortlist + exact-re-rank SQL tail shared by q79/q79b:
+    * `candSrc` restricts (probe_id, cand_id) pairs (empty = all). */
+  private def pqTailSql(shortlist: Int, extraJoin: String): String =
+    s"""adc AS (SELECT l.probe_id, codes.vec_id AS cand_id,
+       |               CAST(sum(l.ln) AS DOUBLE) / any_value(r.rnrm) AS adc
+       |        FROM codes
+       |        JOIN lutn l ON l.j = codes.j AND l.code = codes.code
+       |                   AND codes.vec_id <> l.probe_id
+       |        JOIN rn2 r ON r.vec_id = codes.vec_id
+       |        $extraJoin
+       |        GROUP BY 1, 2),
+       |     short AS (SELECT probe_id, cand_id FROM (
+       |        SELECT probe_id, cand_id,
+       |               row_number() OVER (PARTITION BY probe_id
+       |                                  ORDER BY adc DESC, cand_id) AS rn
+       |        FROM adc) WHERE rn <= $shortlist),
+       |     nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM u GROUP BY 1),
+       |     d AS (SELECT s.probe_id, s.cand_id, sum(ua.v * ub.v) AS dot
+       |           FROM short s JOIN u ua ON ua.vec_id = s.probe_id
+       |                        JOIN u ub ON ub.vec_id = s.cand_id AND ub.i = ua.i
+       |           GROUP BY 1, 2),
+       |     cos AS (SELECT probe_id, cand_id, d.dot / (np.nrm * nc.nrm) AS cos
+       |             FROM d JOIN nrm np ON np.vec_id = probe_id
+       |                    JOIN nrm nc ON nc.vec_id = cand_id),
+       |     rk AS (SELECT probe_id, cand_id, cos,
+       |                   CAST(row_number() OVER (PARTITION BY probe_id
+       |                                           ORDER BY cos DESC, cand_id) AS INT) AS rn
+       |            FROM cos)
+       |SELECT probe_id, rn, cand_id, floor(cos * 10000 + 0.5e0) / 10000 AS cos_sim
+       |FROM rk WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
+
   /** Q43 — IVF ANN (coarse-quantize, probe nprobe cells, exact re-rank).
     * Fully DuckDB-oracled since the coarse quantizer moved to the exact
     * integer grid ([[fitKmeansGrid]]): the oracle replays the whole fit
@@ -768,28 +862,36 @@ object VectorOps {
     * stays a distributed full scan; only the ~128 KB codebook crosses
     * back. Returns codebooks(sub)(code) = centroid subvector. */
   private[graft] def fitPq(e: DataFrame, m: Int, ksub: Int, rounds: Int,
-      sampleCap: Int = 20000): Array[Array[Array[Double]]] = {
-    val sample: Array[Array[Double]] = e.orderBy("vec_id").limit(sampleCap)
-      .select("vec_id", "embedding").collect()
+      sampleCap: Int = 20000): Array[Array[Array[Long]]] = {
+    // round-8: the fit runs on the 1e-6 INTEGER GRID end to end (the
+    // fitKmeansGrid discipline applied to PQ): sample subvectors are
+    // exact longs, L2 distances are exact long sums of squared integer
+    // diffs (|diff| ≤ 2e7, dsub = 8 → Σ ≤ 3.5e15 < 2^63), means
+    // re-quantize to the grid, and empty cells keep their centroid —
+    // every step a deterministic function of exact integers, so the
+    // q79/q79b oracles replay the whole fit as unrolled CTE blocks.
+    val sample: Array[Array[Long]] = e
+      .select(col("vec_id"), gridVec(col("embedding")).as("vn"))
+      .orderBy("vec_id").limit(sampleCap).collect()
       .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(_.getSeq[Long](1).toArray)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // init = the ksub lowest-id sample vectors' subvectors
-    var cb: Array[Array[Array[Double]]] =
+    var cb: Array[Array[Array[Long]]] =
       Array.tabulate(m, ksub)((j, k) =>
         sample(k % sample.length).slice(j * dsub, (j + 1) * dsub))
     for (_ <- 0 until rounds) {
-      val sums = Array.fill(m, ksub)(new Array[Double](dsub))
+      val sums = Array.fill(m, ksub)(new Array[Long](dsub))
       val counts = Array.fill(m, ksub)(0L)
       sample.foreach { v =>
         var j = 0
         while (j < m) {
-          var best = 0; var bestD = Double.MaxValue
+          var best = 0; var bestD = Long.MaxValue
           var k = 0
           while (k < ksub) {
-            val ct = cb(j)(k); var d = 0.0; var i = 0
+            val ct = cb(j)(k); var d = 0L; var i = 0
             while (i < dsub) {
               val diff = v(j * dsub + i) - ct(i); d += diff * diff; i += 1
             }
@@ -804,7 +906,8 @@ object VectorOps {
       }
       cb = Array.tabulate(m, ksub)((j, k) =>
         if (counts(j)(k) == 0) cb(j)(k) // empty cells keep their centroid
-        else sums(j)(k).map(_ / counts(j)(k)))
+        // grid mean — matches the oracle's round(sum::DOUBLE / count)
+        else sums(j)(k).map(s => rndAway(s.toDouble / counts(j)(k))))
     }
     cb
   }
@@ -813,17 +916,17 @@ object VectorOps {
     * unsigned): per subspace, the L2-nearest codebook entry. A fused primitive loop for
     * the same reason as [[assignCellUdf]] — the interpreted HOF
     * formulation would allocate per element. */
-  private[graft] def encodePqUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+  private[graft] def encodePqUdf(cb: Array[Array[Array[Long]]]) = udf { (v: Seq[Float]) =>
     val m = cb.length; val dsub = cb(0)(0).length
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
-      var best = 0; var bestD = Double.MaxValue
+      var best = 0; var bestD = Long.MaxValue
       var k = 0
       while (k < cb(j).length) {
-        val ct = cb(j)(k); var d = 0.0; var i = 0
+        val ct = cb(j)(k); var d = 0L; var i = 0
         while (i < dsub) {
-          val diff = v(j * dsub + i).toDouble - ct(i); d += diff * diff; i += 1
+          val diff = rndAway(v(j * dsub + i).toDouble * 1e6) - ct(i); d += diff * diff; i += 1
         }
         if (d < bestD) { bestD = d; best = k }
         k += 1
@@ -836,18 +939,22 @@ object VectorOps {
     out.toIndexedSeq
   }
 
-  /** Per-probe ADC lookup table, flattened to m×ksub doubles:
-    * lut(j*ksub + k) = dot(probe_subⱼ, codebook(j)(k)). Tiny (128 doubles
-    * here) — rides along on the broadcast probe rows. */
-  private[graft] def pqLutUdf(cb: Array[Array[Array[Double]]]) = udf { (v: Seq[Float]) =>
+  /** Per-probe ADC lookup table, flattened to m×ksub EXACT LONGS:
+    * lut(j*ksub + k) = Σᵢ vnᵢ·cnᵢ over the 1e-6 grid (|term| ≤ 1e14,
+    * dsub = 8 → ≤ 8e14 < 2^63). Tiny (2048 longs here) — rides along on
+    * the broadcast probe rows. */
+  private[graft] def pqLutUdf(cb: Array[Array[Array[Long]]]) = udf { (v: Seq[Float]) =>
     val m = cb.length; val ksub = cb(0).length; val dsub = cb(0)(0).length
-    val out = new Array[Double](m * ksub)
+    val vn = new Array[Long](v.length)
+    var x = 0
+    while (x < v.length) { vn(x) = rndAway(v(x).toDouble * 1e6); x += 1 }
+    val out = new Array[Long](m * ksub)
     var j = 0
     while (j < m) {
       var k = 0
       while (k < ksub) {
-        val ct = cb(j)(k); var d = 0.0; var i = 0
-        while (i < dsub) { d += v(j * dsub + i).toDouble * ct(i); i += 1 }
+        val ct = cb(j)(k); var d = 0L; var i = 0
+        while (i < dsub) { d += vn(j * dsub + i) * ct(i); i += 1 }
         out(j * ksub + k) = d
         k += 1
       }
@@ -858,21 +965,25 @@ object VectorOps {
 
   /** ‖reconstruction‖ from codes alone: subspaces are an orthogonal
     * decomposition, so ‖concat of centroids‖² = Σⱼ ‖centroidⱼ‖² — read
-    * from a precomputed m×ksub squared-norm table, never touching the
-    * floats. */
-  private[graft] def pqRecNormUdf(cb: Array[Array[Array[Double]]]) = {
+    * from a precomputed m×ksub squared-norm table of EXACT longs
+    * (Σ cn² ≤ 64·1e14 < 2^53, so the final double conversion is exact
+    * and sqrt is deterministic in both engines). Grid units — a
+    * per-probe-constant scale away from the float norm, which ranking
+    * never sees. */
+  private[graft] def pqRecNormUdf(cb: Array[Array[Array[Long]]]) = {
     val n2 = cb.map(_.map(ct => ct.map(x => x * x).sum))
     udf { (codes: Seq[Byte]) =>
-      var acc = 0.0; var j = 0
+      var acc = 0L; var j = 0
       while (j < codes.length) { acc += n2(j)(codes(j) & 0xff); j += 1 }
-      math.sqrt(acc)
+      math.sqrt(acc.toDouble)
     }
   }
 
   /** ADC approximate dot: Σⱼ lut(j*ksub + codeⱼ) — m table lookups per
-    * (probe, candidate), no float math on the candidate side. */
-  private[graft] def adcDotUdf(ksub: Int) = udf { (lut: Seq[Double], codes: Seq[Byte]) =>
-    var acc = 0.0; var j = 0
+    * (probe, candidate), EXACT integer arithmetic end to end
+    * (Σ ≤ 8·8e14 = 6.4e15 < 2^53, so even the double view is exact). */
+  private[graft] def adcDotUdf(ksub: Int) = udf { (lut: Seq[Long], codes: Seq[Byte]) =>
+    var acc = 0L; var j = 0
     while (j < codes.length) { acc += lut(j * ksub + (codes(j) & 0xff)); j += 1 }
     acc
   }
@@ -911,7 +1022,11 @@ object VectorOps {
       .orderBy("probe_id", "rn")
   }
 
-  val q79_pq_ann: Query = Query.noOracle { (s, dir) =>
+  val q79_pq_ann: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     $qgCte,
+       |     ${pqCtes(8, 256, 3, 20000)},
+       |     ${pqTailSql(40, "")}""") { (s, dir) =>
     val m = 8; val ksub = 256; val shortlist = 40
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val cb = fitPq(e, m, ksub, rounds = 3)
@@ -919,11 +1034,15 @@ object VectorOps {
     val codes = e.select(col("vec_id"), encodePqUdf(cb)(col("embedding")).as("codes"))
       .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
-        col("nrm").as("p_nrm"))
+      .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"))
+    // adc = exact long ADC dot / reconstruction norm. The probe's own
+    // norm is CONSTANT within its partition-by-probe ranking window, so
+    // dividing by it never changed the shortlist — dropping it keeps
+    // the expression a pure function of exact grid integers (the
+    // oracle's form).
     val scored = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        (adcDotUdf(ksub)(col("lut"), col("codes")) / (col("p_nrm") * col("rnrm"))).as("adc"))
+        (adcDotUdf(ksub)(col("lut"), col("codes")).cast("double") / col("rnrm")).as("adc"))
     adcShortlistRerank(e, scored, shortlist)
   }
 
@@ -938,7 +1057,16 @@ object VectorOps {
     * (nprobe/nlist)·n codes ≈ 0.8% of the float bytes a brute-force
     * scan would. Approximate by construction → no SQL oracle; DedupSpec
     * gates recall vs exact Q17. */
-  val q79b_ivf_pq: Query = Query.noOracle { (s, dir) =>
+  val q79b_ivf_pq: Query = Query(
+    s"""WITH u AS ($unnestSql),
+       |     ${kmeansCtes(16, 3)},
+       |     ${sqlAssign("idxc", "c3", 1)},
+       |     ${sqlAssign("pcq", "c3", 4, "qg.vec_id < 10")},
+       |     ${pqCtes(8, 256, 3, 20000)},
+       |     ${pqTailSql(40,
+        """JOIN (SELECT DISTINCT p.vec_id AS probe_id, ix.vec_id AS cand_id
+          |              FROM pcq p JOIN idxc ix ON ix.cell = p.cell) ck
+          |          ON ck.probe_id = l.probe_id AND ck.cand_id = codes.vec_id""".stripMargin)}""") { (s, dir) =>
     val m = 8; val ksub = 256; val shortlist = 40; val nlist = 16; val nprobe = 4
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     val cents = fitKmeansGrid(e, nlist, rounds = 3)
@@ -949,15 +1077,15 @@ object VectorOps {
       .withColumn("rnrm", greatest(pqRecNormUdf(cb)(col("codes")), lit(1e-30)))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), pqLutUdf(cb)(col("embedding")).as("lut"),
-        col("nrm").as("p_nrm"),
         explode(graft.functions.NearestCells.nearestCellsGrid(
           gridVec(col("embedding")), cents, nprobe)).as("cell"))
     // equi-join on cell: each candidate belongs to exactly ONE cell and a
-    // probe's nprobe cells are distinct, so no (probe, cand) dup possible
+    // probe's nprobe cells are distinct, so no (probe, cand) dup possible.
+    // adc drops the per-probe-constant probe norm (see q79).
     val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        (adcDotUdf(ksub)(col("lut"), col("codes")) / (col("p_nrm") * col("rnrm"))).as("adc"))
+        (adcDotUdf(ksub)(col("lut"), col("codes")).cast("double") / col("rnrm")).as("adc"))
     adcShortlistRerank(e, scored, shortlist)
   }
 

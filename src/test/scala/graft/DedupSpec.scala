@@ -226,25 +226,27 @@ class DedupSpec extends SparkSpec {
         VectorOps.pqLutUdf(cb)(col("embedding")).as("lut"))
       .withColumn("self_adc", VectorOps.adcDotUdf(256)(col("lut"), col("codes")))
       .collect()
-    // ADC(probe, cand) must be EXACTLY dot(probe, reconstruct(cand)) —
-    // the algebraic contract of the lookup table; any flattening or
-    // signed-byte slip breaks it by whole centroids, not epsilons
+    // ADC(probe, cand) must be EXACTLY dot(probe_grid, reconstruct(cand))
+    // — the algebraic contract of the lookup table, now an EXACT LONG
+    // identity over the 1e-6 grid (round-8: == , not an epsilon); any
+    // flattening or signed-byte slip breaks it by whole centroids
     for (p <- rows.take(5); c <- rows) {
-      val lut = p.getSeq[Double](3)
+      val lut = p.getSeq[Long](3)
       val codes = c.getSeq[Byte](2)
       val adc = codes.indices.map(j => lut(j * 256 + (codes(j) & 0xff))).sum
       val probe = p.getSeq[Float](1)
+      val vn = probe.map(x => VectorOps.rndAway(x.toDouble * 1e6))
       val recon = codes.indices.flatMap(j => cb(j)(codes(j) & 0xff))
-      val exactDot = probe.indices.map(i => probe(i).toDouble * recon(i)).sum
-      assert(math.abs(adc - exactDot) < 1e-9,
+      val exactDot = vn.indices.map(i => vn(i) * recon(i)).sum
+      assert(adc == exactDot,
         s"probe ${p.getLong(0)} cand ${c.getLong(0)}: adc $adc vs $exactDot")
     }
     // and the production UDF computes the same sum as the driver replica
     // (self-pair: each row's lut against its own codes)
     for (r <- rows) {
-      val lut = r.getSeq[Double](3); val codes = r.getSeq[Byte](2)
+      val lut = r.getSeq[Long](3); val codes = r.getSeq[Byte](2)
       val driver = codes.indices.map(j => lut(j * 256 + (codes(j) & 0xff))).sum
-      assert(r.getDouble(4) == driver, s"adcDotUdf diverged on vec ${r.getLong(0)}")
+      assert(r.getLong(4) == driver, s"adcDotUdf diverged on vec ${r.getLong(0)}")
     }
   }
 

@@ -12,10 +12,12 @@ class EntrySpec extends SparkSpec {
     assert(keys.forall(_.matches("q\\d+[a-z]?_[a-z0-9_]+")))
     // exactly the documented approximate/hash-specific queries lack an oracle
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // only the true merge-sketches remain (HLL, GK, ItemsSketch,
+    // sketch-profile) — every deterministic query, including the whole
+    // ANN family, is DuckDB-oracled as of round 8
     assert(noOracle == Set("q06b_approx_distinct",
       "q38b_approx_percentiles",
-      "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx",
-      "q79_pq_ann", "q79b_ivf_pq"), noOracle)
+      "q70_topk_sketch", "q78_hll_shards", "q82b_profile_approx"), noOracle)
     // every oracle references a known table and is runnable-looking SQL
     val tables = graft.engine.Tables.names
     SparkEntry.oracleSql.foreach { case (k, sql) =>
