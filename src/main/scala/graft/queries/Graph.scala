@@ -66,14 +66,16 @@ object Graph {
     // (the bench's cache reset still charges each query its full
     // standalone cost)
     TextOps.memo("coPurchaseEdges", s, dir) {
-      // materialize the bare dedup first so the degree fold reads the
-      // cache instead of re-running the order self-join for its own
-      // subtree; the narrow cache is dropped once the wide frame exists
-      val bare = coPurchasePairs(s, dir).dropDuplicates("src", "dst").persist()
-      val out = foldSrcStat(bare,
-        bare.groupBy("src").agg(count(lit(1)).as("outdeg"))).persist()
+      // ONE pass, ONE materialization: the dedup output is already
+      // src-partitioned, so the degree fold is a window count whose only
+      // cost is the per-partition sort by src (measured cheaper than the
+      // double-persist variant this replaced: materializing a bare edge
+      // cache just to join degrees back cost a full extra E-row write).
+      import org.apache.spark.sql.expressions.Window
+      val out = coPurchasePairs(s, dir).dropDuplicates("src", "dst")
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+        .persist()
       out.count()
-      bare.unpersist()
       out
     }
 
@@ -97,16 +99,6 @@ object Graph {
       .select("src", "dst")
       .repartition(col("src"))
   }
-
-  /** Join a node-sized per-src statistic onto the src-partitioned edge
-    * frame with ZERO new exchanges and no edge sort: the stat frame is
-    * itself derived from the edge frame (groupBy("src") rides the
-    * existing partitioning), and the SHUFFLE_HASH hint builds the
-    * per-partition hash table from the node-sized stat side while the
-    * E-row side streams — a sort-merge join would sort the edges
-    * (exactly the window-sort this builder has always avoided). */
-  private def foldSrcStat(edges: DataFrame, stat: DataFrame): DataFrame =
-    edges.join(stat.hint("shuffle_hash"), "src")
 
   /** The bare (src, dst) edge set — plan-shape test surface; the
     * memoized production frame additionally folds outdeg on. */
@@ -266,16 +258,15 @@ object Graph {
     * [[weightSums]] table, not on the edges. */
   private[graft] def coPurchaseEdgesW(s: SparkSession, dir: String): DataFrame =
     TextOps.memo("coPurchaseEdgesW", s, dir) {
-      // same wide-persist discipline as [[coPurchaseEdges]]: wsum (the
+      // same single-pass window fold as [[coPurchaseEdges]]: wsum (the
       // src's total outgoing weight) folds onto the edge rows so q85b's
       // rounds need no per-round stats join either
-      val bare = coPurchasePairs(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val out = coPurchasePairs(s, dir)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
         .persist()
-      val out = foldSrcStat(bare,
-        bare.groupBy("src").agg(sum(col("w")).as("wsum"))).persist()
       out.count()
-      bare.unpersist()
       out
     }
 
