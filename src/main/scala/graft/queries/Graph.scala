@@ -4,18 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.ops.Iterate
 
 /** Graph analytics over relational facts: PageRank (uniform and
   * co-purchase-weighted), triangle counting, and bounded shortest
   * paths on the part co-purchase graph (parts are linked when they
   * appear in the same order) — the "related items" signals a catalog
-  * pipeline derives from order history. The PageRank members run a
-  * FIXED round count, so the rounds unroll into one lazy plan (one
-  * action, no per-generation barriers — see [[pagerankGated]]); the
-  * data-dependent iterations (q90's frontier BFS) keep the [[Iterate]]
-  * driver-loop discipline. Either way the per-round dataflow is the
-  * classic Pregel-as-joins shape expressed declaratively.
+  * pipeline derives from order history. Every member runs a FIXED
+  * round count, so the rounds unroll into one lazy plan (one action,
+  * no per-generation barriers — see [[pagerankGated]]); a
+  * data-dependent iteration (convergence loops like q37's) would keep
+  * the [[graft.ops.Iterate]] driver-loop discipline instead. Either
+  * way the per-round dataflow is the classic Pregel-as-joins shape
+  * expressed declaratively.
   */
 object Graph {
 
@@ -75,9 +75,35 @@ object Graph {
       val out = coPurchasePairs(s, dir).dropDuplicates("src", "dst")
         .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
         .persist()
-      out.count()
+      recordGraphStats("coPurchaseEdges", s, dir, out)
       out
     }
+
+  /** The graph metadata every consumer needs — edge count (q88's
+    * broadcast gate), node count (the PageRank/label-prop init and
+    * gate), min node id (q90's source) — computed in the ONE action
+    * that materializes the edge cache, instead of a separate barrier
+    * job per consumer. The counts are pure functions of the fixture,
+    * so the cache never goes stale; it survives resetCaches harmlessly
+    * (the next build recomputes and overwrites the same values). */
+  private val graphStats =
+    scala.collection.mutable.Map[(String, SparkSession, String), (Long, Long, Long)]()
+
+  private def recordGraphStats(tag: String, s: SparkSession, dir: String,
+      edges: DataFrame): Unit = {
+    // distinct src rides the frame's src partitioning (partial distinct
+    // per partition); min folds in for free — one job materializes the
+    // persist AND yields all three scalars
+    val r = edges.agg(count(lit(1)), count_distinct(col("src")), min(col("src"))).first()
+    graphStats.synchronized {
+      graphStats((tag, s, dir)) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+  }
+
+  /** (nEdges, nNodes, minNode) recorded when `tag`'s edge memo was
+    * built this session; None only if the memo was never built. */
+  private[graft] def graphStat(tag: String, s: SparkSession, dir: String): Option[(Long, Long, Long)] =
+    graphStats.synchronized(graphStats.get((tag, s, dir)))
 
   /** The raw directed pair stream (one row per order co-containing a
     * part pair, both directions), delivered REPARTITIONED BY src — the
@@ -159,8 +185,9 @@ object Graph {
   private[graft] val NodeBroadcastLimit = 4000000L
 
   private def pagerankOf(edges: DataFrame, stats: DataFrame,
-      kExpr: org.apache.spark.sql.Column): DataFrame =
-    pagerankGated(edges, stats, kExpr, NodeBroadcastLimit)
+      kExpr: org.apache.spark.sql.Column,
+      knownN: Option[Long] = None): DataFrame =
+    pagerankGated(edges, stats, kExpr, NodeBroadcastLimit, knownN)
 
   /** The shared dataflow, rounds UNROLLED into one lazy plan exactly
     * like the oracle's chained CTEs: generation k is a subplan over
@@ -190,7 +217,8 @@ object Graph {
     * bitwise replay), a fraction of the CPU. */
   private[graft] def pagerankGated(edges: DataFrame, stats: DataFrame,
       kExpr: org.apache.spark.sql.Column,
-      broadcastLimit: Long): DataFrame = {
+      broadcastLimit: Long,
+      knownN: Option[Long] = None): DataFrame = {
     // round-8: the mail is the BARE (node, rank) table — the per-node
     // static divisor (outdeg / wsum) lives ON the persisted edge frame
     // (see coPurchaseEdges), so the old per-round node-sized stats join
@@ -199,11 +227,21 @@ object Graph {
     // the numerator is a pure function of (r, static), both unchanged,
     // so every contribution — and hence every round — is bitwise
     // identical to the joined form (GraphSpec's sequential replay pins
-    // it). `stats` is now only the node universe: init + the count.
-    val statsP = stats.persist()
-    val n = statsP.count()
+    // it). `stats` is now only the node universe: init + the count —
+    // and when the caller already knows n from the edge-memo action
+    // ([[graphStat]]), the whole stats persist/count barrier disappears:
+    // the node-universe aggregate folds lazily into round 1's broadcast
+    // build (one scan of the edge cache inside the existing job cascade,
+    // zero extra barriers). n is the same scalar either way, so every
+    // round is bitwise identical across the two paths.
+    val (nodeUniverse, n) = knownN match {
+      case Some(k) => (stats, k)
+      case None =>
+        val statsP = stats.persist()
+        (statsP, statsP.count())
+    }
     val scaleF = math.pow(10, Digits)
-    var cur = statsP.select(col("node"), lit(1.0 / n).as("r"))
+    var cur = nodeUniverse.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to Rounds) {
       val m = if (n <= broadcastLimit) broadcast(cur) else cur
       cur = edges.join(m, edges("src") === m("node"))
@@ -248,7 +286,8 @@ object Graph {
     // doubles in, same floor), for one codegen'd divide instead of a
     // per-round node join
     pagerankOf(edges, nodeDegrees(edges),
-      kExpr = kOf(col("r") / col("outdeg")))
+      kExpr = kOf(col("r") / col("outdeg")),
+      knownN = graphStat("coPurchaseEdges", s, dir).map(_._2))
   }
 
   /** WEIGHTED co-purchase edges (src, dst, w): w counts the orders
@@ -266,7 +305,7 @@ object Graph {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
         .persist()
-      out.count()
+      recordGraphStats("coPurchaseEdgesW", s, dir, out)
       out
     }
 
@@ -303,7 +342,8 @@ object Graph {
     // w and wsum both live on the cached edge frame; the expression
     // keeps the oracle's (r*w)/wsum association exactly
     pagerankOf(edges, weightSums(edges),
-      kExpr = kOf(col("r") * col("w") / col("wsum")))
+      kExpr = kOf(col("r") * col("w") / col("wsum")),
+      knownN = graphStat("coPurchaseEdgesW", s, dir).map(_._2))
   }
 
   /** The edge CTE block shared by every graph oracle: distinct (order,
@@ -352,12 +392,17 @@ object Graph {
        |SELECT t.n_triangles, w.n_wedges,
        |       ${croundSql("3.0e0 * t.n_triangles / o.n_open")} AS global_cc
        |FROM tri t, wn w, opn o""") { (s, dir) =>
-    trianglesOf(coPurchaseEdges(s, dir), EdgeBroadcastLimit)
+    val e = coPurchaseEdges(s, dir)
+    trianglesOf(e, EdgeBroadcastLimit,
+      knownEdges = graphStat("coPurchaseEdges", s, dir).map(_._1))
   }
 
   /** q88's Spark body, parameterized on the closure-check broadcast
-    * gate so the spec can force the shuffle path. */
-  private[graft] def trianglesOf(e: DataFrame, broadcastLimit: Long): DataFrame = {
+    * gate so the spec can force the shuffle path. `knownEdges` is the
+    * edge count from the memo-build action ([[graphStat]]) — without it
+    * the gate pays its own (cheap, cache-backed) count job. */
+  private[graft] def trianglesOf(e: DataFrame, broadcastLimit: Long,
+      knownEdges: Option[Long] = None): DataFrame = {
     val und = e.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
     val deg = nodeDegrees(e)
     // du comes FREE off the widened edge frame (outdeg = degree of src);
@@ -392,7 +437,8 @@ object Graph {
     // 410M-wedge scale probe — while the hash build side is the
     // compact edge keys, shrinking with partition count.
     val counts = wedge.join(
-      if (e.count() <= broadcastLimit) broadcast(und) else und.hint("shuffle_hash"),
+      if (knownEdges.getOrElse(e.count()) <= broadcastLimit) broadcast(und)
+      else und.hint("shuffle_hash"),
       col("a") === col("u") && col("b") === col("v"), "left")
       .agg(count(col("u")).as("n_triangles"), count(lit(1)).as("n_wedges"))
     val opn = deg.agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
@@ -402,19 +448,25 @@ object Graph {
   }
 
   /** Q90 — single-source shortest paths (hop distance, 4 synchronous
-    * relaxation rounds) from the minimum part id, the fifth
-    * [[Iterate]] user. Each round is the min-plus step: dist' = min of
-    * the node's own distance and (neighbor distance + 1) — pure integer
-    * arithmetic, so the result is exactly deterministic with no
-    * rounding discipline needed. The oracle unrolls the same 4 rounds
-    * as chained CTEs.
+    * relaxation rounds) from the minimum part id. Each round is the
+    * min-plus step: dist' = min of the node's own distance and
+    * (neighbor distance + 1) — pure integer arithmetic, so the result
+    * is exactly deterministic with no rounding discipline needed. The
+    * oracle unrolls the same 4 rounds as chained CTEs.
     *
-    * Scale posture: the frontier table (reached nodes) joins the
-    * persisted src-partitioned edges each round — only the frontier
-    * shuffles; the min-aggregation is map-side combinable; one action
-    * per round from the combinator. Bounded rounds = bounded barriers
-    * (a k-hop neighborhood query, the common production form —
-    * full-diameter SSSP would iterate to convergence like q37). */
+    * Scale posture: the FIXED round count unrolls into one lazy plan
+    * exactly like q98 (round-8 — this was the last graph query still
+    * paying [[Iterate]]'s per-round persist/count barriers for a
+    * round count that is not data-dependent; on a real cluster each
+    * barrier is a full-cluster sync). The (own dist ∪ mail) double
+    * reference is restated so each generation is referenced ONCE: real
+    * edges carry increment 1 and per-node SELF-LOOPS carry increment 0,
+    * so a reached node's own distance re-enters the min as its
+    * self-mail and the unrolled plan stays linear in rounds. Below the
+    * node gate each round is a broadcast map stage over the edge cache;
+    * past it the mail join rides the bare edge partitioning with q98's
+    * lazy per-generation persist. A full-diameter SSSP (data-dependent
+    * rounds) would keep the Iterate driver-loop discipline like q37. */
   val q90_sssp: Query = {
     def roundCte(k: Int): String =
       s"""d$k AS (SELECT node, min(dist) AS dist FROM (
@@ -428,18 +480,48 @@ object Graph {
          |     d0 AS (SELECT min(src) AS node, 0 AS dist FROM e),
          |     ${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT node, dist FROM d4 ORDER BY node""") { (s, dir) =>
-      val edges = coPurchaseEdges(s, dir).select("src", "dst")
-      val source = edges.agg(min(col("src"))).first().getLong(0)
-      import s.implicits._
-      val init = Seq((source, 0)).toDF("node", "dist").persist()
-      val fix = Iterate.loop(init, maxRounds = 4) { (cur, _) =>
-        cur.union(
-          edges.join(cur, edges("src") === cur("node"))
+      ssspGated(s, dir, NodeBroadcastLimit)
+    }
+  }
+
+  /** q90's dataflow with the broadcast gate exposed (GraphSpec forces
+    * both sides and equates them, the q98 pattern). */
+  private[graft] def ssspGated(s: SparkSession, dir: String,
+      broadcastLimit: Long): DataFrame = {
+    val edges = coPurchaseEdges(s, dir).select("src", "dst")
+    // min node id and node count came free with the edge-memo action
+    val stat = graphStat("coPurchaseEdges", s, dir)
+    val source = stat.map(_._3)
+      .getOrElse(edges.agg(min(col("src"))).first().getLong(0))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = stat.map(_._2).getOrElse(nodes.count())
+    import s.implicits._
+    var cur = Seq((source, 0)).toDF("node", "dist")
+    if (n <= broadcastLimit) {
+      // self-loops with increment 0: min(own, mail+1) without a second
+      // reference to the generation (the q98 union-linearization, with
+      // the increment column carrying the "+1 only for real edges" rule)
+      val edgesPlus = edges.select(col("src"), col("dst"), lit(1).as("inc"))
+        .unionByName(nodes.select(col("node").as("src"), col("node").as("dst"),
+          lit(0).as("inc")))
+      for (_ <- 1 to 4) {
+        val m = broadcast(cur)
+        cur = edgesPlus.join(m, edgesPlus("src") === m("node"))
+          .select(col("dst").as("node"), (col("dist") + col("inc")).as("dist"))
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+    } else {
+      // past the gate: bare persisted edge partitioning + q98's lazy
+      // per-generation persist for the double reference
+      for (round <- 1 to 4) {
+        val c = TextOps.memo(s"q90.gen$round", s, dir)(cur.persist())
+        cur = c.unionByName(
+          edges.join(c, edges("src") === c("node"))
             .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
           .groupBy("node").agg(min(col("dist")).as("dist"))
-      } { (_, next) => next.count(); false }
-      fix.cur.orderBy("node")
+      }
     }
+    cur.orderBy("node")
   }
 
   /** Q98 — community detection by bounded synchronous min-label
@@ -495,7 +577,9 @@ object Graph {
     val edges = coPurchaseEdges(s, dir).select("src", "dst")
     val nodes = edges.select(col("src").as("node")).distinct()
     val init = nodes.select(col("node"), col("node").as("lbl"))
-    val n = nodes.count() // graph metadata (the q85 gate precedent)
+    // graph metadata (the q85 gate precedent) — free from the edge-memo
+    // action when this session built the memo ([[graphStat]])
+    val n = graphStat("coPurchaseEdges", s, dir).map(_._2).getOrElse(nodes.count())
     var cur = init
     for (round <- 1 to 4) {
       cur =

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
 
+import scala.collection.parallel.CollectionConverters._
+
 import graft.engine.Tables
 import graft.functions.NearestCells.nearestCells
 
@@ -883,24 +885,51 @@ object VectorOps {
       Array.tabulate(m, ksub)((j, k) =>
         sample(k % sample.length).slice(j * dsub, (j + 1) * dsub))
     for (_ <- 0 until rounds) {
+      // the assignment pass is ~m·ksub·dsub work per sample vector
+      // (~3e8 long ops per round here) — single-threaded it was ~35% of
+      // q79's wall. Chunk the sample across driver cores: each chunk
+      // accumulates its own exact-long sums/counts and the chunks merge
+      // by addition, which is associative and commutative on longs, so
+      // the result is BITWISE the sequential fold for any chunking —
+      // the oracle's unrolled-CTE replay stays exact.
+      val chunks = sample.grouped(
+        math.max(1, sample.length / Runtime.getRuntime.availableProcessors())).toArray
+      val partials = chunks.par.map { chunk =>
+        val sums = Array.fill(m, ksub)(new Array[Long](dsub))
+        val counts = Array.fill(m, ksub)(0L)
+        chunk.foreach { v =>
+          var j = 0
+          while (j < m) {
+            var best = 0; var bestD = Long.MaxValue
+            var k = 0
+            while (k < ksub) {
+              val ct = cb(j)(k); var d = 0L; var i = 0
+              while (i < dsub) {
+                val diff = v(j * dsub + i) - ct(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = k }
+              k += 1
+            }
+            var i = 0
+            while (i < dsub) { sums(j)(best)(i) += v(j * dsub + i); i += 1 }
+            counts(j)(best) += 1
+            j += 1
+          }
+        }
+        (sums, counts)
+      }.toArray
       val sums = Array.fill(m, ksub)(new Array[Long](dsub))
       val counts = Array.fill(m, ksub)(0L)
-      sample.foreach { v =>
+      partials.foreach { case (ps, pc) =>
         var j = 0
         while (j < m) {
-          var best = 0; var bestD = Long.MaxValue
           var k = 0
           while (k < ksub) {
-            val ct = cb(j)(k); var d = 0L; var i = 0
-            while (i < dsub) {
-              val diff = v(j * dsub + i) - ct(i); d += diff * diff; i += 1
-            }
-            if (d < bestD) { bestD = d; best = k }
+            counts(j)(k) += pc(j)(k)
+            var i = 0
+            while (i < dsub) { sums(j)(k)(i) += ps(j)(k)(i); i += 1 }
             k += 1
           }
-          var i = 0
-          while (i < dsub) { sums(j)(best)(i) += v(j * dsub + i); i += 1 }
-          counts(j)(best) += 1
           j += 1
         }
       }

@@ -8,6 +8,7 @@ object ProbePq {
     val e = t("load")(graft.engine.Tables.table(s, dir, "embeddings"))
     t("count")(e.count())
     val cb = t("fitPq")(graft.queries.VectorOps.fitPq(e.select(col("vec_id"), col("embedding")), 8, 256, 3))
+    t("fitPq warm")(graft.queries.VectorOps.fitPq(e.select(col("vec_id"), col("embedding")), 8, 256, 3))
     t("query")(graft.queries.VectorOps.q79_pq_ann.fn(s, dir).write.format("noop").mode("overwrite").save())
     t("query2")(graft.queries.VectorOps.q79_pq_ann.fn(s, dir).write.format("noop").mode("overwrite").save())
   }

@@ -9,6 +9,7 @@ object ProbeRepeat {
     val name = if (args.length > 1) args(1) else "q30_ann_lsh"
     val n = if (args.length > 2) args(2).toInt else 5
     (1 to n).foreach { i =>
+      graft.queries.TextOps.resetCaches()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -200,4 +200,12 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gated == bcast, "label tables must be identical across the gate")
   }
+
+  test("q90 frontier-shuffle fallback (node set past the broadcast gate) is identical") {
+    val gated = Graph.ssspGated(spark, dir, 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bcast = Graph.q90_sssp.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gated == bcast, "hop distances must be identical across the gate")
+  }
 }

@@ -146,6 +146,9 @@ class PlanSpec extends SparkSpec {
     //    the same NodeBroadcastLimit runtime gate (Graph.labelPropGated)
     //    — past it the mail join rides the bare persisted edge
     //    partitioning (GraphSpec forces gate = 0 and equates);
+    //  - q90: same gate, same fallback (Graph.ssspGated — the round-8
+    //    unroll; the per-round distance table is node-sized and
+    //    GraphSpec forces gate = 0 and equates);
     //  - q99: the broadcast pid-offset table is ONE ROW PER RANGE
     //    PARTITION (partition-count metadata, ~KBs at any data scale);
     //    the boundedness heuristic can't see that pid is
@@ -162,7 +165,7 @@ class PlanSpec extends SparkSpec {
       "q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
       "q77_robust_clip", "q88_triangles",
-      "q85_pagerank", "q85b_weighted_pagerank", "q98_label_prop",
+      "q85_pagerank", "q85b_weighted_pagerank", "q90_sssp", "q98_label_prop",
       "q99_rank_histogram", "q103_ks_test")
     val offenders = for {
       (name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)
