@@ -368,9 +368,18 @@ object Graph {
     * triangle enumeration — the two-path fanout per pivot is its
     * oriented out-degree, which is O(sqrt(E)) for any graph (a
     * high-degree hub receives edges instead of emitting them), so
-    * candidate volume is O(E^1.5) worst case instead of Σ deg². Every
-    * step is an equi-join or map-side-combinable aggregate; the wedge
-    * closure check is an equi-join on the (lo, hi) edge key. */
+    * candidate volume is O(E^1.5) worst case instead of Σ deg².
+    * Round-8: the candidates are COUNTED, never materialized — each
+    * oriented edge (s, t) carries the sorted out-neighbor arrays of
+    * both endpoints and a codegen'd merge-walk
+    * ([[graft.functions.SortedLongIntersect]]) counts
+    * |N⁺(s) ∩ N⁺(t)| in place (each triangle closes at exactly one
+    * oriented edge under an acyclic orientation), so the E^1.5-sized
+    * wedge stream of the join formulation never exists as rows: the
+    * biggest dataflow is the E-row adjacency build + two node-keyed
+    * equi-joins with arrays bounded by the O(√E) oriented out-degree.
+    * The wedge-join form survives as [[trianglesWedgeJoin]], the
+    * spec's independent recomputation. */
   val q88_triangles: Query = Query(
     s"""WITH $edgeCtes,
        |     und AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
@@ -392,28 +401,67 @@ object Graph {
        |SELECT t.n_triangles, w.n_wedges,
        |       ${croundSql("3.0e0 * t.n_triangles / o.n_open")} AS global_cc
        |FROM tri t, wn w, opn o""") { (s, dir) =>
-    val e = coPurchaseEdges(s, dir)
-    trianglesOf(e, EdgeBroadcastLimit,
-      knownEdges = graphStat("coPurchaseEdges", s, dir).map(_._1))
+    trianglesOf(coPurchaseEdges(s, dir))
   }
 
-  /** q88's Spark body, parameterized on the closure-check broadcast
-    * gate so the spec can force the shuffle path. `knownEdges` is the
-    * edge count from the memo-build action ([[graphStat]]) — without it
-    * the gate pays its own (cheap, cache-backed) count job. */
-  private[graft] def trianglesOf(e: DataFrame, broadcastLimit: Long,
-      knownEdges: Option[Long] = None): DataFrame = {
-    val und = e.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
+  /** Degree-oriented directed edges (s, t): each undirected (u < v)
+    * edge oriented from its lower-(degree, id) endpoint. du rides the
+    * widened edge frame (outdeg = degree of src); only the dst side's
+    * degree needs the node-sized join. The coalesce is a nullability
+    * cast only (part keys are never null, but the parquet schema says
+    * nullable and the sorted-intersect expression requires
+    * array<bigint NOT NULL> elements downstream). */
+  private def orientOf(e: DataFrame): DataFrame = {
     val deg = nodeDegrees(e)
-    // du comes FREE off the widened edge frame (outdeg = degree of src);
-    // only the dst side's degree still needs a node-sized join
     val undD = e.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"), col("outdeg").as("du"))
     val db = deg.select(col("node").as("v"), col("outdeg").as("dv"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val orient = undD.join(db, "v")
-      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
-        when(fwd, col("v")).otherwise(col("u")).as("t"))
+    undD.join(db, "v")
+      .select(coalesce(when(fwd, col("u")).otherwise(col("v")), lit(-1L)).as("s"),
+        coalesce(when(fwd, col("v")).otherwise(col("u")), lit(-1L)).as("t"))
+  }
+
+  /** q88's Spark body — adjacency-intersect compact-forward: per
+    * oriented edge (s, t), count |N⁺(s) ∩ N⁺(t)| with the codegen'd
+    * sorted merge-walk; under an acyclic orientation every triangle
+    * has exactly one node with two out-edges, and it is counted at the
+    * out-edge toward that wedge's closing endpoint — once. The wedge
+    * count Σ C(outdeg⁺, 2) and the open-wedge denominator come from
+    * the node-sized degree frames, so NOTHING wedge-sized is ever
+    * materialized. GraphSpec equates this against brute force and
+    * against [[trianglesWedgeJoin]] on both of its gate sides. */
+  private[graft] def trianglesOf(e: DataFrame): DataFrame = {
+    import graft.functions.SortedLongIntersect.sortedIntersect
+    val orient = orientOf(e)
+    val adj = orient.groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    // re-derive the oriented edges by exploding the adjacency arrays:
+    // N⁺(s) comes attached for free instead of via a second join
+    val edgesNs = adj.select(col("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
+    val withT = edgesNs.join(
+      adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"), "left")
+    val tri = withT.agg(
+      sum(coalesce(sortedIntersect(col("ns"), col("nt")), lit(0L))).as("n_triangles"))
+    val wn = adj.agg(
+      sum(expr("CAST(size(nbrs) AS BIGINT) * (size(nbrs) - 1) DIV 2")).as("n_wedges"))
+    val opn = nodeDegrees(e).agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
+    tri.crossJoin(wn).crossJoin(opn)
+      .select(col("n_triangles"), col("n_wedges"),
+        cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
+  }
+
+  /** The wedge-JOIN formulation (materialize two-paths, close them
+    * against the edge set), parameterized on the closure-check
+    * broadcast gate — kept as the spec's independent recomputation of
+    * [[trianglesOf]] and as the documented shape for engines without a
+    * fused array intersect. `knownEdges` is the edge count from the
+    * memo-build action ([[graphStat]]) — without it the gate pays its
+    * own (cheap, cache-backed) count job. */
+  private[graft] def trianglesWedgeJoin(e: DataFrame, broadcastLimit: Long,
+      knownEdges: Option[Long] = None): DataFrame = {
+    val und = e.filter(col("src") < col("dst")).select(col("src").as("u"), col("dst").as("v"))
+    val deg = nodeDegrees(e)
+    val orient = orientOf(e)
     val o1 = orient.select(col("s"), col("t").as("t1"))
     val o2 = orient.select(col("s"), col("t").as("t2"))
     val wedge = o1.join(o2, "s").filter(col("t1") < col("t2"))

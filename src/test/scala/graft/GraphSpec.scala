@@ -136,13 +136,16 @@ class GraphSpec extends SparkSpec {
       s"oriented wedge volume $wedges must undercut the raw $rawWedges")
   }
 
-  test("q88 shuffle-join fallback (edge set past the broadcast gate) is identical") {
+  test("q88 adjacency-intersect equals the wedge-join form on both gate sides") {
     val e = Graph.coPurchaseEdges(spark, dir)
-    val gated = Graph.trianglesOf(e, 0L).collect().head   // force the shuffle path
-    val bcast = Graph.trianglesOf(e, Long.MaxValue).collect().head
-    assert(gated.getLong(0) == bcast.getLong(0))
-    assert(gated.getLong(1) == bcast.getLong(1))
-    assert(gated.getDouble(2) == bcast.getDouble(2))
+    val fused = Graph.trianglesOf(e).collect().head
+    val shuffled = Graph.trianglesWedgeJoin(e, 0L).collect().head // forced shuffle closure
+    val bcast = Graph.trianglesWedgeJoin(e, Long.MaxValue).collect().head
+    for (alt <- Seq(shuffled, bcast)) {
+      assert(fused.getLong(0) == alt.getLong(0))
+      assert(fused.getLong(1) == alt.getLong(1))
+      assert(fused.getDouble(2) == alt.getDouble(2))
+    }
   }
 
   test("q90 equals a sequential 4-round BFS from the min node") {

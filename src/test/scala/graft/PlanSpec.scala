@@ -134,10 +134,9 @@ class PlanSpec extends SparkSpec {
     //    property-tested shuffle fallback (PropertySpec);
     //  - q77: the med/mad stat frames are one row per language (group
     //    cardinality, not corpus size — LayoutSpec gates the semantics);
-    //  - q88: the closure-check edge broadcast sits behind the
-    //    EdgeBroadcastLimit runtime gate (Graph.trianglesOf) — past it
-    //    the check is a plain shuffle equi-join (GraphSpec forces and
-    //    equates both sides);
+    //  - (q88 needed an exemption while its closure check broadcast
+    //    the edge set; the round-8 adjacency-intersect form has no
+    //    broadcast at all — no exemption);
     //  - q85/q85b: the per-round rank mail table (node-sized) broadcasts
     //    behind the NodeBroadcastLimit runtime gate (Graph.pagerankGated)
     //    — past it the rank table shuffles to the edge partitioning
@@ -164,7 +163,7 @@ class PlanSpec extends SparkSpec {
     val exempt = Set("q25_jaccard_neardup",
       "q28_cosine_top_pairs", "q46_embed_dedup",
       "q33_heroic_on_orders", "q33b_heroic_deep", "q34_mse_on_orders",
-      "q77_robust_clip", "q88_triangles",
+      "q77_robust_clip",
       "q85_pagerank", "q85b_weighted_pagerank", "q90_sssp", "q98_label_prop",
       "q99_rank_histogram", "q103_ks_test")
     val offenders = for {
