@@ -404,6 +404,16 @@ object Graph {
     trianglesOf(coPurchaseEdges(s, dir))
   }
 
+  /** q88's Spark body — the adjacency-intersect form at every size:
+    * paired same-JVM A/B puts it 2.2× ahead of the wedge join at
+    * sf0.1 (4.1–4.8 s vs 9.2–10.7 s) AND ~3× ahead on the 23.9M-edge
+    * 10× replica (19–21 s vs 58–76 s): it moves the same asymptotic
+    * bytes (Σ outdeg⁺² longs as carried arrays ≡ the wedge stream's
+    * rows) through 34× fewer rows, and the merge-walk replaces 410M
+    * hash probes. The wedge-join form stays as the spec's independent
+    * recomputation ([[trianglesWedgeJoin]]). */
+  private[graft] def trianglesOf(e: DataFrame): DataFrame = trianglesIntersect(e)
+
   /** Degree-oriented directed edges (s, t): each undirected (u < v)
     * edge oriented from its lower-(degree, id) endpoint. du rides the
     * widened edge frame (outdeg = degree of src); only the dst side's
@@ -422,24 +432,32 @@ object Graph {
         coalesce(when(fwd, col("v")).otherwise(col("u")), lit(-1L)).as("t"))
   }
 
-  /** q88's Spark body — adjacency-intersect compact-forward: per
-    * oriented edge (s, t), count |N⁺(s) ∩ N⁺(t)| with the codegen'd
-    * sorted merge-walk; under an acyclic orientation every triangle
-    * has exactly one node with two out-edges, and it is counted at the
+  /** The adjacency-intersect compact-forward form: per oriented edge
+    * (s, t), count |N⁺(s) ∩ N⁺(t)| with the codegen'd sorted
+    * merge-walk; under an acyclic orientation every triangle has
+    * exactly one node with two out-edges, and it is counted at the
     * out-edge toward that wedge's closing endpoint — once. The wedge
     * count Σ C(outdeg⁺, 2) and the open-wedge denominator come from
-    * the node-sized degree frames, so NOTHING wedge-sized is ever
-    * materialized. GraphSpec equates this against brute force and
+    * the node-sized degree frames, so nothing wedge-ROW-sized is
+    * materialized — but the exploded edges each CARRY their pivot's
+    * array, so the adjacency-attach exchange still moves Σ outdeg⁺²
+    * longs; that byte volume is why [[trianglesOf]] gates this form to
+    * bounded edge sets. GraphSpec equates it against brute force and
     * against [[trianglesWedgeJoin]] on both of its gate sides. */
-  private[graft] def trianglesOf(e: DataFrame): DataFrame = {
+  private[graft] def trianglesIntersect(e: DataFrame): DataFrame = {
     import graft.functions.SortedLongIntersect.sortedIntersect
     val orient = orientOf(e)
     val adj = orient.groupBy("s").agg(sort_array(collect_list(col("t"))).as("nbrs"))
     // re-derive the oriented edges by exploding the adjacency arrays:
     // N⁺(s) comes attached for free instead of via a second join
     val edgesNs = adj.select(col("s"), col("nbrs").as("ns"), explode(col("nbrs")).as("t"))
+    // SHUFFLE_HASH on the node-sized adjacency side: a sort-merge join
+    // would SORT the exploded array-carrying stream (the rawJaccard /
+    // q88-wedge 16 GB-sort-spill lesson); the hash build side is the
+    // adjacency table, which shrinks with partition count
     val withT = edgesNs.join(
-      adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"), "left")
+      adj.select(col("s").as("t"), col("nbrs").as("nt")).hint("shuffle_hash"),
+      Seq("t"), "left")
     val tri = withT.agg(
       sum(coalesce(sortedIntersect(col("ns"), col("nt")), lit(0L))).as("n_triangles"))
     val wn = adj.agg(
