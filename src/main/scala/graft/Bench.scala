@@ -244,11 +244,13 @@ object Bench {
       // ALSO write a round-stamped copy so per-query history survives in
       // git (the round-6 judge could not diff r5→r6 beyond the slowest-5
       // because last.json is overwritten). Round inference is shared
-      // with the StreamsSpec audit ([[RoundStamp]]). ONLY full runs
-      // stamp the round artifact (round-7 advice): a filtered/subset
-      // run would otherwise clobber the round's full history and leave
-      // a partial artifact until the next full bench happened to rerun.
-      if (selected.size == SparkEntry.queries.size)
+      // with the StreamsSpec audit ([[RoundStamp]]). ONLY full runs at
+      // the driver's sf0.1 dir stamp the round artifact (round-7
+      // advice, tightened round-8): a filtered/subset run OR a full run
+      // against a scale fixture (10× replicas live under /tmp) would
+      // otherwise clobber the round's sf0.1 history.
+      if (selected.size == SparkEntry.queries.size &&
+          sfDir == "/root/testdata/sf0.1")
         RoundStamp.current().foreach { round =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"docs/BENCH_driver_r$round%02d.json"), fullJson + "\n")
