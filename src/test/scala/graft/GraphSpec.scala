@@ -62,6 +62,18 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(r => r > 0 && r < 1))
   }
 
+  test("graphStat scalars equal direct recomputation over the edge frame") {
+    // the edge-memo action records (nEdges, nNodes, minNode) for every
+    // graph consumer (no per-query scalar barrier); pin them against
+    // independent aggregations so a drifted stat can't silently skew
+    // the PageRank init, the q90 source, or a broadcast gate
+    val e = Graph.coPurchaseEdges(spark, dir)
+    val Some((ne, nn, mn)) = Graph.graphStat("coPurchaseEdges", spark, dir)
+    assert(ne == e.count(), "edge count")
+    assert(nn == e.select("src").distinct().count(), "node count")
+    assert(mn == e.agg(org.apache.spark.sql.functions.min("src")).head().getLong(0), "min node")
+  }
+
   test("q85 edge builder plans equi-joins only (no product) and is symmetric") {
     val e = Graph.buildCoPurchaseEdges(spark, dir)
     val p = e.queryExecution.explainString(ExplainMode.fromString("formatted"))
