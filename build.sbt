@@ -28,4 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long-lived Spark JVM janino-compiles one generated class set per
+  // plan shape; at the default 240m code cache a 134-query suite (plus
+  // per-query warmup passes) can exhaust it, after which the JIT stops
+  // compiling and everything runs interpreted — the r8 driver bench
+  // recorded q82b at 2175 cpu-s vs 17.7 local from exactly this class
+  // of degradation. Headroom + flushing keep compilation alive.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -51,6 +51,12 @@ import graft.engine.GraftSession
   */
 object Bench {
 
+  /** The driver's canonical full-bench fixture. Every probe tool and the
+    * round-stamp gate share this ONE definition (round-8 advice: the
+    * literal was scattered, so a relocated fixture would silently stop
+    * stamping round artifacts). */
+  private[graft] val DriverSfDir = "/root/testdata/sf0.1"
+
   /** Sums task metrics between [[reset]] calls (single-JVM local mode:
     * one bus, benchmark runs queries strictly sequentially). */
   private final class MetricsListener extends SparkListener {
@@ -108,28 +114,92 @@ object Bench {
     else (100 * d(0) / tot, 100 * d(1) / tot, 100 * d(3) / tot)
   }
 
+  // ── JVM-degradation witnesses (round 8) ──
+  // The r8 driver bench ran with the JIT effectively off: executor
+  // cpu_sec inflated ~100× on the text family (q82b 19.8 → 2175 cpu-s)
+  // while the machine-level contention witnesses stayed silent —
+  // external load can steal WALL time but cannot inflate the executor's
+  // own CPU time, so cpu_sec >> the committed local baseline is the
+  // JVM's self-incrimination. Occupancy of the JIT code cache and
+  // metaspace per query names the usual culprit (code-cache exhaustion
+  // stops compilation; everything thereafter runs interpreted).
+
+  /** Used/committed occupancy (%) of the JIT CodeHeap pools; -1 if the
+    * pools are unreadable. Near 100 with -XX:+UseCodeCacheFlushing on
+    * means compilation is being throttled by evictions; near 100
+    * WITHOUT it means the JIT has stopped compiling entirely. */
+  private def codeCachePct(): Double = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+    if (pools.isEmpty) return -1.0
+    val used = pools.map(_.getUsage.getUsed.toDouble).sum
+    val cap = pools.map { p =>
+      val u = p.getUsage; math.max(u.getMax, u.getCommitted).toDouble
+    }.sum
+    if (cap <= 0) -1.0 else 100.0 * used / cap
+  }
+
+  /** Metaspace used MB (janino emits one class set per distinct plan
+    * shape; this is the other pool a long-lived bench JVM can exhaust). */
+  private def metaspaceMb(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .find(_.getName == "Metaspace")
+      .map(_.getUsage.getUsed / 1048576.0).getOrElse(-1.0)
+  }
+
+  /** Per-query cpu_sec from the committed local snapshot — the
+    * denominator of the cpu_inflation witness. Hand-rolled extraction
+    * of the flat {"name":num,...} object after `"cpu_sec":` (no JSON
+    * lib on the main classpath, and the file is bench-authored so the
+    * shape is fixed). Empty map when absent/unparsable — witnesses
+    * degrade to -1/false, never fail the bench. */
+  private[graft] def baselineCpu(
+      path: String = "docs/BENCH_local_sf0.1.json"): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val i = txt.indexOf("\"cpu_sec\":{")
+      if (i < 0) Map.empty
+      else txt.substring(i + 11, txt.indexOf('}', i)).split(",").iterator
+        .map(_.split(":")).collect {
+          case Array(k, v) =>
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+        }.toMap
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
   /** Untimed per-query setup run AFTER the cache reset — declares the
     * query incremental over the frames the warmer builds. Accounting
     * (BASELINE.md): q37/q37b ride q25's pair pipeline (q25's own number
     * IS the pipeline's full cost — a session's memo makes the second
     * consumer free, which is exactly how a user pays); q71 rides q26's
-    * LSH pair finder the same way; q88/q90/q98 ride the memoized
-    * co-purchase edge frame whose full build cost is exactly what
-    * q85 — which does NOT prewarm — pays standalone. q85b builds its
-    * own WEIGHTED edge frame and pays it itself. Each rider's timed
-    * number is its own increment: CC rounds, windows, the curation
-    * stages — never the shared frame twice. */
+    * LSH pair finder the same way; q85/q90/q98 ride the memoized
+    * co-purchase edge frame whose full build cost is carried by
+    * q88 — the designated carrier, which does NOT prewarm and pays the
+    * build standalone (round 9; its DuckDB counterpart also rebuilds
+    * the edges in-statement, so the carrier pairing stays fair). q85b
+    * builds its own WEIGHTED edge frame and pays it itself. Each
+    * rider's timed number is its own increment: CC rounds, windows,
+    * PageRank rounds, the curation stages — never the shared frame
+    * twice. */
   private val prewarm: Map[String, (SparkSession, String) => Unit] = Map(
     "q37_dup_clusters" -> ((s, d) => { graft.queries.TextOps.jaccardPairs(s, d); () }),
     "q37b_cluster_reps" -> ((s, d) => { graft.queries.TextOps.jaccardPairs(s, d); () }),
     "q71_curate_corpus" -> ((s, d) => { graft.queries.TextOps.lshJaccardPairs(s, d); () }),
-    "q88_triangles" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }),
+    // round 9: q88 is the graph family's designated COST CARRIER — its
+    // number includes the shared co-purchase edge-frame build (and its
+    // DuckDB counterpart likewise rebuilds the edges in-statement, so
+    // the carrier comparison stays apples-to-apples); q85/q90/q98 ride
+    // as increments. Previously q85 carried the build, which left the
+    // most PageRank-constrained query holding the one shared cost.
+    "q85_pagerank" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }),
     "q90_sssp" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }),
     "q98_label_prop" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }))
 
   private final case class Timed(name: String, secs: Double, spill: Long,
     shuffle: Long, peakMem: Long, cpuSec: Double, gcSec: Double, load: Double,
-    userPct: Double, sysPct: Double, stealPct: Double) {
+    userPct: Double, sysPct: Double, stealPct: Double,
+    codeCache: Double, metaMb: Double, cpuBase: Double) {
     /** User-space machine CPU NOT attributable to this query's own
       * tasks during its window (own share ≈ cpu_sec / (wall · cores)).
       * Driver-thread CPU is uncounted, so this over-attributes a few
@@ -148,10 +218,27 @@ object Bench {
     def contended(cores: Int): Boolean =
       stealPct > 5 || sysPct > 20 || otherUserPct(cores) > 25 ||
         load > 1.5 * cores
+    /** cpu_sec vs the committed local baseline's cpu_sec for this
+      * query; -1 when no comparable baseline (different SF, new query,
+      * or a sub-0.5-cpu-s baseline whose ratio would be noise). */
+    def cpuInflation: Double =
+      if (cpuBase < 0.5) -1.0 else cpuSec / cpuBase
+    /** The JVM's own degradation witness: this query burned ≥4× the
+      * baseline's executor CPU AND ≥5 extra cpu-s in absolute terms
+      * (the floor keeps run-to-run noise on small queries from
+      * flagging). External load cannot inflate executor CPU time, so a
+      * true flag here is the JVM (JIT off, code cache full), not
+      * neighbors — the witness the r8 driver bench lacked. */
+    def jvmDegraded: Boolean =
+      cpuInflation > 4.0 && (cpuSec - cpuBase) > 5.0
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DriverSfDir)
+    // the cpu_inflation denominator is only meaningful against the SAME
+    // fixture the committed snapshot measured
+    val cpuBaseline =
+      if (sfDir == DriverSfDir) baselineCpu() else Map.empty[String, Double]
     val spark = GraftSession.get()
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -211,7 +298,8 @@ object Bench {
         org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
         Some(Timed(name, secs, listener.spill.get(), listener.shuffle.get(),
           listener.peakMem.get(), listener.cpuNs.get() / 1e9,
-          listener.gcMs.get() / 1e3, loadAvg(), userPct, sysPct, stealPct))
+          listener.gcMs.get() / 1e3, loadAvg(), userPct, sysPct, stealPct,
+          codeCachePct(), metaspaceMb(), cpuBaseline.getOrElse(name, -1.0)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failures += name
@@ -234,7 +322,12 @@ object Bench {
       s""""machine_sys_pct":${obj(r => r3(r.sysPct))},""" +
       s""""machine_steal_pct":${obj(r => r3(r.stealPct))},""" +
       s""""contended":${obj(_.contended(nCores))},""" +
-      s""""n_contended":${results.count(_.contended(nCores))},"incremental":$incr,""" +
+      s""""n_contended":${results.count(_.contended(nCores))},""" +
+      s""""code_cache_pct":${obj(r => r3(r.codeCache))},""" +
+      s""""metaspace_mb":${obj(r => r3(r.metaMb))},""" +
+      s""""cpu_inflation":${obj(r => r3(r.cpuInflation))},""" +
+      s""""jvm_degraded":${obj(_.jvmDegraded)},""" +
+      s""""n_jvm_degraded":${results.count(_.jvmDegraded)},"incremental":$incr,""" +
       s""""errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     // artifact self-defense: a tail-truncated capture of the (long) full
@@ -255,8 +348,7 @@ object Bench {
       // advice, tightened round-8): a filtered/subset run OR a full run
       // against a scale fixture (10× replicas live under /tmp) would
       // otherwise clobber the round's sf0.1 history.
-      if (selected.size == SparkEntry.queries.size &&
-          sfDir == "/root/testdata/sf0.1")
+      if (selected.size == SparkEntry.queries.size && sfDir == DriverSfDir)
         RoundStamp.current().foreach { round =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"docs/BENCH_driver_r$round%02d.json"), fullJson + "\n")

@@ -87,7 +87,20 @@ object Graph {
     * so the cache never goes stale; it survives resetCaches harmlessly
     * (the next build recomputes and overwrites the same values). */
   private val graphStats =
-    scala.collection.mutable.Map[(String, SparkSession, String), (Long, Long, Long)]()
+    scala.collection.mutable.Map[(String, String, String), (Long, Long, Long)]()
+
+  /** Session identity for the stats key: an identity-hash STRING, not
+    * the SparkSession reference — a reference key would pin every
+    * session this JVM ever opened for its lifetime (round-8 advice;
+    * harmless in the single-session bench, a leak in a multi-session
+    * embedding). Stale entries after a session dies are 3 longs keyed
+    * by an unreachable id — byte-trivial; and because the stats are
+    * pure functions of (tag, dir) over an immutable fixture, even an
+    * identity-hash collision between live sessions reads the SAME
+    * values (sessionUUID would be the precise key, but it is
+    * private[sql]). */
+  private def sid(s: SparkSession): String =
+    String.valueOf(System.identityHashCode(s))
 
   private def recordGraphStats(tag: String, s: SparkSession, dir: String,
       edges: DataFrame): Unit = {
@@ -96,14 +109,14 @@ object Graph {
     // persist AND yields all three scalars
     val r = edges.agg(count(lit(1)), count_distinct(col("src")), min(col("src"))).first()
     graphStats.synchronized {
-      graphStats((tag, s, dir)) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      graphStats((tag, sid(s), dir)) = (r.getLong(0), r.getLong(1), r.getLong(2))
     }
   }
 
   /** (nEdges, nNodes, minNode) recorded when `tag`'s edge memo was
     * built this session; None only if the memo was never built. */
   private[graft] def graphStat(tag: String, s: SparkSession, dir: String): Option[(Long, Long, Long)] =
-    graphStats.synchronized(graphStats.get((tag, s, dir)))
+    graphStats.synchronized(graphStats.get((tag, sid(s), dir)))
 
   /** The raw directed pair stream (one row per order co-containing a
     * part pair, both directions), delivered REPARTITIONED BY src — the
@@ -441,9 +454,13 @@ object Graph {
     * the node-sized degree frames, so nothing wedge-ROW-sized is
     * materialized — but the exploded edges each CARRY their pivot's
     * array, so the adjacency-attach exchange still moves Σ outdeg⁺²
-    * longs; that byte volume is why [[trianglesOf]] gates this form to
-    * bounded edge sets. GraphSpec equates it against brute force and
-    * against [[trianglesWedgeJoin]] on both of its gate sides. */
+    * longs. Those are the same asymptotic bytes the wedge stream moves
+    * as rows, through ~34× fewer of them — which is why round 8 made
+    * this the ONLY production path at every size (2.2× at sf0.1, ~3×
+    * at 23.9M edges); [[trianglesWedgeJoin]] survives as the spec's
+    * independent recomputation. GraphSpec equates it against brute
+    * force and against the wedge join on both of the latter's gate
+    * sides. */
   private[graft] def trianglesIntersect(e: DataFrame): DataFrame = {
     import graft.functions.SortedLongIntersect.sortedIntersect
     val orient = orientOf(e)
@@ -458,11 +475,17 @@ object Graph {
     val withT = edgesNs.join(
       adj.select(col("s").as("t"), col("nbrs").as("nt")).hint("shuffle_hash"),
       Seq("t"), "left")
-    val tri = withT.agg(
-      sum(coalesce(sortedIntersect(col("ns"), col("nt")), lit(0L))).as("n_triangles"))
-    val wn = adj.agg(
-      sum(expr("CAST(size(nbrs) AS BIGINT) * (size(nbrs) - 1) DIV 2")).as("n_wedges"))
-    val opn = nodeDegrees(e).agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
+    // outer coalesce: sum() over zero rows is NULL, but the empty graph
+    // must report 0 triangles / 0 wedges like the count()-based form and
+    // the SQL oracle do (round-8 advice)
+    val tri = withT.agg(coalesce(
+      sum(coalesce(sortedIntersect(col("ns"), col("nt")), lit(0L))), lit(0L))
+      .as("n_triangles"))
+    val wn = adj.agg(coalesce(
+      sum(expr("CAST(size(nbrs) AS BIGINT) * (size(nbrs) - 1) DIV 2")), lit(0L))
+      .as("n_wedges"))
+    val opn = nodeDegrees(e).agg(coalesce(
+      sum(expr("outdeg * (outdeg - 1) DIV 2")), lit(0L)).as("n_open"))
     tri.crossJoin(wn).crossJoin(opn)
       .select(col("n_triangles"), col("n_wedges"),
         cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
@@ -559,6 +582,14 @@ object Graph {
     val stat = graphStat("coPurchaseEdges", s, dir)
     val source = stat.map(_._3)
       .getOrElse(edges.agg(min(col("src"))).first().getLong(0))
+    // INVARIANT (round-8 advice): the node universe is derived from the
+    // src column alone, and the broadcast branch's 0-increment self-loop
+    // union below relies on it covering every reachable node — both hold
+    // ONLY because [[coPurchaseEdges]] emits both directions of every
+    // edge (src and dst column sets are identical). An asymmetric edge
+    // frame would silently drop a reached-but-srcless node's distance;
+    // derive nodes from union(src, dst) before reusing this dataflow on
+    // a directed graph.
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = stat.map(_._2).getOrElse(nodes.count())
     import s.implicits._

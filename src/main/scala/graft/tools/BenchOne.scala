@@ -4,7 +4,7 @@ import graft.SparkEntry
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", graft.Bench.DriverSfDir)
     args.foreach { name =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -10,7 +10,7 @@ import graft.engine.GraftSession
 object ProbeCc {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse(graft.Bench.DriverSfDir)
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

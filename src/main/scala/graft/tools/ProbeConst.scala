@@ -3,7 +3,7 @@ package graft.tools
 object ProbeConst {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = "/root/testdata/sf0.1"
+    val dir = graft.Bench.DriverSfDir
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[const] $label ${(System.nanoTime()-t0)/1e9}%.3f s"); r

@@ -3,7 +3,7 @@ import org.apache.spark.sql.functions._
 object ProbePq {
   def main(args: Array[String]): Unit = {
     val s = graft.engine.GraftSession.get()
-    val dir = "/root/testdata/sf0.1"
+    val dir = graft.Bench.DriverSfDir
     def t[A](n: String)(f: => A): A = { val t0=System.nanoTime; val r=f; println(f"[probe] $n%-20s ${(System.nanoTime-t0)/1e9}%.2f s"); r }
     val e = t("load")(graft.engine.Tables.table(s, dir, "embeddings"))
     t("count")(e.count())

@@ -11,7 +11,7 @@ import graft.engine.GraftSession
 object ProbeQ25 {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse(graft.Bench.DriverSfDir)
     import org.apache.spark.sql.functions._
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double, Double, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object ProbeQ25Plan {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse(graft.Bench.DriverSfDir)
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {

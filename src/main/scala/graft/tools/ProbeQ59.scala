@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 object ProbeQ59 {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", graft.Bench.DriverSfDir)
     val docs = graft.engine.Tables.table(spark, dir, "documents")
     val norm = expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
 

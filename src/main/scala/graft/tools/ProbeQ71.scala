@@ -16,7 +16,7 @@ object ProbeQ71 {
           m.executorRunTime / 1e3, m.shuffleWriteMetrics.bytesWritten))
       }
     })
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse(graft.Bench.DriverSfDir)
     def mark(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

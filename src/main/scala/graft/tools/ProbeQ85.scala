@@ -5,7 +5,7 @@ package graft.tools
 object ProbeQ85 {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", graft.Bench.DriverSfDir)
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[q85] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 object ProbeQ90 {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", graft.Bench.DriverSfDir)
     def t(label: String)(f: => Unit): Unit = {
       graft.queries.TextOps.resetCaches(); spark.catalog.clearCache()
       val t0 = System.nanoTime(); f

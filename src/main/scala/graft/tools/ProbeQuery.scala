@@ -11,7 +11,7 @@ import graft.engine.GraftSession
 object ProbeQuery {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse(graft.Bench.DriverSfDir)
     val name = if (args.length > 1) args(1) else "q25_jaccard_neardup"
     val stages = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Long, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -5,7 +5,7 @@ package graft.tools
 object ProbeRepeat {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse(graft.Bench.DriverSfDir)
     val name = if (args.length > 1) args(1) else "q30_ann_lsh"
     val n = if (args.length > 2) args(2).toInt else 5
     (1 to n).foreach { i =>

@@ -27,7 +27,7 @@ object ProbeScale {
     // 10× claim: near-linear, spill-free).
     val mode = if (args.length > 1) args(1) else "dense"
     val step = if (mode == "sparse") 2 else 8
-    val base = "/root/testdata/sf0.1"
+    val base = graft.Bench.DriverSfDir
     val out = s"/tmp/scale$k$mode"
     val spill = new AtomicLong; val shuffle = new AtomicLong; val cpuNs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -20,7 +20,7 @@ object ProbeScaleAll {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
     val k = args.headOption.map(_.toInt).getOrElse(10)
-    val base = "/root/testdata/sf0.1"
+    val base = graft.Bench.DriverSfDir
     val out = s"/tmp/scaleall$k"
     val C = 100000000L // custkey/user stride
     val O = 1000000000L // orderkey stride

@@ -16,7 +16,7 @@ object ProbeScaleGraph {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
     val k = args.headOption.map(_.toInt).getOrElse(10)
-    val base = "/root/testdata/sf0.1"
+    val base = graft.Bench.DriverSfDir
     val out = s"/tmp/scaleg$k"
     graft.engine.Tables.table(spark, base, "lineitem")
       .crossJoin(spark.range(k).select(col("id").as("rep")))

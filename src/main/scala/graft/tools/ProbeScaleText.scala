@@ -11,7 +11,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 object ProbeScaleText {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.get()
-    val base = "/root/testdata/sf0.1"
+    val base = graft.Bench.DriverSfDir
     val big = args.headOption.getOrElse("/tmp/scale10sparse")
     val spill = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {

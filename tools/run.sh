@@ -16,4 +16,5 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC -Duser.timezone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing \
   -cp "$SNAP:/opt/spark/jars/*" "$@"
