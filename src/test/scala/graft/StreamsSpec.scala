@@ -64,7 +64,16 @@ class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   override protected def afterAll(): Unit = {
-    try StreamsAudit.write() finally super.afterAll()
+    try {
+      StreamsAudit.write()
+      // throughput regression gate (VERDICT r8 item 6): fail the suite
+      // when any test drops below half its committed baseline rows/s
+      val regressions = StreamsAudit.throughputRegressions()
+      if (regressions.nonEmpty)
+        throw new AssertionError(
+          "streaming throughput regression vs docs/streams_baseline.json:\n  " +
+            regressions.mkString("\n  "))
+    } finally super.afterAll()
   }
 
   test("stream-static enrichment join equals batch, stays stateless, and broadcasts the dimension") {
