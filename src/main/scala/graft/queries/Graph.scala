@@ -197,6 +197,25 @@ object Graph {
     * forces both sides and equates them bitwise. */
   private[graft] val NodeBroadcastLimit = 4000000L
 
+  /** Round-9 gate measurements ([[graft.tools.ProbeGraphGate]],
+    * interleaved A/B/A/B, edge frame prewarmed, per-generation memos
+    * evicted between runs) split by query AND by methodology:
+    * steady-state (one hot JVM, repeated runs) has the mail-SHUFFLE
+    * side winning everywhere — q85 3.3–3.5 s vs 4.0–4.2 broadcast,
+    * q90 3.4–3.7 vs 4.6–5.0, q98 3.8–4.2 vs 4.9–5.4 — because each
+    * broadcast round is a sequential driver-collect barrier. But
+    * bench-style (fresh JVM, per-query sf0.001 warmup, one timed shot)
+    * INVERTS for PageRank only: q85 3.5 s broadcast vs 3.9–4.0
+    * shuffle, q85b 4.1 vs 5.2–5.6 across three fresh-JVM runs — the
+    * shuffle chain's extra AQE stage boundaries cost more than the
+    * collect barriers until the stage shapes are hot, and PageRank has
+    * the most per-round plan (the contribution numerator) to warm.
+    * q90/q98's pure min-propagation rounds win on the shuffle side in
+    * BOTH methodologies, so their defaults flipped (see their bodies);
+    * PageRank keeps the node-gated broadcast default, with the
+    * steady-state evidence on file here for an embedder running a hot
+    * loop (pass broadcastLimit = 0 to [[pagerankGated]]). GraphSpec
+    * continues to force BOTH sides and equate them bitwise. */
   private def pagerankOf(edges: DataFrame, stats: DataFrame,
       kExpr: org.apache.spark.sql.Column,
       knownN: Option[Long] = None): DataFrame =
@@ -569,7 +588,13 @@ object Graph {
          |     d0 AS (SELECT min(src) AS node, 0 AS dist FROM e),
          |     ${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT node, dist FROM d4 ORDER BY node""") { (s, dir) =>
-      ssspGated(s, dir, NodeBroadcastLimit)
+      // round 9: mail-shuffle default — the measured winner for the
+      // pure min-propagation rounds in BOTH methodologies (see the
+      // pagerankOf note; ProbeGraphGate steady-state 3.4-3.7 s vs
+      // 4.6-5.0 broadcast, bench-style 3.2 vs 3.7) and the
+      // 1000-executor posture (mail moves once to the persisted edge
+      // partitioning instead of through a per-round driver collect)
+      ssspGated(s, dir, 0L)
     }
   }
 
@@ -656,7 +681,10 @@ object Graph {
          |     l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
          |     ${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT node, lbl AS community FROM l4 ORDER BY node""") { (s, dir) =>
-      labelPropGated(s, dir, NodeBroadcastLimit)
+      // round 9: mail-shuffle default — winner in both methodologies
+      // like q90 (ProbeGraphGate steady-state 3.8-4.2 s vs 4.9-5.4
+      // broadcast, bench-style 3.7 vs 4.0; see the pagerankOf note)
+      labelPropGated(s, dir, 0L)
     }
   }
 
