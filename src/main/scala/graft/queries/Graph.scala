@@ -217,9 +217,9 @@ object Graph {
     * loop (pass broadcastLimit = 0 to [[pagerankGated]]). GraphSpec
     * continues to force BOTH sides and equate them bitwise. */
   private def pagerankOf(edges: DataFrame, stats: DataFrame,
-      kExpr: org.apache.spark.sql.Column,
+      kExprOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       knownN: Option[Long] = None): DataFrame =
-    pagerankGated(edges, stats, kExpr, NodeBroadcastLimit, knownN)
+    pagerankGated(edges, stats, kExprOf, NodeBroadcastLimit, knownN)
 
   /** The shared dataflow, rounds UNROLLED into one lazy plan exactly
     * like the oracle's chained CTEs: generation k is a subplan over
@@ -248,36 +248,42 @@ object Graph {
     * per edge. Same exactness, same order-invariance (GraphSpec's
     * bitwise replay), a fraction of the CPU. */
   private[graft] def pagerankGated(edges: DataFrame, stats: DataFrame,
-      kExpr: org.apache.spark.sql.Column,
+      kExprOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       broadcastLimit: Long,
       knownN: Option[Long] = None): DataFrame = {
     // round-8: the mail is the BARE (node, rank) table — the per-node
     // static divisor (outdeg / wsum) lives ON the persisted edge frame
     // (see coPurchaseEdges), so the old per-round node-sized stats join
-    // (one exchange + one join job per round) is gone and kExpr computes
-    // the grid numerator per edge from cached columns. Value-identity:
-    // the numerator is a pure function of (r, static), both unchanged,
-    // so every contribution — and hence every round — is bitwise
-    // identical to the joined form (GraphSpec's sequential replay pins
-    // it). `stats` is now only the node universe: init + the count —
-    // and when the caller already knows n from the edge-memo action
-    // ([[graphStat]]), the whole stats persist/count barrier disappears:
-    // the node-universe aggregate folds lazily into round 1's broadcast
-    // build (one scan of the edge cache inside the existing job cascade,
-    // zero extra barriers). n is the same scalar either way, so every
-    // round is bitwise identical across the two paths.
-    val (nodeUniverse, n) = knownN match {
-      case Some(k) => (stats, k)
-      case None =>
-        val statsP = stats.persist()
-        (statsP, statsP.count())
+    // (one exchange + one join job per round) is gone and kExprOf
+    // computes the grid numerator per edge from cached columns.
+    // Value-identity: the numerator is a pure function of (r, static),
+    // both unchanged, so every contribution — and hence every round —
+    // is bitwise identical to the joined form (GraphSpec's sequential
+    // replay pins it). `stats` is only the n fallback now — when the
+    // caller already knows n from the edge-memo action ([[graphStat]]),
+    // no stats job runs at all.
+    val n = knownN.getOrElse {
+      val statsP = stats.persist()
+      try statsP.count() finally statsP.unpersist()
     }
     val scaleF = math.pow(10, Digits)
-    var cur = nodeUniverse.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to Rounds) {
-      val m = if (n <= broadcastLimit) broadcast(cur) else cur
-      cur = edges.join(m, edges("src") === m("node"))
-        .select(col("dst"), kExpr.as("k"))
+    var cur: DataFrame = null
+    for (round <- 1 to Rounds) {
+      // round 1 (round 9): the start is uniform, so its mail is the
+      // LITERAL 1/n for every src — the rank join AND its broadcast/
+      // exchange fuse into a pure map over the cached edge frame (one
+      // whole stage cascade gone; with knownN the init's node-universe
+      // scan disappears too). Bitwise identical: the old inner join
+      // matched every edge exactly once (the node universe IS distinct
+      // src) and delivered the same double 1.0/n into the same kExprOf.
+      val contrib =
+        if (round == 1) edges.select(col("dst"), kExprOf(lit(1.0 / n)).as("k"))
+        else {
+          val m = if (n <= broadcastLimit) broadcast(cur) else cur
+          edges.join(m, edges("src") === m("node"))
+            .select(col("dst"), kExprOf(col("r")).as("k"))
+        }
+      cur = contrib
         .groupBy("dst")
         .agg(cround(lit(0.15 / n) +
           lit(Damping) * (sum(col("k")).cast("double") / scaleF), Digits).as("r"))
@@ -318,7 +324,7 @@ object Graph {
     // doubles in, same floor), for one codegen'd divide instead of a
     // per-round node join
     pagerankOf(edges, nodeDegrees(edges),
-      kExpr = kOf(col("r") / col("outdeg")),
+      kExprOf = r => kOf(r / col("outdeg")),
       knownN = graphStat("coPurchaseEdges", s, dir).map(_._2))
   }
 
@@ -374,7 +380,7 @@ object Graph {
     // w and wsum both live on the cached edge frame; the expression
     // keeps the oracle's (r*w)/wsum association exactly
     pagerankOf(edges, weightSums(edges),
-      kExpr = kOf(col("r") * col("w") / col("wsum")),
+      kExprOf = r => kOf(r * col("w") / col("wsum")),
       knownN = graphStat("coPurchaseEdgesW", s, dir).map(_._2))
   }
 

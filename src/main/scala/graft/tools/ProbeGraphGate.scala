@@ -23,7 +23,7 @@ object ProbeGraphGate {
     val knownN = Graph.graphStat("coPurchaseEdges", spark, dir).map(_._2)
     def pr(limit: Long): Unit =
       noop(Graph.pagerankGated(edges, Graph.nodeDegrees(edges),
-        floor(col("r") / col("outdeg") * 1e12 + 0.5).cast("long"), limit, knownN))
+        r => floor(r / col("outdeg") * 1e12 + 0.5).cast("long"), limit, knownN))
     // the shuffle paths memoize per-generation persists — evict them
     // between runs or every iteration after the first reuses round 1's
     // materialized generations and the A/B is fake

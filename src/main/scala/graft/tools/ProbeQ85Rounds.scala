@@ -18,7 +18,7 @@ object ProbeQ85Rounds {
     import org.apache.spark.sql.functions._
     def run(limit: Long): Unit =
       Graph.pagerankGated(edges, Graph.nodeDegrees(edges),
-        floor(col("r") / col("outdeg") * 1e12 + 0.5).cast("long"),
+        r => floor(r / col("outdeg") * 1e12 + 0.5).cast("long"),
         limit, Graph.graphStat("coPurchaseEdges", spark, dir).map(_._2))
         .write.format("noop").mode("overwrite").save()
     // interleaved A/B/A/B

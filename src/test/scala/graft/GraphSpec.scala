@@ -112,8 +112,9 @@ class GraphSpec extends SparkSpec {
   test("q85 rank-shuffle fallback (node set past the broadcast gate) is bitwise identical") {
     import org.apache.spark.sql.functions.{col, floor}
     val edges = Graph.coPurchaseEdges(spark, dir)
-    val kExpr = floor(col("r") / col("outdeg") * 1e12 + 0.5).cast("long")
-    val gated = Graph.pagerankGated(edges, Graph.nodeDegrees(edges), kExpr, 0L)
+    val kExprOf = (r: org.apache.spark.sql.Column) =>
+      floor(r / col("outdeg") * 1e12 + 0.5).cast("long")
+    val gated = Graph.pagerankGated(edges, Graph.nodeDegrees(edges), kExprOf, 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bcast = Graph.q85_pagerank.fn(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
