@@ -53,6 +53,18 @@ object StreamsAudit {
       path: String = "docs/streams_baseline.json"): Seq[String] = synchronized {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isRegularFile(p)) return Nil
+    // contention escape hatch (the Bench `contended` load heuristic):
+    // wall-clock throughput on a machine whose run queue is far beyond
+    // its cores measures the neighbors, not the streams — skip (loudly)
+    // rather than fail the round's test signal on host weather.
+    val load = try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val cores = Runtime.getRuntime.availableProcessors()
+    if (load > 1.5 * cores) {
+      System.err.println(f"[streams-audit] throughput gate SKIPPED: load $load%.1f > 1.5 x $cores cores")
+      return Nil
+    }
     val txt = try java.nio.file.Files.readString(p) catch { case _: Throwable => return Nil }
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+(?:\.\d+)?)""".r
     val base = entry.findAllMatchIn(txt)
