@@ -89,18 +89,25 @@ object Graph {
   private val graphStats =
     scala.collection.mutable.Map[(String, String, String), (Long, Long, Long)]()
 
-  /** Session identity for the stats key: an identity-hash STRING, not
-    * the SparkSession reference — a reference key would pin every
-    * session this JVM ever opened for its lifetime (round-8 advice;
-    * harmless in the single-session bench, a leak in a multi-session
-    * embedding). Stale entries after a session dies are 3 longs keyed
-    * by an unreachable id — byte-trivial; and because the stats are
-    * pure functions of (tag, dir) over an immutable fixture, even an
-    * identity-hash collision between live sessions reads the SAME
-    * values (sessionUUID would be the precise key, but it is
-    * private[sql]). */
-  private def sid(s: SparkSession): String =
-    String.valueOf(System.identityHashCode(s))
+  /** Session identity for the stats key: a fresh UUID minted per
+    * SparkSession, held in a WeakHashMap so the tag dies with the
+    * session (round-9 advice — the previous identityHashCode string
+    * could collide between a live and a dead session, letting a stale
+    * entry answer for a regenerated fixture at the same dir; a UUID
+    * key can never be revived by a later session). The weak reference
+    * keeps the multi-session-embedding guarantee the round-8 fix was
+    * for: nothing here pins a session for the JVM's lifetime.
+    * (sessionUUID would be the canonical key, but it is private[sql].) */
+  private val sessionTags =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sid(s: SparkSession): String = sessionTags.synchronized {
+    var tag = sessionTags.get(s)
+    if (tag == null) {
+      tag = java.util.UUID.randomUUID().toString
+      sessionTags.put(s, tag)
+    }
+    tag
+  }
 
   private def recordGraphStats(tag: String, s: SparkSession, dir: String,
       edges: DataFrame): Unit = {
@@ -108,8 +115,13 @@ object Graph {
     // per partition); min folds in for free — one job materializes the
     // persist AND yields all three scalars
     val r = edges.agg(count(lit(1)), count_distinct(col("src")), min(col("src"))).first()
+    // min over an EMPTY edge set is NULL (the q88 empty-aggregate class,
+    // round-9 advice): record a Long.MaxValue sentinel instead of NPEing
+    // the memo build — consumers see n = 0 and return their documented
+    // empty-graph value (see EmptyInputSpec)
+    val minSrc = if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)
     graphStats.synchronized {
-      graphStats((tag, sid(s), dir)) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      graphStats((tag, sid(s), dir)) = (r.getLong(0), r.getLong(1), minSrc)
     }
   }
 
@@ -611,8 +623,13 @@ object Graph {
     val edges = coPurchaseEdges(s, dir).select("src", "dst")
     // min node id and node count came free with the edge-memo action
     val stat = graphStat("coPurchaseEdges", s, dir)
-    val source = stat.map(_._3)
-      .getOrElse(edges.agg(min(col("src"))).first().getLong(0))
+    val source = stat.map(_._3).getOrElse {
+      // same empty-aggregate guard as recordGraphStats: NULL min (no
+      // edges) becomes the inert MaxValue sentinel, so an empty graph
+      // yields an EMPTY distance table (documented: no source exists)
+      val r = edges.agg(min(col("src"))).first()
+      if (r.isNullAt(0)) Long.MaxValue else r.getLong(0)
+    }
     // INVARIANT (round-8 advice): the node universe is derived from the
     // src column alone, and the broadcast branch's 0-increment self-loop
     // union below relies on it covering every reachable node — both hold

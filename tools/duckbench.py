@@ -89,11 +89,17 @@ def main():
     # unchanged for older tooling); pass B and the per-pass ratios ride
     # alongside.
     times, timeouts = sweep(sf_dir, oracle, cap)
-    times_b, _ = sweep(sf_dir, oracle, cap, skip=set(timeouts))
+    # pass-B timeouts are RECORDED (round-9 advice: discarding them made
+    # value_b silently cover a different statement set than value), and
+    # value_b sums only the statements BOTH passes completed so the two
+    # headline numbers are always same-set comparable; n_b names the set.
+    times_b, timeouts_b = sweep(sf_dir, oracle, cap, skip=set(timeouts))
+    both_ab = set(times) & set(times_b)
     result = {"metric": "duckdb_total", "value": round(sum(times.values()), 3),
               "unit": "sec", "n_ok": len(times), "cap_sec": cap,
               "queries": times, "timeouts": timeouts, "sf": sf_dir,
-              "value_b": round(sum(times_b.values()), 3),
+              "value_b": round(sum(times_b[k] for k in both_ab), 3),
+              "n_b": len(both_ab), "timeouts_b": sorted(timeouts_b),
               "queries_b": times_b}
     if bench_json:
         eng = json.load(open(bench_json))["queries"]
