@@ -62,7 +62,12 @@ object Heroic {
     val diff = a.select(col("player"), col("hs").as("ha"))
       .join(b.select(col("player"), col("hs").as("hb")), Seq("player"), "full")
       .select(pow(coalesce(col("ha"), lit(0.0)) - coalesce(col("hb"), lit(0.0)), 2.0).as("sq"))
-    diff.agg(avg(col("sq"))).first().getDouble(0)
+    // avg over an EMPTY player union is NULL (the empty-aggregate class,
+    // EmptyInputSpec): two empty generations have zero divergence — MSE 0
+    // — which also makes fixedPoint converge immediately on empty duels
+    // instead of crashing its convergence check
+    val r = diff.agg(avg(col("sq"))).first()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
   /** hs₀ ≡ 1 for every player seen in either role

@@ -525,7 +525,12 @@ object Graph {
       sum(expr("outdeg * (outdeg - 1) DIV 2")), lit(0L)).as("n_open"))
     tri.crossJoin(wn).crossJoin(opn)
       .select(col("n_triangles"), col("n_wedges"),
-        cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
+        // a graph with NO open wedges has an undefined clustering
+        // coefficient: documented empty-case value NULL (ANSI division
+        // by zero would abort the job — the empty-aggregate class,
+        // EmptyInputSpec); any graph with >= 1 edge has n_open >= 1
+        when(col("n_open") > 0,
+          cround(lit(3.0) * col("n_triangles") / col("n_open"))).as("global_cc"))
   }
 
   /** The wedge-JOIN formulation (materialize two-paths, close them
@@ -570,7 +575,9 @@ object Graph {
     val opn = deg.agg(sum(expr("outdeg * (outdeg - 1) DIV 2")).as("n_open"))
     counts.crossJoin(opn)
       .select(col("n_triangles"), col("n_wedges"),
-        cround(lit(3.0) * col("n_triangles") / col("n_open")).as("global_cc"))
+        // same documented NULL-when-no-open-wedges as trianglesIntersect
+        when(col("n_open") > 0,
+          cround(lit(3.0) * col("n_triangles") / col("n_open"))).as("global_cc"))
   }
 
   /** Q90 — single-source shortest paths (hop distance, 4 synchronous

@@ -185,7 +185,11 @@ object Multimodal {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docsT = Tables.table(s, dir, "documents")
-      val minDoc = docsT.agg(min(col("doc_id"))).first().getLong(0)
+      // min over an EMPTY documents table is NULL (the empty-aggregate
+      // class, EmptyInputSpec): any sentinel works — both branch filters
+      // run over the equally-empty frame table — so use 0
+      val minDocRow = docsT.agg(min(col("doc_id"))).first()
+      val minDoc = if (minDocRow.isNullAt(0)) 0L else minDocRow.getLong(0)
       val embExpr = graft.queries.Pipeline.mixExpr("(doc_id * 131 + frame_no * 7 + d)")
       // the decoded + embedded frame table is memoized-persisted so the
       // probe and candidate branches read ONE decode/fanout pass instead

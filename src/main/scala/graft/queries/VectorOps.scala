@@ -877,6 +877,13 @@ object VectorOps {
       .orderBy("vec_id").limit(sampleCap).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray)
+    // EMPTY corpus (EmptyInputSpec): no sample → no codebook. Safe to
+    // return the empty structure because every consumer (encodePqUdf /
+    // pqLutUdf / pqRecNormUdf / adcDotUdf) dereferences the codebook
+    // only inside its per-row lambda, and an empty corpus gives those
+    // lambdas zero rows — the documented empty-case result is the empty
+    // top-k frame, produced lazily with no special-cased plan.
+    if (sample.isEmpty) return Array.empty
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m

@@ -41,9 +41,11 @@ object ProbeEmpty {
       else graft.SparkEntry.queries
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val line = try {
-        val rows = fn(spark, out).collect()
-        val nulls = rows.iterator.map(r => (0 until r.length).count(r.isNullAt)).sum
-        s"OK rows=${rows.length} nulls=$nulls"
+        val df = fn(spark, out)
+        val rows = df.collect()
+        val nullCols = rows.iterator.flatMap(r =>
+          (0 until r.length).filter(r.isNullAt).map(df.columns)).toSet
+        s"OK rows=${rows.length} nulls=${nullCols.toSeq.sorted.mkString(",")}"
       } catch {
         case e: Throwable =>
           s"FAIL ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replace('\n', ' ').take(160)}"
