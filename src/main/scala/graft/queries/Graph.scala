@@ -228,11 +228,6 @@ object Graph {
     * steady-state evidence on file here for an embedder running a hot
     * loop (pass broadcastLimit = 0 to [[pagerankGated]]). GraphSpec
     * continues to force BOTH sides and equate them bitwise. */
-  private def pagerankOf(edges: DataFrame, stats: DataFrame,
-      kExprOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      knownN: Option[Long] = None): DataFrame =
-    pagerankGated(edges, stats, kExprOf, NodeBroadcastLimit, knownN)
-
   /** The shared dataflow, rounds UNROLLED into one lazy plan exactly
     * like the oracle's chained CTEs: generation k is a subplan over
     * generation k-1, and the whole 3-round vector materializes in a
@@ -304,6 +299,231 @@ object Graph {
     cur.select(col("node"), col("r").as("pagerank")).orderBy("node")
   }
 
+  // ── Round-10: the below-gate PageRank KERNEL ──
+  // The round-9 profile showed each unrolled round paying ~10 executor-
+  // cpu-s to push the E-row edge stream (2.39M rows at sf0.1) through a
+  // per-row hash aggregate whose OUTPUT is only node-sized — the per-row
+  // row-ization constant, not the arithmetic, was the whole cost. Below
+  // the node gate the rank vector already crosses the driver every round
+  // (that is what broadcasting it MEANS), so the kernel spends the same
+  // memory budget better: the edge list is compacted ONCE into an
+  // index-space adjacency (one array row per node instead of outdeg flat
+  // rows — built inside the query's own timed window and memoized like
+  // every shared frame), and each round is a mapPartitions over those
+  // node rows accumulating long numerators into a dense n-sized array —
+  // tens of ns per edge instead of μs — followed by a node-sized
+  // groupBy(i).sum merge. Per-partition partial rows are ≤ min(n, edges
+  // in partition), never MORE than the flat form shuffled, and the
+  // accumulator (8n bytes ≤ 32 MB at the 4M gate) is exactly the
+  // broadcast budget the gate already grants. Arithmetic is bit-for-bit
+  // the Column path's: per-edge k = floor(contrib·10^12 + 0.5) as a
+  // long (same IEEE ops), long sums are order-invariant, and the rank
+  // update replays the same cround expression — GraphSpec equates the
+  // kernel against the shuffle side and the sequential BigDecimal
+  // replay. Past the gate the shuffle path is untouched.
+
+  /** Adjacency partition count sized to the WORK, not to the input's
+    * partitioning: the per-round kernel does ~E cheap long-adds, and the
+    * cache-scan probe measured each local task carrying ~5-15 ms of
+    * fixed cost — so a node-sized adjacency split 32 ways pays 32
+    * schedulings for microseconds of work each. Target ~4M edge entries
+    * per task (≈ 10-20 ms of adds), floor 1, cap at 4× the cluster's
+    * parallelism so a 100B-edge graph still fans wide. */
+  private def adjParts(s: SparkSession, nEdges: Long): Int =
+    math.max(1, math.min(4 * s.sparkContext.defaultParallelism,
+      (nEdges / 4000000L).toInt))
+
+  /** Node universe as a SORTED id array (driver-side, node-sized — the
+    * budget the broadcast mail already spent): the kernel's index
+    * space. distinct(src) rides the persisted src partitioning (partial
+    * distinct per partition, no exchange of edge-sized data). */
+  private def nodeIds(edges: DataFrame): Array[Long] = {
+    val ids = edges.select("src").distinct().collect().map(_.getLong(0))
+    java.util.Arrays.sort(ids)
+    ids
+  }
+
+  /** The shared round loop: `partials` maps a broadcast rank vector to
+    * the (node-index, long-numerator-partial) frame for one round;
+    * rounds 1..R-1 merge node-sized sums on the cluster and update the
+    * rank vector on the driver (the same IEEE expression the Column
+    * path evaluates — floor((tele + 0.85·(Σk/10^12))·10^12 + 0.5)/10^12);
+    * the final round stays distributed through the SAME Catalyst cround
+    * so the output plan ends in-cluster. A node that received no mail
+    * is ABSENT from the oracle's generation (inner join semantics):
+    * the kernel marks it NaN and its out-edges go silent next round. */
+  private def kernelRounds(s: SparkSession, ids: Array[Long], n: Long,
+      partials: org.apache.spark.broadcast.Broadcast[Array[Double]] => DataFrame): DataFrame = {
+    val tele = 0.15 / n
+    val scaleF = math.pow(10, Digits)
+    var r = Array.fill(ids.length)(1.0 / n)
+    for (_ <- 1 until Rounds) {
+      val bR = s.sparkContext.broadcast(r)
+      val sums = partials(bR).groupBy("i").agg(sum(col("k")).as("sk")).collect()
+      val nr = Array.fill(ids.length)(Double.NaN)
+      sums.foreach { row =>
+        nr(row.getInt(0)) = math.floor(
+          (tele + Damping * (row.getLong(1).toDouble / scaleF)) * scaleF + 0.5) / scaleF
+      }
+      bR.destroy()
+      r = nr
+    }
+    val bIds = s.sparkContext.broadcast(ids)
+    val idOf = udf((i: Int) => bIds.value(i))
+    partials(s.sparkContext.broadcast(r))
+      .groupBy("i").agg(sum(col("k")).as("sk"))
+      .select(idOf(col("i")).as("node"),
+        cround(lit(tele) + lit(Damping) * (col("sk").cast("double") / scaleF), Digits)
+          .as("pagerank"))
+      .orderBy("node")
+  }
+
+  /** Uniform-share kernel. The adjacency is built by RUN-GROUPING a
+    * single typed pass over the flat edge cache — not by collect_list,
+    * whose ObjectHashAggregate measured ~18 executor-cpu-s on the same
+    * 2.4M rows (per-row append + array re-copies). The cached frame is
+    * src-contiguous within partitions (the outdeg window sorted it),
+    * so runs are maximal in practice; correctness does NOT depend on
+    * it — a src split across runs contributes through two run rows
+    * whose k is the same pure function of (r, outdeg), and long sums
+    * are order-invariant. Node ids resolve to dense indexes ONCE at
+    * build (binary search per edge); rounds are then direct-indexed
+    * long adds. */
+  private[graft] def pagerankKernelUniform(s: SparkSession, dir: String,
+      edges: DataFrame, n: Long, nEdges: Long): DataFrame = {
+    import s.implicits._
+    val ids = nodeIds(edges)
+    val bIds = s.sparkContext.broadcast(ids)
+    val adj = TextOps.memo("q85.adj", s, dir) {
+      edges.select("src", "dst", "outdeg").as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          val idsL = bIds.value
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Int])]
+          var curSrc = Long.MinValue
+          var curDeg = 0L
+          var buf: scala.collection.mutable.ArrayBuilder.ofInt = null
+          def flush(): Unit = if (buf != null) {
+            out += ((java.util.Arrays.binarySearch(idsL, curSrc), curDeg, buf.result()))
+            buf = null
+          }
+          it.foreach { case (src, dst, outdeg) =>
+            if (src != curSrc) { flush(); curSrc = src; curDeg = outdeg
+              buf = new scala.collection.mutable.ArrayBuilder.ofInt }
+            buf += java.util.Arrays.binarySearch(idsL, dst)
+          }
+          flush()
+          out.iterator
+        }.toDF("si", "outdeg", "dsts")
+        .repartition(adjParts(s, nEdges))
+        .persist()
+    }.as[(Int, Long, Array[Int])]
+    kernelRounds(s, ids, n, bR => adj.mapPartitions { it =>
+      val rL = bR.value
+      val acc = new Array[Long](rL.length)
+      val touched = new Array[Long]((rL.length + 63) >> 6)
+      it.foreach { case (si, outdeg, dsts) =>
+        val rs = rL(si)
+        if (!java.lang.Double.isNaN(rs)) {
+          // same IEEE ops as kOf(r / outdeg): long→double exact divide,
+          // ×10^12, +0.5, floor, exact long cast
+          val k = math.floor(rs / outdeg * 1e12 + 0.5).toLong
+          var i = 0
+          while (i < dsts.length) {
+            val d = dsts(i)
+            acc(d) += k
+            touched(d >> 6) |= 1L << (d & 63)
+            i += 1
+          }
+        }
+      }
+      Iterator.range(0, rL.length)
+        .filter(i => ((touched(i >> 6) >>> (i & 63)) & 1L) == 1L)
+        .map(i => (i, acc(i)))
+    }.toDF("i", "k"))
+  }
+
+  /** Weighted kernel, built STRAIGHT from the pair stream — it never
+    * materializes the flat (src, dst, w, wsum) frame at all. The
+    * (src, dst) weight count rides the pair stream's hash(src)
+    * partitioning (subset-key clustering), which also means ALL rows of
+    * a src land in one partition — so wsum is a per-partition hash-map
+    * fold instead of the E-row window sort the flat frame paid, and
+    * the adjacency groups in the same single pass. Node ids and the
+    * edge count are then read off the NODE-sized adjacency (one small
+    * collect) and a node-sized second pass rewrites ids to dense
+    * indexes for the rounds. Per edge k = floor(r·w/wsum·10^12 + 0.5) —
+    * the exact kOf(r*w/wsum) ops; GraphSpec equates this kernel against
+    * the flat-frame shuffle dataflow bitwise. */
+  private[graft] def pagerankKernelWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rawAdj = TextOps.memo("q85b.adjRaw", s, dir) {
+      coPurchasePairs(s, dir)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          // all rows of a src share this partition (hash(src)): group
+          // and weight-sum in one local pass, no sort, no window
+          final class E {
+            val dsts = new scala.collection.mutable.ArrayBuilder.ofLong
+            val ws = new scala.collection.mutable.ArrayBuilder.ofLong
+            var wsum = 0L
+          }
+          val m = new java.util.HashMap[Long, E]()
+          it.foreach { case (src, dst, w) =>
+            var e = m.get(src)
+            if (e == null) { e = new E; m.put(src, e) }
+            e.dsts += dst; e.ws += w; e.wsum += w
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map { kv =>
+            (kv.getKey, kv.getValue.wsum, kv.getValue.dsts.result(), kv.getValue.ws.result())
+          }
+        }.toDF("src", "wsum", "dsts", "ws")
+        .persist()
+    }
+    // node ids + edge count off the node-sized adjacency — no second
+    // E-row scan; srcs are globally unique (one partition owns a src)
+    val meta = rawAdj.select(col("src"), size(col("dsts"))).collect()
+    val ids = meta.map(_.getLong(0)).distinct.sorted
+    val nEdges = meta.map(_.getInt(1).toLong).sum
+    val n = ids.length.toLong
+    val bIds = s.sparkContext.broadcast(ids)
+    val adj = TextOps.memo("q85b.adj", s, dir) {
+      rawAdj.as[(Long, Long, Array[Long], Array[Long])]
+        .mapPartitions { it =>
+          val idsL = bIds.value
+          it.map { case (src, wsum, dsts, ws) =>
+            (java.util.Arrays.binarySearch(idsL, src), wsum,
+              dsts.map(d => java.util.Arrays.binarySearch(idsL, d)), ws)
+          }
+        }.toDF("si", "wsum", "dsts", "ws")
+        .repartition(adjParts(s, nEdges))
+        .persist()
+    }.as[(Int, Long, Array[Int], Array[Long])]
+    kernelRounds(s, ids, n, bR => adj.mapPartitions { it =>
+      val rL = bR.value
+      val acc = new Array[Long](rL.length)
+      val touched = new Array[Long]((rL.length + 63) >> 6)
+      it.foreach { case (si, wsum, dsts, ws) =>
+        val rs = rL(si)
+        if (!java.lang.Double.isNaN(rs)) {
+          val wsumD = wsum.toDouble
+          var i = 0
+          while (i < dsts.length) {
+            val k = math.floor(rs * ws(i) / wsumD * 1e12 + 0.5).toLong
+            val d = dsts(i)
+            acc(d) += k
+            touched(d >> 6) |= 1L << (d & 63)
+            i += 1
+          }
+        }
+      }
+      Iterator.range(0, rL.length)
+        .filter(i => ((touched(i >> 6) >>> (i & 63)) & 1L) == 1L)
+        .map(i => (i, acc(i)))
+    }.toDF("i", "k"))
+  }
+
   /** Q85 — PageRank (damping 0.85, 3 synchronous rounds from a uniform
     * start) over [[coPurchaseEdges]]. The graph is symmetric by
     * construction, so every node has outdegree >= 1 — no dangling-mass
@@ -330,14 +550,19 @@ object Graph {
           k => s"e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src")}
        |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
     val edges = coPurchaseEdges(s, dir)
-    // r/outdeg is a pure function of the mail rank and the outdeg column
-    // already cached on the edge frame — per-edge evaluation gives the
-    // SAME grid numerator as the old once-per-node form (same two
-    // doubles in, same floor), for one codegen'd divide instead of a
-    // per-round node join
-    pagerankOf(edges, nodeDegrees(edges),
-      kExprOf = r => kOf(r / col("outdeg")),
-      knownN = graphStat("coPurchaseEdges", s, dir).map(_._2))
+    val stat = graphStat("coPurchaseEdges", s, dir)
+    val nEdges = stat.map(_._1).getOrElse(edges.count())
+    val n = stat.map(_._2).getOrElse {
+      val deg = nodeDegrees(edges).persist()
+      try deg.count() finally deg.unpersist()
+    }
+    // below the gate: the round-10 kernel (see the kernel block above);
+    // past it: the unchanged rank-shuffle dataflow — r/outdeg reads the
+    // outdeg column already cached on the edge frame, giving the SAME
+    // grid numerator as the once-per-node join form
+    if (n <= NodeBroadcastLimit) pagerankKernelUniform(s, dir, edges, n, nEdges)
+    else pagerankGated(edges, nodeDegrees(edges),
+      kExprOf = r => kOf(r / col("outdeg")), 0L, knownN = Some(n))
   }
 
   /** WEIGHTED co-purchase edges (src, dst, w): w counts the orders
@@ -388,12 +613,26 @@ object Graph {
        |     ${prRoundCtes("r.r * e.w / s.wsum",
           k => s"ew e JOIN r${k - 1} r ON e.src = r.node JOIN ws s ON e.src = s.src")}
        |SELECT node, r AS pagerank FROM r$Rounds ORDER BY node""") { (s, dir) =>
-    val edges = coPurchaseEdgesW(s, dir)
-    // w and wsum both live on the cached edge frame; the expression
-    // keeps the oracle's (r*w)/wsum association exactly
-    pagerankOf(edges, weightSums(edges),
-      kExprOf = r => kOf(r * col("w") / col("wsum")),
-      knownN = graphStat("coPurchaseEdgesW", s, dir).map(_._2))
+    // gate on the PART-table row count — a parquet-metadata-cheap UPPER
+    // bound on the node count (nodes ⊆ parts), decidable before any
+    // graph artifact is built: below it the kernel never touches the
+    // flat weighted frame at all; past it the exact n comes with the
+    // frame build as before
+    if (t(s, dir, "part").count() <= NodeBroadcastLimit)
+      pagerankKernelWeighted(s, dir)
+    else {
+      val edges = coPurchaseEdgesW(s, dir)
+      val stat = graphStat("coPurchaseEdgesW", s, dir)
+      val n = stat.map(_._2).getOrElse {
+        val ws = weightSums(edges).persist()
+        try ws.count() finally ws.unpersist()
+      }
+      // the unchanged rank-shuffle dataflow — w and wsum live on the
+      // cached edge frame and the expression keeps the oracle's
+      // (r*w)/wsum association exactly
+      pagerankGated(edges, weightSums(edges),
+        kExprOf = r => kOf(r * col("w") / col("wsum")), 0L, knownN = Some(n))
+    }
   }
 
   /** The edge CTE block shared by every graph oracle: distinct (order,

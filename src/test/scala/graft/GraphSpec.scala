@@ -109,6 +109,23 @@ class GraphSpec extends SparkSpec {
     assert(got != unweighted, "edge support must actually change the ranking")
   }
 
+  test("q85b kernel equals the flat-frame rank-shuffle dataflow bitwise") {
+    // the weighted flat frame + shuffle rounds are the documented
+    // past-the-gate path (round 10: below the part-count gate the
+    // kernel builds straight from the pair stream and the flat frame is
+    // never touched) — force the flat dataflow here and equate it
+    // against the kernel default so the scale path keeps a bitwise pin
+    import org.apache.spark.sql.functions.{col, floor}
+    val edges = Graph.coPurchaseEdgesW(spark, dir)
+    val kExprOf = (r: org.apache.spark.sql.Column) =>
+      floor(r * col("w") / col("wsum") * 1e12 + 0.5).cast("long")
+    val flat = Graph.pagerankGated(edges, Graph.weightSums(edges), kExprOf, 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kern = Graph.q85b_weighted_pagerank.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kern == flat, "weighted rank vectors must be bitwise equal across paths")
+  }
+
   test("q85 rank-shuffle fallback (node set past the broadcast gate) is bitwise identical") {
     import org.apache.spark.sql.functions.{col, floor}
     val edges = Graph.coPurchaseEdges(spark, dir)
