@@ -394,8 +394,19 @@ object Graph {
     import s.implicits._
     val ids = nodeIds(edges)
     val bIds = s.sparkContext.broadcast(ids)
-    val adj = TextOps.memo("q85.adj", s, dir) {
-      edges.select("src", "dst", "outdeg").as[(Long, Long, Long)]
+    // round 10.2: the adjacency persists as a DESERIALIZED object RDD,
+    // not a Dataset — the stage profile showed each round's dominant
+    // cost was Tungsten UnsafeArrayData DECODE of the persisted array
+    // rows (~180 ns/edge/round; the arithmetic itself is single-digit
+    // ns/edge) and the Dataset persist paid a matching one-time encode.
+    // Object rows hand the rounds raw Array[Int]s. The run-grouping
+    // builds in the edge cache's full parallelism; the round-facing
+    // view is then coalesce()d (no shuffle, reads local cached blocks)
+    // to the work-sized task count — 32 tasks of microseconds each
+    // measured 5-15 ms of fixed cost apiece, the whole round's work
+    // fits in a handful.
+    val adjWide = TextOps.memoRdd("q85.adj", s, dir) {
+      val built = edges.select("src", "dst", "outdeg").as[(Long, Long, Long)].rdd
         .mapPartitions { it =>
           val idsL = bIds.value
           val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Int])]
@@ -413,10 +424,14 @@ object Graph {
           }
           flush()
           out.iterator
-        }.toDF("si", "outdeg", "dsts")
-        .repartition(adjParts(s, nEdges))
-        .persist()
-    }.as[(Int, Long, Array[Int])]
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      // materialize the cache at the BUILD's parallelism — the
+      // coalesced round view would otherwise compute the whole parent
+      // lazily inside its own few tasks on the first round
+      built.count()
+      built
+    }
+    val adj = adjWide.coalesce(adjParts(s, nEdges))
     kernelRounds(s, ids, n, bR => adj.mapPartitions { it =>
       val rL = bR.value
       val acc = new Array[Long](rL.length)
@@ -456,50 +471,70 @@ object Graph {
     * the flat-frame shuffle dataflow bitwise. */
   private[graft] def pagerankKernelWeighted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rawAdj = TextOps.memo("q85b.adjRaw", s, dir) {
-      coPurchasePairs(s, dir)
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .as[(Long, Long, Long)]
+    // round 10.2: object-RDD adjacency, same rationale as the uniform
+    // kernel — the Dataset persist paid ~10 cpu-s of UnsafeArrayData
+    // encode and every round paid the matching decode
+    val rawAdj = TextOps.memoRdd("q85b.adjRaw", s, dir) {
+      val built = coPurchasePairs(s, dir)
+        .as[(Long, Long)].rdd
         .mapPartitions { it =>
-          // all rows of a src share this partition (hash(src)): group
-          // and weight-sum in one local pass, no sort, no window
+          // raw pairs arrive src-CLUSTERED (the repartition(src) the
+          // pair builder already pays), and per order each (src,dst)
+          // appears once (the (order,part) dedup upstream) — so the
+          // multiplicity count w = #shared orders folds into the SAME
+          // object-land pass that groups the adjacency. The Catalyst
+          // groupBy(src,dst).count this replaces measured ~12 cpu-s of
+          // partial+final UnsafeRow hash agg for node-sized output.
           final class E {
-            val dsts = new scala.collection.mutable.ArrayBuilder.ofLong
-            val ws = new scala.collection.mutable.ArrayBuilder.ofLong
+            val m = new java.util.HashMap[Long, Long]()
             var wsum = 0L
           }
-          val m = new java.util.HashMap[Long, E]()
-          it.foreach { case (src, dst, w) =>
-            var e = m.get(src)
-            if (e == null) { e = new E; m.put(src, e) }
-            e.dsts += dst; e.ws += w; e.wsum += w
+          val bySrc = new java.util.HashMap[Long, E]()
+          it.foreach { case (src, dst) =>
+            var e = bySrc.get(src)
+            if (e == null) { e = new E; bySrc.put(src, e) }
+            e.m.put(dst, e.m.getOrDefault(dst, 0L) + 1L)
+            e.wsum += 1L
           }
           import scala.jdk.CollectionConverters._
-          m.entrySet().iterator().asScala.map { kv =>
-            (kv.getKey, kv.getValue.wsum, kv.getValue.dsts.result(), kv.getValue.ws.result())
+          bySrc.entrySet().iterator().asScala.map { kv =>
+            val n = kv.getValue.m.size()
+            val dsts = new Array[Long](n)
+            val ws = new Array[Long](n)
+            var i = 0
+            val dit = kv.getValue.m.entrySet().iterator()
+            while (dit.hasNext) {
+              val de = dit.next(); dsts(i) = de.getKey; ws(i) = de.getValue; i += 1
+            }
+            (kv.getKey, kv.getValue.wsum, dsts, ws)
           }
-        }.toDF("src", "wsum", "dsts", "ws")
-        .persist()
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      built.count() // materialize at the pair shuffle's parallelism
+      built
     }
     // node ids + edge count off the node-sized adjacency — no second
     // E-row scan; srcs are globally unique (one partition owns a src)
-    val meta = rawAdj.select(col("src"), size(col("dsts"))).collect()
-    val ids = meta.map(_.getLong(0)).distinct.sorted
-    val nEdges = meta.map(_.getInt(1).toLong).sum
+    val meta = rawAdj.map(r => (r._1, r._3.length)).collect()
+    val ids = meta.map(_._1).distinct.sorted
+    val nEdges = meta.map(_._2.toLong).sum
     val n = ids.length.toLong
     val bIds = s.sparkContext.broadcast(ids)
-    val adj = TextOps.memo("q85b.adj", s, dir) {
-      rawAdj.as[(Long, Long, Array[Long], Array[Long])]
-        .mapPartitions { it =>
-          val idsL = bIds.value
-          it.map { case (src, wsum, dsts, ws) =>
-            (java.util.Arrays.binarySearch(idsL, src), wsum,
-              dsts.map(d => java.util.Arrays.binarySearch(idsL, d)), ws)
-          }
-        }.toDF("si", "wsum", "dsts", "ws")
-        .repartition(adjParts(s, nEdges))
-        .persist()
-    }.as[(Int, Long, Array[Int], Array[Long])]
+    // dense-index rewrite persisted ONCE (a per-round rewrite view
+    // measured ~0.35 s/round — the binary searches plus array realloc
+    // dominate the rounds' own arithmetic), coalesced without shuffle
+    // to the work-sized task count for the round passes
+    val adjDense = TextOps.memoRdd("q85b.adj", s, dir) {
+      val built = rawAdj.mapPartitions { it =>
+        val idsL = bIds.value
+        it.map { case (src, wsum, dsts, ws) =>
+          (java.util.Arrays.binarySearch(idsL, src), wsum,
+            dsts.map(d => java.util.Arrays.binarySearch(idsL, d)), ws)
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      built.count() // materialize at the raw cache's parallelism
+      built
+    }
+    val adj = adjDense.coalesce(adjParts(s, nEdges))
     kernelRounds(s, ids, n, bR => adj.mapPartitions { it =>
       val rL = bR.value
       val acc = new Array[Long](rL.length)

@@ -319,6 +319,22 @@ object TextOps {
   private[graft] def memo(tag: String, s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     dfCache.synchronized(dfCache.getOrElseUpdate((tag, s, dir), build))
 
+  /** Object-RDD sibling of [[memo]], for the graph kernels' adjacency
+    * caches. A Dataset persist stores Tungsten rows, so every pass over
+    * an array-typed adjacency pays UnsafeArrayData decode (~180 ns/edge
+    * measured on the PageRank rounds) and the persist itself pays the
+    * encode (~10 cpu-s at sf0.1); a deserialized MEMORY_ONLY RDD stores
+    * the JVM arrays themselves — rounds read Array[Int]/Array[Long]
+    * directly. Same lifecycle as dfCache: session-scoped, cleared (and
+    * unpersisted) by [[resetCaches]]. */
+  private val rddCache =
+    scala.collection.mutable.Map.empty[(String, SparkSession, String), org.apache.spark.rdd.RDD[_]]
+
+  private[graft] def memoRdd[T](tag: String, s: SparkSession, dir: String)(
+      build: => org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    rddCache.synchronized(rddCache.getOrElseUpdate((tag, s, dir), build))
+      .asInstanceOf[org.apache.spark.rdd.RDD[T]]
+
   /** Unpersist and forget ONE memoized intermediate — for callers that
     * know they are done with a shared frame (e.g. a blob builder handing
     * state to a long-lived streaming job) and must not pin it for the
@@ -330,9 +346,15 @@ object TextOps {
     * this between queries so each one pays its own full cost (per-query
     * times stay order-independent) and no persisted blocks accumulate
     * across the 50-query run. */
-  private[graft] def resetCaches(): Unit = dfCache.synchronized {
-    dfCache.values.foreach(_.unpersist())
-    dfCache.clear()
+  private[graft] def resetCaches(): Unit = {
+    dfCache.synchronized {
+      dfCache.values.foreach(_.unpersist())
+      dfCache.clear()
+    }
+    rddCache.synchronized {
+      rddCache.values.foreach(_.unpersist(blocking = false))
+      rddCache.clear()
+    }
   }
 
   /** Distinct 5-gram character shingle hashes of the normalized text,

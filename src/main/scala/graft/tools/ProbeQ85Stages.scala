@@ -23,6 +23,18 @@ object ProbeQ85Stages {
           f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.2f  ${i.name.take(70)}"
       }
     })
+    // PROBE_WARM=1 replays the bench's JMH discipline: run the same
+    // query once untimed against sf0.001 (janino + JIT warm), then a
+    // full cache reset so the timed window still pays its own builds —
+    // without it the stage profile measures compilation, not the plan
+    if (sys.env.get("PROBE_WARM").contains("1")) {
+      val warmDir = java.nio.file.Paths.get(dir).getParent.resolve("sf0.001").toString
+      graft.SparkEntry.queries(sys.env.getOrElse("PROBE_Q", "q85_pagerank"))(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.TextOps.resetCaches()
+      graft.engine.Tables.clearCache()
+      spark.catalog.clearCache()
+    }
     // prewarm exactly like the bench rider
     if (sys.env.getOrElse("PROBE_Q","").contains("85b")) () else Graph.coPurchaseEdges(spark, dir)
     Thread.sleep(500)
