@@ -204,7 +204,7 @@ object Bench {
     "q90_sssp" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }),
     "q98_label_prop" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }))
 
-  private final case class Timed(name: String, secs: Double, spill: Long,
+  private[graft] final case class Timed(name: String, secs: Double, spill: Long,
     shuffle: Long, peakMem: Long, cpuSec: Double, gcSec: Double, load: Double,
     userPct: Double, sysPct: Double, stealPct: Double,
     codeCache: Double, metaMb: Double, cpuBase: Double) {
