@@ -389,23 +389,24 @@ object Graph {
     * are order-invariant. Node ids resolve to dense indexes ONCE at
     * build (binary search per edge); rounds are then direct-indexed
     * long adds. */
-  private[graft] def pagerankKernelUniform(s: SparkSession, dir: String,
-      edges: DataFrame, n: Long, nEdges: Long): DataFrame = {
+  /** The SHARED below-gate adjacency over [[coPurchaseEdges]]:
+    * (srcIdx, outdeg, dstIdxs) object rows, memoized per session+dir so
+    * q85/q90/q98 build it once (in the bench each rider pays it inside
+    * its own timed window after the cache reset). Round 10.2: persists
+    * as a DESERIALIZED object RDD, not a Dataset — the stage profile
+    * showed each round's dominant cost was Tungsten UnsafeArrayData
+    * DECODE of the persisted array rows (~180 ns/edge/round; the
+    * arithmetic itself is single-digit ns/edge) and the Dataset persist
+    * paid a matching one-time encode. Object rows hand the rounds raw
+    * Array[Int]s. The run-grouping builds in the edge cache's full
+    * parallelism; callers take a coalesce()d view (no shuffle, reads
+    * local cached blocks) at the work-sized task count — 32 tasks of
+    * microseconds each measured 5-15 ms of fixed cost apiece. */
+  private def adjacencyUniform(s: SparkSession, dir: String,
+      edges: DataFrame, ids: Array[Long]): org.apache.spark.rdd.RDD[(Int, Long, Array[Int])] = {
     import s.implicits._
-    val ids = nodeIds(edges)
     val bIds = s.sparkContext.broadcast(ids)
-    // round 10.2: the adjacency persists as a DESERIALIZED object RDD,
-    // not a Dataset — the stage profile showed each round's dominant
-    // cost was Tungsten UnsafeArrayData DECODE of the persisted array
-    // rows (~180 ns/edge/round; the arithmetic itself is single-digit
-    // ns/edge) and the Dataset persist paid a matching one-time encode.
-    // Object rows hand the rounds raw Array[Int]s. The run-grouping
-    // builds in the edge cache's full parallelism; the round-facing
-    // view is then coalesce()d (no shuffle, reads local cached blocks)
-    // to the work-sized task count — 32 tasks of microseconds each
-    // measured 5-15 ms of fixed cost apiece, the whole round's work
-    // fits in a handful.
-    val adjWide = TextOps.memoRdd("q85.adj", s, dir) {
+    TextOps.memoRdd("coPurchase.adj", s, dir) {
       val built = edges.select("src", "dst", "outdeg").as[(Long, Long, Long)].rdd
         .mapPartitions { it =>
           val idsL = bIds.value
@@ -431,7 +432,13 @@ object Graph {
       built.count()
       built
     }
-    val adj = adjWide.coalesce(adjParts(s, nEdges))
+  }
+
+  private[graft] def pagerankKernelUniform(s: SparkSession, dir: String,
+      edges: DataFrame, n: Long, nEdges: Long): DataFrame = {
+    import s.implicits._
+    val ids = nodeIds(edges)
+    val adj = adjacencyUniform(s, dir, edges, ids).coalesce(adjParts(s, nEdges))
     kernelRounds(s, ids, n, bR => adj.mapPartitions { it =>
       val rL = bR.value
       val acc = new Array[Long](rL.length)
@@ -874,6 +881,92 @@ object Graph {
     * past it the mail join rides the bare edge partitioning with q98's
     * lazy per-generation persist. A full-diameter SSSP (data-dependent
     * rounds) would keep the Iterate driver-loop discipline like q37. */
+  /** Shared below-gate MIN-PROPAGATION kernel (round 10): q90 (SSSP,
+    * mail = dist+1) and q98 (label propagation, mail = lbl+0) run the
+    * same 4 synchronous rounds of v[d] ← min(v[d], min over in-edges of
+    * v[src]+inc) — pure integer min, so bit-determinism is free. Below
+    * the node gate the value vector already crosses the driver (the
+    * budget broadcasting it means), so the rounds run over the SAME
+    * object-RDD adjacency as [[pagerankKernelUniform]] ([[adjacencyUniform]],
+    * memoized: one build serves all three queries in a session):
+    * each round is a mapPartitions folding mins into a dense long array
+    * (Long.MaxValue = unreached/absent — no mail sent, none recorded),
+    * partition 0 seeding the OWN values (min is idempotent, but seeding
+    * once keeps partials touched-sized instead of n-sized per
+    * partition); rounds 1..3 merge node-sized mins on the driver, the
+    * final round stays distributed through the same groupBy(i).min so
+    * the output plan ends in-cluster (the [[kernelRounds]] discipline).
+    * Past the gate the callers keep their measured mail-shuffle
+    * dataflows ([[ssspGated]]/[[labelPropGated]], round-9 ProbeGraphGate
+    * evidence) — the kernel replaces only the below-gate regime, where
+    * the round-10 profile showed codec and scheduling constants, not
+    * arithmetic, dominating node-sized rounds. GraphSpec equates the
+    * kernel against both Catalyst dataflows and the sequential replays. */
+  private[graft] def minPropKernel(s: SparkSession, dir: String,
+      edges: DataFrame, nEdges: Long, ids: Array[Long],
+      init: Int => Long, inc: Int): DataFrame = {
+    import s.implicits._
+    val adj = adjacencyUniform(s, dir, edges, ids).coalesce(adjParts(s, nEdges))
+    val n = ids.length
+    def partials(bV: org.apache.spark.broadcast.Broadcast[Array[Long]]) =
+      adj.mapPartitionsWithIndex { (pi, it) =>
+        val vL = bV.value
+        val acc = emptyAcc(n)
+        val touched = new Array[Long]((n + 63) >> 6)
+        if (pi == 0) {
+          var i = 0
+          while (i < n) {
+            if (vL(i) != Long.MaxValue) {
+              acc(i) = vL(i); touched(i >> 6) |= 1L << (i & 63)
+            }
+            i += 1
+          }
+        }
+        it.foreach { case (si, _, dsts) =>
+          val sv = vL(si)
+          if (sv != Long.MaxValue) {
+            val m = sv + inc
+            var i = 0
+            while (i < dsts.length) {
+              val d = dsts(i)
+              if (m < acc(d)) { acc(d) = m; touched(d >> 6) |= 1L << (d & 63) }
+              i += 1
+            }
+          }
+        }
+        Iterator.range(0, n)
+          .filter(i => ((touched(i >> 6) >>> (i & 63)) & 1L) == 1L)
+          .map(i => (i, acc(i)))
+      }
+    var v = Array.tabulate(n)(init)
+    for (_ <- 1 until 4) { // rounds 1-3: node-sized driver merges
+      val bV = s.sparkContext.broadcast(v)
+      val merged = partials(bV).toDF("i", "v")
+        .groupBy("i").agg(min(col("v")).as("v")).as[(Int, Long)].collect()
+      val nv = Array.fill(n)(Long.MaxValue)
+      merged.foreach { case (i, mv) => nv(i) = mv }
+      bV.destroy()
+      v = nv
+    }
+    // round 4 stays distributed so the output plan ends in-cluster
+    // (the kernelRounds discipline); idOf maps dense indexes back to
+    // node ids in the same pass
+    val bIds = s.sparkContext.broadcast(ids)
+    val idOf = udf((i: Int) => bIds.value(i))
+    partials(s.sparkContext.broadcast(v)).toDF("i", "v")
+      .groupBy("i").agg(min(col("v")).as("v"))
+      .select(idOf(col("i")).as("node"), col("v"))
+      .orderBy("node")
+  }
+
+  /** A fresh MaxValue-filled accumulator (Arrays.fill beats
+    * Array.fill's per-element closure on multi-million-slot arrays). */
+  private def emptyAcc(n: Int): Array[Long] = {
+    val a = new Array[Long](n)
+    java.util.Arrays.fill(a, Long.MaxValue)
+    a
+  }
+
   val q90_sssp: Query = {
     def roundCte(k: Int): String =
       s"""d$k AS (SELECT node, min(dist) AS dist FROM (
@@ -887,13 +980,27 @@ object Graph {
          |     d0 AS (SELECT min(src) AS node, 0 AS dist FROM e),
          |     ${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT node, dist FROM d4 ORDER BY node""") { (s, dir) =>
-      // round 9: mail-shuffle default — the measured winner for the
-      // pure min-propagation rounds in BOTH methodologies (see the
-      // pagerankOf note; ProbeGraphGate steady-state 3.4-3.7 s vs
+      // round 10: below the node gate, the shared min-propagation
+      // KERNEL over the object-RDD adjacency (see [[minPropKernel]]);
+      // past it, the round-9 mail-shuffle default — the measured winner
+      // for the min-propagation rounds among the CATALYST dataflows in
+      // both methodologies (ProbeGraphGate steady-state 3.4-3.7 s vs
       // 4.6-5.0 broadcast, bench-style 3.2 vs 3.7) and the
       // 1000-executor posture (mail moves once to the persisted edge
       // partitioning instead of through a per-round driver collect)
-      ssspGated(s, dir, 0L)
+      val edges = coPurchaseEdges(s, dir)
+      val stat = graphStat("coPurchaseEdges", s, dir)
+      val n = stat.map(_._2).getOrElse(
+        edges.select("src").distinct().count())
+      if (n <= NodeBroadcastLimit) {
+        val nEdges = stat.map(_._1).getOrElse(edges.count())
+        val ids = nodeIds(edges)
+        // ids are sorted ascending, so the min-id source is index 0
+        minPropKernel(s, dir, edges, nEdges, ids,
+          init = i => if (i == 0) 0L else Long.MaxValue, inc = 1)
+          .select(col("node"), col("v").cast("int").as("dist"))
+          .orderBy("node")
+      } else ssspGated(s, dir, 0L)
     }
   }
 
@@ -985,10 +1092,24 @@ object Graph {
          |     l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
          |     ${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT node, lbl AS community FROM l4 ORDER BY node""") { (s, dir) =>
-      // round 9: mail-shuffle default — winner in both methodologies
-      // like q90 (ProbeGraphGate steady-state 3.8-4.2 s vs 4.9-5.4
+      // round 10: below the node gate, the shared min-propagation
+      // KERNEL (labels propagate with increment 0; see
+      // [[minPropKernel]]); past it, the round-9 mail-shuffle default —
+      // winner among the Catalyst dataflows in both methodologies like
+      // q90 (ProbeGraphGate steady-state 3.8-4.2 s vs 4.9-5.4
       // broadcast, bench-style 3.7 vs 4.0; see the pagerankOf note)
-      labelPropGated(s, dir, 0L)
+      val edges = coPurchaseEdges(s, dir)
+      val stat = graphStat("coPurchaseEdges", s, dir)
+      val n = stat.map(_._2).getOrElse(
+        edges.select("src").distinct().count())
+      if (n <= NodeBroadcastLimit) {
+        val nEdges = stat.map(_._1).getOrElse(edges.count())
+        val ids = nodeIds(edges)
+        minPropKernel(s, dir, edges, nEdges, ids,
+          init = i => ids(i), inc = 0)
+          .select(col("node"), col("v").as("community"))
+          .orderBy("node")
+      } else labelPropGated(s, dir, 0L)
     }
   }
 

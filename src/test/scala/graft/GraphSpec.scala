@@ -241,4 +241,21 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(gated == bcast, "hop distances must be identical across the gate")
   }
+
+  test("q90/q98 broadcast-side Catalyst dataflows equal the kernel default") {
+    // round 10: the default below the node gate is the min-prop KERNEL;
+    // the two Catalyst dataflows (mail-shuffle above, broadcast here)
+    // survive as gate-forced spec equivalences — all three paths must
+    // agree exactly (pure integer min, no rounding discipline)
+    val d90 = Graph.ssspGated(spark, dir, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k90 = Graph.q90_sssp.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d90 == k90, "q90 broadcast dataflow must equal the kernel")
+    val d98 = Graph.labelPropGated(spark, dir, Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k98 = Graph.q98_label_prop.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d98 == k98, "q98 broadcast dataflow must equal the kernel")
+  }
 }
