@@ -732,7 +732,13 @@ object Graph {
        |SELECT t.n_triangles, w.n_wedges,
        |       ${croundSql("3.0e0 * t.n_triangles / o.n_open")} AS global_cc
        |FROM tri t, wn w, opn o""") { (s, dir) =>
-    trianglesOf(coPurchaseEdges(s, dir))
+    // round 10: below the edge-broadcast gate the CSR kernel (see
+    // [[trianglesKernel]]); past it the intersect dataflow unchanged
+    val e = coPurchaseEdges(s, dir)
+    val nEdges = graphStat("coPurchaseEdges", s, dir).map(_._1)
+      .getOrElse(e.count())
+    if (nEdges <= EdgeBroadcastLimit) trianglesKernel(s, dir, e)
+    else trianglesOf(e)
   }
 
   /** q88's Spark body — the adjacency-intersect form at every size:
@@ -744,6 +750,102 @@ object Graph {
     * hash probes. The wedge-join form stays as the spec's independent
     * recomputation ([[trianglesWedgeJoin]]). */
   private[graft] def trianglesOf(e: DataFrame): DataFrame = trianglesIntersect(e)
+
+  /** q88's below-gate KERNEL (round 10): the same compact-forward
+    * merge-walk, with the oriented adjacency packed into a broadcast
+    * CSR (indptr + int indices — 4 B/edge, HALF the byte budget the
+    * wedge join's closure-check broadcast spends at the same
+    * [[EdgeBroadcastLimit]] gate) and the pivot sweep distributed over
+    * index ranges. Rationale: the production intersect dataflow's
+    * ~112 executor-cpu-s at sf0.1 is ~99% row machinery — the
+    * collect_list ObjectHashAggregate, the exploded edges each CARRYING
+    * their pivot's array through a shuffle (Σ outdeg⁺² longs encoded
+    * AND decoded), and per-row UnsafeArrayData access in the codegen'd
+    * intersect — while the merge-walk itself is ~400M int comparisons
+    * ≈ well under 1 cpu-s on primitive arrays. The kernel does ONE
+    * distributed pass over the oriented edges (local per-partition
+    * grouping; partial per-pivot groups are fine — they merge at CSR
+    * pack time on the driver, then each pivot's slice sorts once), and
+    * counts triangles + oriented wedges in a parallelize()d sweep over
+    * broadcast CSR slices. Pure integer counts — bit-determinism free;
+    * GraphSpec equates kernel ≡ intersect ≡ wedge-join (both gate
+    * sides) ≡ brute force. Past the gate the intersect dataflow is
+    * unchanged (its shuffle-hash shape is the 100 TB path). */
+  private[graft] def trianglesKernel(s: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
+    import s.implicits._
+    val ids = nodeIds(e)
+    val n = ids.length
+    val bIds = s.sparkContext.broadcast(ids)
+    // one pass over the oriented edges: per-partition grouping into
+    // (pivotIdx, dstIdx array) object rows — NO repartition; a pivot
+    // split across partitions just yields partial rows that merge below
+    val adjRows = orientOf(e).as[(Long, Long)].rdd
+      .mapPartitions { it =>
+        val idsL = bIds.value
+        val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofInt]()
+        it.foreach { case (sN, tN) =>
+          var b = m.get(sN)
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; m.put(sN, b) }
+          b += java.util.Arrays.binarySearch(idsL, tN)
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(kv =>
+          (java.util.Arrays.binarySearch(idsL, kv.getKey), kv.getValue.result()))
+      }.collect()
+    // CSR pack on the driver — edge-sized, the budget the gate grants
+    val indptr = new Array[Int](n + 1)
+    adjRows.foreach { case (si, a) => indptr(si + 1) += a.length }
+    var i = 0
+    while (i < n) { indptr(i + 1) += indptr(i); i += 1 }
+    val indices = new Array[Int](indptr(n))
+    val cursor = java.util.Arrays.copyOf(indptr, n)
+    adjRows.foreach { case (si, a) =>
+      System.arraycopy(a, 0, indices, cursor(si), a.length); cursor(si) += a.length
+    }
+    i = 0
+    while (i < n) { // the merge-walk needs each slice sorted
+      java.util.Arrays.sort(indices, indptr(i), indptr(i + 1)); i += 1
+    }
+    val bCsr = s.sparkContext.broadcast((indptr, indices))
+    // pivot sweep sized to the INTERSECT work (~Σ walk lengths), not the
+    // node count — contiguous index ranges are fine under the degree
+    // orientation (out-degrees are sqrt-bounded, no head pivot)
+    val parts = math.max(1, math.min(4 * s.sparkContext.defaultParallelism,
+      indices.length / 250000))
+    val counts = s.sparkContext.parallelize(0 until n, parts)
+      .mapPartitions { it =>
+        val (ip, ix) = bCsr.value
+        var tri = 0L
+        var wed = 0L
+        it.foreach { si =>
+          val b0 = ip(si); val e0 = ip(si + 1); val len = e0 - b0
+          wed += len.toLong * (len - 1) / 2
+          var j = b0
+          while (j < e0) {
+            val ti = ix(j)
+            var p = b0; var q = ip(ti); val qe = ip(ti + 1)
+            while (p < e0 && q < qe) {
+              val a = ix(p); val b = ix(q)
+              if (a == b) { tri += 1; p += 1; q += 1 }
+              else if (a < b) p += 1
+              else q += 1
+            }
+            j += 1
+          }
+        }
+        Iterator((tri, wed))
+      }.toDF("tri", "wed")
+    val tw = counts.agg(coalesce(sum(col("tri")), lit(0L)).as("n_triangles"),
+      coalesce(sum(col("wed")), lit(0L)).as("n_wedges"))
+    val opn = nodeDegrees(e).agg(coalesce(
+      sum(expr("outdeg * (outdeg - 1) DIV 2")), lit(0L)).as("n_open"))
+    tw.crossJoin(opn)
+      .select(col("n_triangles"), col("n_wedges"),
+        // same documented NULL-when-no-open-wedges as trianglesIntersect
+        when(col("n_open") > 0,
+          cround(lit(3.0) * col("n_triangles") / col("n_open"))).as("global_cc"))
+  }
 
   /** Degree-oriented directed edges (s, t): each undirected (u < v)
     * edge oriented from its lower-(degree, id) endpoint. du rides the

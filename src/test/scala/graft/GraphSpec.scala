@@ -178,6 +178,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q88 CSR kernel (below-gate default) equals the intersect dataflow") {
+    // round 10: the default below EdgeBroadcastLimit is the broadcast-CSR
+    // kernel; the intersect dataflow is the past-gate production path and
+    // must agree exactly (pure integer counts + the same cround)
+    val e = Graph.coPurchaseEdges(spark, dir)
+    val kern = Graph.q88_triangles.fn(spark, dir).collect().head
+    val flow = Graph.trianglesIntersect(e).collect().head
+    assert(kern.getLong(0) == flow.getLong(0), "triangle counts must match")
+    assert(kern.getLong(1) == flow.getLong(1), "wedge counts must match")
+    assert(kern.getDouble(2) == flow.getDouble(2), "global_cc must match bitwise")
+    assert(kern.getLong(0) > 0, "the fixture graph has triangles")
+  }
+
   test("q90 equals a sequential 4-round BFS from the min node") {
     val e = Graph.coPurchaseEdges(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
