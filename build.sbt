@@ -27,7 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs 32 executor threads into this one heap: at the old
+  // 8g default each task's execution-memory share was ~125 MB, so any
+  // multi-GB sort/agg (the 30x edge build's 72M-row window sort, q25's
+  // verify at 10x) spilled by construction on a 128 GiB box. 32g keeps
+  // a conservative 4x headroom for the OS page cache, the DuckDB oracle
+  // process, and forked test JVMs while giving tasks ~1 GB each —
+  // standard sizing for a 32-core single-node Spark deployment.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // A long-lived Spark JVM janino-compiles one generated class set per
   // plan shape; at the default 240m code cache a 134-query suite (plus
   // per-query warmup passes) can exhaust it, after which the JIT stops

@@ -31,6 +31,18 @@ object Graph {
     * (PlanSpec exempts q88 on the same grounds; GraphSpec forces both
     * sides and equates them). */
   private[graft] val EdgeBroadcastLimit = 8000000L
+  /** q88's CSR-kernel gate (round 10), deliberately far above
+    * [[EdgeBroadcastLimit]]: the kernel broadcasts the oriented
+    * adjacency as a CSR at 4 BYTES/edge (int indices + node-sized
+    * indptr — 512 MB at this limit, a standard high-memory-executor
+    * broadcast budget), while the past-gate intersect dataflow's
+    * adjacency-attach exchange moves Σ outdeg⁺² LONGS — measured
+    * 28 GB of spill at 72M edges (30× replica), growing superlinearly
+    * with density. Up to this limit the 4 B/edge broadcast is strictly
+    * the cheaper side of that trade; past it (≫512 MB/executor) the
+    * shuffle dataflow remains the only shape that needs no replicated
+    * adjacency. */
+  private[graft] val TriangleCsrEdgeLimit = 128000000L
   /** Per-iteration canonical rounding (12 digits, inside [[cround]]'s
     * exactness domain for rank values <= 1): each generation's ranks are
     * rounded, and edge contributions are rounded-then-DECIMAL-summed, so
@@ -732,12 +744,13 @@ object Graph {
        |SELECT t.n_triangles, w.n_wedges,
        |       ${croundSql("3.0e0 * t.n_triangles / o.n_open")} AS global_cc
        |FROM tri t, wn w, opn o""") { (s, dir) =>
-    // round 10: below the edge-broadcast gate the CSR kernel (see
-    // [[trianglesKernel]]); past it the intersect dataflow unchanged
+    // round 10: below the CSR gate the kernel (see [[trianglesKernel]]
+    // and the [[TriangleCsrEdgeLimit]] trade note); past it the
+    // intersect dataflow unchanged
     val e = coPurchaseEdges(s, dir)
     val nEdges = graphStat("coPurchaseEdges", s, dir).map(_._1)
       .getOrElse(e.count())
-    if (nEdges <= EdgeBroadcastLimit) trianglesKernel(s, dir, e)
+    if (nEdges <= TriangleCsrEdgeLimit) trianglesKernel(s, dir, e)
     else trianglesOf(e)
   }
 
@@ -753,9 +766,8 @@ object Graph {
 
   /** q88's below-gate KERNEL (round 10): the same compact-forward
     * merge-walk, with the oriented adjacency packed into a broadcast
-    * CSR (indptr + int indices — 4 B/edge, HALF the byte budget the
-    * wedge join's closure-check broadcast spends at the same
-    * [[EdgeBroadcastLimit]] gate) and the pivot sweep distributed over
+    * CSR (indptr + int indices — 4 B/edge; gate and trade analysis at
+    * [[TriangleCsrEdgeLimit]]) and the pivot sweep distributed over
     * index ranges. Rationale: the production intersect dataflow's
     * ~112 executor-cpu-s at sf0.1 is ~99% row machinery — the
     * collect_list ObjectHashAggregate, the exploded edges each CARRYING
