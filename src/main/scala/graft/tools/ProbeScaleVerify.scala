@@ -125,6 +125,21 @@ object ProbeScaleVerify {
     if (!graphOk) failures += 1
     println(s"""{"check":"q85_kernel_vs_shuffle@10x","n_nodes":${kernel.size},"bitwise_equal":$graphOk,"ok":$graphOk}""")
 
+    // ── q88 at scale: CSR kernel ≡ intersect dataflow (round 10) ──
+    // the 24M-edge replica sits below the TriangleCsrEdgeLimit gate, so
+    // the production path is the broadcast-CSR kernel; equate it here
+    // against the shuffle-attach intersect dataflow on the same edges
+    // (integer counts + the same cround — any CSR pack/merge-walk slip
+    // diverges)
+    val triK = Graph.trianglesKernel(spark, dir, edges).collect().head
+    val triF = Graph.trianglesIntersect(edges).collect().head
+    val triOk = triK.getLong(0) == triF.getLong(0) &&
+      triK.getLong(1) == triF.getLong(1) &&
+      triK.getDouble(2) == triF.getDouble(2)
+    if (!triOk) failures += 1
+    println(s"""{"check":"q88_kernel_vs_intersect@10x","n_triangles":${triK.getLong(0)},""" +
+      s""""n_wedges":${triK.getLong(1)},"bitwise_equal":$triOk,"ok":$triOk}""")
+
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
