@@ -258,9 +258,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DriverSfDir)
     // the cpu_inflation denominator is only meaningful against the SAME
-    // fixture the committed snapshot measured
+    // fixture the committed snapshot measured; the 10× replica has its
+    // own committed snapshot (ProbeScaleAll is deterministic, so the
+    // fixture content is reproducible across containers) — without it
+    // every 10× witness read -1 and ambient-stretched windows sailed
+    // through unflagged (the q89 14.3 s blip in the round-10 artifact)
     val cpuBaseline =
-      if (sfDir == DriverSfDir) baselineCpu() else Map.empty[String, Double]
+      if (sfDir == DriverSfDir) baselineCpu()
+      else if (sfDir == "/tmp/scaleall10") baselineCpu("docs/BENCH_local_10x.json")
+      else Map.empty[String, Double]
     val spark = GraftSession.get()
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
