@@ -41,8 +41,24 @@ object PlanFingerprints {
       .replaceAll("#\\d+", "#n")
       .replaceAll(",? ?Statistics\\([^)]*\\)", "")
 
-  def fingerprint(df: DataFrame): String = {
-    val norm = normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+  def fingerprint(df: DataFrame): String = fingerprint(df, None)
+
+  /** Fingerprint of the final plan PLUS, for the gated graph kernels,
+    * the Catalyst plan of the dataflow that feeds the kernel and a
+    * static kernel tag (ADVICE r10: the kernels execute eagerly in RDD
+    * land, so q85/q85b/q90/q98's returned frames are all the trivial
+    * ExistingRDD→agg→sort shape and committed ONE identical hash —
+    * vacuous as a regression gate, and blind to a cross-query mixup).
+    * Hashing the adjacency-build plan restores detection of regressions
+    * in the kernel's Catalyst half; the tag makes each kernel query's
+    * hash distinct. The kernel's OBJECT-land half has no plan to hash —
+    * GraphSpec's bitwise kernel≡dataflow equivalences pin that. */
+  def fingerprint(df: DataFrame, aux: Option[(String, DataFrame)]): String = {
+    val norm = normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted"))) +
+      aux.map { case (tag, a) =>
+        "\n-- kernel: " + tag + "\n" +
+          normalize(a.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      }.getOrElse("")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -69,7 +85,7 @@ object PlanFingerprints {
         Files.writeString(Paths.get(d, s"$name.txt"),
           normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted"))))
       }
-      name -> fingerprint(df)
+      name -> fingerprint(df, graft.queries.Graph.kernelAuxPlan(name, spark, SfDir))
     }
   }
 

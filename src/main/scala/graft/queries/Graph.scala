@@ -41,7 +41,18 @@ object Graph {
     * with density. Up to this limit the 4 B/edge broadcast is strictly
     * the cheaper side of that trade; past it (≫512 MB/executor) the
     * shuffle dataflow remains the only shape that needs no replicated
-    * adjacency. */
+    * adjacency.
+    *
+    * Driver budget at the ceiling, MEASURED (round 11,
+    * tools/ProbeCsrPack at a synthetic 128M-edge / 1M-node graph):
+    * the pack collects primitive-packed per-partition blocks —
+    * 4 B/edge of dst indexes + 8 B per partition-distinct src — and
+    * retains the CSR at 4.2 B/edge, totaling 10.0 B/edge ≈ 1.28 GB of
+    * driver heap at this limit (the boxed-tuple collect this replaced
+    * was unmeasured and a multiple of that). JVM-wide transient in
+    * local mode is 112 B/edge ≈ 14.4 GB — the 32 concurrent
+    * executor-side grouping maps, which a real cluster spreads across
+    * executors and the 32 GB local harness heap absorbs. */
   private[graft] val TriangleCsrEdgeLimit = 128000000L
   /** Per-iteration canonical rounding (12 digits, inside [[cround]]'s
     * exactness domain for rank values <= 1): each generation's ranks are
@@ -100,6 +111,29 @@ object Graph {
     * (the next build recomputes and overwrites the same values). */
   private val graphStats =
     scala.collection.mutable.Map[(String, String, String), (Long, Long, Long)]()
+
+  /** Node/edge-sized kernel broadcasts whose lifetime matches the memo
+    * caches (ADVICE r10: the final-round rank vectors, dense-id maps
+    * and the q88 CSR were never released, so a long-lived session
+    * accumulated them until ContextCleaner GC). [[TextOps.resetCaches]]
+    * releases them together with the memoized frames they belong to.
+    * Released via unpersist(blocking = false) + dropping the strong
+    * ref — NOT destroy(): the memoized RDDs' recompute lineage closes
+    * over some of these (an evicted adjacency partition re-reads bIds),
+    * and unpersist keeps re-fetch-from-driver legal until GC finishes
+    * the job, while destroy would poison the lineage. */
+  private val trackedBroadcasts =
+    scala.collection.mutable.Buffer.empty[org.apache.spark.broadcast.Broadcast[_]]
+
+  private def track[T](b: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] =
+    trackedBroadcasts.synchronized { trackedBroadcasts += b; b }
+
+  private[graft] def destroyTrackedBroadcasts(): Unit =
+    trackedBroadcasts.synchronized {
+      trackedBroadcasts.foreach(_.unpersist(blocking = false))
+      trackedBroadcasts.clear()
+    }
 
   /** Session identity for the stats key: a fresh UUID minted per
     * SparkSession, held in a WeakHashMap so the tag dies with the
@@ -167,6 +201,41 @@ object Graph {
     * memoized production frame additionally folds outdeg on. */
   private[graft] def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     coPurchasePairs(s, dir).dropDuplicates("src", "dst")
+
+  /** The Catalyst dataflow feeding each below-gate kernel query, plus a
+    * static kernel tag, for [[graft.PlanFingerprints]] (ADVICE r10: the
+    * kernels run eagerly in RDD land, so the returned frames' trivial
+    * plans made four fingerprints identical and vacuous). These are the
+    * UNMEMOIZED builder plans — pure plan constructions, no persist
+    * state and no jobs — so the fingerprint is cache-state-free. q85
+    * and q90/q98 share the same adjacency build by design (the memoized
+    * co-purchase edge frame); their tags keep the committed hashes
+    * distinct, and the object-land differences between their kernels
+    * are pinned by GraphSpec's bitwise kernel≡dataflow equivalences,
+    * not by any plan hash. */
+  private[graft] def kernelAuxPlan(name: String, s: SparkSession,
+      dir: String): Option[(String, DataFrame)] = {
+    // the unmemoized equivalent of coPurchaseEdges' build (bare edges +
+    // the outdeg window) — same plan shape, no persist in the tree
+    def widened = {
+      import org.apache.spark.sql.expressions.Window
+      buildCoPurchaseEdges(s, dir)
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+    }
+    name match {
+      case "q85_pagerank" =>
+        Some(("pagerankKernelUniform over coPurchaseEdges", widened))
+      case "q85b_weighted_pagerank" =>
+        Some(("pagerankKernelWeighted over coPurchasePairs", coPurchasePairs(s, dir)))
+      case "q90_sssp" =>
+        Some(("minPropKernel(sssp) over coPurchaseEdges", widened))
+      case "q98_label_prop" =>
+        Some(("minPropKernel(labelprop) over coPurchaseEdges", widened))
+      case "q88_triangles" =>
+        Some(("trianglesKernel over orientOf(edges)", orientOf(widened)))
+      case _ => None
+    }
+  }
 
   /** One row per node with its outdegree — a src-local map-side-
     * combinable count over the persisted edge frame (rides the edge
@@ -380,9 +449,9 @@ object Graph {
       bR.destroy()
       r = nr
     }
-    val bIds = s.sparkContext.broadcast(ids)
+    val bIds = track(s.sparkContext.broadcast(ids))
     val idOf = udf((i: Int) => bIds.value(i))
-    partials(s.sparkContext.broadcast(r))
+    partials(track(s.sparkContext.broadcast(r)))
       .groupBy("i").agg(sum(col("k")).as("sk"))
       .select(idOf(col("i")).as("node"),
         cround(lit(tele) + lit(Damping) * (col("sk").cast("double") / scaleF), Digits)
@@ -417,8 +486,12 @@ object Graph {
   private def adjacencyUniform(s: SparkSession, dir: String,
       edges: DataFrame, ids: Array[Long]): org.apache.spark.rdd.RDD[(Int, Long, Array[Int])] = {
     import s.implicits._
-    val bIds = s.sparkContext.broadcast(ids)
     TextOps.memoRdd("coPurchase.adj", s, dir) {
+      // broadcast INSIDE the memo build (ADVICE r10: on a memo hit the
+      // id array was re-broadcast on every call and never read); the
+      // persisted RDD's recompute lineage closes over it, so it is
+      // tracked and released together with the memo entry
+      val bIds = track(s.sparkContext.broadcast(ids))
       val built = edges.select("src", "dst", "outdeg").as[(Long, Long, Long)].rdd
         .mapPartitions { it =>
           val idsL = bIds.value
@@ -537,7 +610,7 @@ object Graph {
     val ids = meta.map(_._1).distinct.sorted
     val nEdges = meta.map(_._2.toLong).sum
     val n = ids.length.toLong
-    val bIds = s.sparkContext.broadcast(ids)
+    val bIds = track(s.sparkContext.broadcast(ids))
     // dense-index rewrite persisted ONCE (a per-round rewrite view
     // measured ~0.35 s/round — the binary searches plus array realloc
     // dominate the rounds' own arithmetic), coalesced without shuffle
@@ -783,16 +856,15 @@ object Graph {
     * GraphSpec equates kernel ≡ intersect ≡ wedge-join (both gate
     * sides) ≡ brute force. Past the gate the intersect dataflow is
     * unchanged (its shuffle-hash shape is the 100 TB path). */
-  private[graft] def trianglesKernel(s: SparkSession, dir: String,
-      e: DataFrame): DataFrame = {
-    import s.implicits._
-    val ids = nodeIds(e)
-    val n = ids.length
-    val bIds = s.sparkContext.broadcast(ids)
-    // one pass over the oriented edges: per-partition grouping into
-    // (pivotIdx, dstIdx array) object rows — NO repartition; a pivot
-    // split across partitions just yields partial rows that merge below
-    val adjRows = orientOf(e).as[(Long, Long)].rdd
+  /** Distributed-group-then-pack of an oriented edge RDD into a driver
+    * CSR (indptr, indices over dense node indexes). Exposed separately
+    * from [[trianglesKernel]] so tools/ProbeCsrPack can measure the
+    * REAL pack path's driver footprint at synthetic near-gate sizes —
+    * the measurement [[TriangleCsrEdgeLimit]]'s budget is justified by. */
+  private[graft] def packCsr(edges: org.apache.spark.rdd.RDD[(Long, Long)],
+      bIds: org.apache.spark.broadcast.Broadcast[Array[Long]], n: Int)
+      : (Array[Int], Array[Int]) = {
+    val packedBlocks = edges
       .mapPartitions { it =>
         val idsL = bIds.value
         val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofInt]()
@@ -801,25 +873,66 @@ object Graph {
           if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; m.put(sN, b) }
           b += java.util.Arrays.binarySearch(idsL, tN)
         }
-        import scala.jdk.CollectionConverters._
-        m.entrySet().iterator().asScala.map(kv =>
-          (java.util.Arrays.binarySearch(idsL, kv.getKey), kv.getValue.result()))
+        val srcsB = new scala.collection.mutable.ArrayBuilder.ofInt
+        val lensB = new scala.collection.mutable.ArrayBuilder.ofInt
+        val dstsB = new scala.collection.mutable.ArrayBuilder.ofInt
+        val eIt = m.entrySet().iterator()
+        while (eIt.hasNext) {
+          val kv = eIt.next()
+          val a = kv.getValue.result()
+          srcsB += java.util.Arrays.binarySearch(idsL, kv.getKey)
+          lensB += a.length
+          dstsB ++= a
+        }
+        Iterator.single((srcsB.result(), lensB.result(), dstsB.result()))
       }.collect()
     // CSR pack on the driver — edge-sized, the budget the gate grants
     val indptr = new Array[Int](n + 1)
-    adjRows.foreach { case (si, a) => indptr(si + 1) += a.length }
+    packedBlocks.foreach { case (srcs, lens, _) =>
+      var i = 0
+      while (i < srcs.length) { indptr(srcs(i) + 1) += lens(i); i += 1 }
+    }
     var i = 0
     while (i < n) { indptr(i + 1) += indptr(i); i += 1 }
     val indices = new Array[Int](indptr(n))
     val cursor = java.util.Arrays.copyOf(indptr, n)
-    adjRows.foreach { case (si, a) =>
-      System.arraycopy(a, 0, indices, cursor(si), a.length); cursor(si) += a.length
+    packedBlocks.foreach { case (srcs, lens, dsts) =>
+      var j = 0
+      var off = 0
+      while (j < srcs.length) {
+        System.arraycopy(dsts, off, indices, cursor(srcs(j)), lens(j))
+        cursor(srcs(j)) += lens(j)
+        off += lens(j)
+        j += 1
+      }
     }
     i = 0
     while (i < n) { // the merge-walk needs each slice sorted
       java.util.Arrays.sort(indices, indptr(i), indptr(i + 1)); i += 1
     }
-    val bCsr = s.sparkContext.broadcast((indptr, indices))
+    (indptr, indices)
+  }
+
+  private[graft] def trianglesKernel(s: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
+    import s.implicits._
+    val ids = nodeIds(e)
+    val n = ids.length
+    val bIds = track(s.sparkContext.broadcast(ids))
+    // one pass over the oriented edges: per-partition grouping, then
+    // each partition ships ONE primitive-packed block (srcIdx[], len[],
+    // concatenated dstIdx[]) — NO repartition; a pivot split across
+    // partitions just yields partial runs in two blocks that merge at
+    // pack time. Round 11 (VERDICT item 4 / ADVICE): the previous
+    // boxed (Int, Array[Int])-tuple collect cost the driver a transient
+    // several times the packed 4 B/edge budget (boxed tuple + per-src
+    // array headers); the packed blocks are 4 B/edge + 8 B per
+    // (partition-local distinct src), measured 10.0 B/edge total
+    // transient incl. the final CSR at the synthetic gate ceiling
+    // (tools/ProbeCsrPack — the number the 128M-edge gate's budget is
+    // now justified by: 10.0 B/edge ≈ 1.28 GB driver at the ceiling).
+    val (indptr, indices) = packCsr(orientOf(e).as[(Long, Long)].rdd, bIds, n)
+    val bCsr = track(s.sparkContext.broadcast((indptr, indices)))
     // pivot sweep sized to the INTERSECT work (~Σ walk lengths), not the
     // node count — contiguous index ranges are fine under the degree
     // orientation (out-degrees are sqrt-bounded, no head pivot)
@@ -1065,9 +1178,9 @@ object Graph {
     // round 4 stays distributed so the output plan ends in-cluster
     // (the kernelRounds discipline); idOf maps dense indexes back to
     // node ids in the same pass
-    val bIds = s.sparkContext.broadcast(ids)
+    val bIds = track(s.sparkContext.broadcast(ids))
     val idOf = udf((i: Int) => bIds.value(i))
-    partials(s.sparkContext.broadcast(v)).toDF("i", "v")
+    partials(track(s.sparkContext.broadcast(v))).toDF("i", "v")
       .groupBy("i").agg(min(col("v")).as("v"))
       .select(idOf(col("i")).as("node"), col("v"))
       .orderBy("node")

@@ -355,6 +355,10 @@ object TextOps {
       rddCache.values.foreach(_.unpersist(blocking = false))
       rddCache.clear()
     }
+    // the graph kernels' node/edge-sized broadcasts share the memo
+    // lifecycle (ADVICE r10: a long-lived session otherwise accumulates
+    // them until ContextCleaner GC)
+    graft.queries.Graph.destroyTrackedBroadcasts()
   }
 
   /** Distinct 5-gram character shingle hashes of the normalized text,
@@ -473,19 +477,30 @@ object TextOps {
     * realistic corpus scale, and a collision only perturbs one pair's
     * count by 1. graft_shingle_hashes dedups inside the expression, so
     * numerator and denominator stay consistent by construction. */
-  private[graft] def rawJaccard(docSets: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def rawJaccard(docSets: DataFrame, cand: DataFrame,
+      adaptive: Boolean = false): DataFrame = {
     import graft.functions.SortedLongIntersect.sortedIntersect
-    // SHUFFLE_HASH on the docSets side: the streamed side carries the
-    // (growing) shingle arrays, and a sort-merge join would SORT that fat
-    // stream — measured 570 MB of sort spill at sf0.1, and exactly the
-    // memory-pressure sensitivity that blew q25 up 12× on the round-2
-    // driver. A shuffled hash join builds its per-partition table from
-    // the compact docSets side (rows/shuffle-partitions arrays each) and
-    // streams the fat side without sorting — spill-free by construction
-    // at any scale, since the build side shrinks with partition count.
-    val hashed1 = docSets.hint("shuffle_hash")
+    // Default (adaptive=false) — SHUFFLE_HASH on the docSets side: the
+    // streamed side carries the (growing) shingle arrays, and a
+    // sort-merge join would SORT that fat stream — measured 570 MB of
+    // sort spill at sf0.1, and exactly the memory-pressure sensitivity
+    // that blew q25 up 12× on the round-2 driver. A shuffled hash join
+    // builds its per-partition table from the compact docSets side
+    // (rows/shuffle-partitions arrays each) and streams the fat side
+    // without sorting — spill-free by construction at any scale, since
+    // the build side shrinks with partition count. That is the right
+    // shape when cand is the dominant stream (q25/q26's doc-level
+    // pipelines: candidate volume >> docSets).
+    // adaptive=true — no hint: when cand is a runtime-sized shuffle
+    // output (q54b's rep-level stage: 192 pairs at sf0.1), AQE's
+    // runtime stats convert the join to a broadcast of the SKINNY cand
+    // side, and the array-carrying docSets frame is never exchanged at
+    // all; at larger cand volumes AQE keeps the exchange and the plan
+    // degrades to exactly the default shape.
+    def side(df: DataFrame) = if (adaptive) df else df.hint("shuffle_hash")
+    val hashed1 = side(docSets)
       .select(col("doc_id").as("d1"), col("gs").as("g1"), col("n").as("n1"))
-    val hashed2 = docSets.hint("shuffle_hash")
+    val hashed2 = side(docSets)
       .select(col("doc_id").as("d2"), col("gs").as("g2"), col("n").as("n2"))
     cand
       .join(hashed1, "d1")
@@ -1132,6 +1147,32 @@ object TextOps {
       .withColumn("okey", col("doc_id") * 1048576L + col("i"))
   }
 
+  /** The exact first-occurrence table (ptext, first_okey) — ONE row per
+    * distinct passage text, its globally-first okey. This is the shared
+    * heart of q54 AND q54b: the per-doc dup accounting joins the fat
+    * passage stream against it, and q54b's near-dup stage runs over
+    * exactly its rows (the exact-clique representatives). Memoized +
+    * persisted per (session, dir) because q54b needs it TWICE in one
+    * run (rep-set build + final accounting join) — round 11: rebuilding
+    * it for the rep stage paid the fat groupBy(ptext) exchange twice
+    * and was most of q54b's 3.8× gap vs its DuckDB statement. The
+    * persisted frame is one row per distinct passage (≤ corpus size,
+    * shrinks with duplication); at 100 TB it is a shuffle output you'd
+    * keep anyway — every downstream stage of the Lee-et-al pipeline
+    * consumes it. */
+  private[graft] def passageFirsts(s: SparkSession, dir: String): DataFrame =
+    memo("passageFirsts", s, dir) {
+      // LAZY persist, deliberately: q54b consumes this in one final job
+      // (rep sets + accounting join), and an eager count() here would
+      // pay a whole extra job's scheduling for data the final job was
+      // about to compute anyway. Concurrent first-fill by two consumers
+      // in one job at worst double-computes a partition into the cache —
+      // cheap, and correct by idempotence.
+      passagesOf(s, dir)
+        .groupBy("ptext").agg(min(col("okey")).as("first_okey"))
+        .persist()
+    }
+
   /** Shared q54/q54b oracle CTE prefix: passages (p2, with okey and the
     * word array) and the exact first-occurrence table (f). */
   private val passageCtesSql =
@@ -1171,10 +1212,11 @@ object TextOps {
     * no trigram and are exempt from near-dup detection (can't score a
     * jaccard; both engines skip them identically). */
   private[graft] def passageRepSets(s: SparkSession, dir: String): DataFrame = {
-    val passages = passagesOf(s, dir)
-    val reps = passages.groupBy("ptext").agg(min(col("okey")).as("okey"))
-    reps
-      .select(col("okey").as("doc_id"), split(col("ptext"), " ").as("w"))
+    // round 11: the reps ARE [[passageFirsts]]'s rows (one per distinct
+    // ptext, keyed by its first okey) — read the memoized frame instead
+    // of re-paying the fat groupBy(ptext) exchange a second time
+    passageFirsts(s, dir)
+      .select(col("first_okey").as("doc_id"), split(col("ptext"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       // fused codegen trigram hashing (WordNgramHashesSpec pins equality
       // with the interpreted array_sort(array_distinct(transform(...)))
@@ -1187,16 +1229,22 @@ object TextOps {
     * via MinHash banding over the rep trigram sets + exact verification —
     * the q26 pattern one level down. */
   private[graft] def passageNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val psets = passageRepSets(s, dir).persist()
+    // memo-registered persist (NOT a local persist/unpersist pair):
+    // the frame is consumed up to four times inside the one lazy plan
+    // below (band self-join ×2, verify attach ×2), and resetCaches()
+    // owns the lifecycle exactly as for the doc-level shingle sets.
+    val psets = memo("q54b.psets", s, dir)(passageRepSets(s, dir).persist())
     val banded = bandedOfSets(psets)
     val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    val out = rawJaccard(psets, cand).persist()
-    out.count()
-    psets.unpersist()
-    out
+    // adaptive=true: rep-level candidate volume is a runtime quantity
+    // (192 pairs at sf0.1; corpus-dependent at scale) — let AQE pick
+    // broadcast-vs-shuffle from the distinct's actual shuffle stats
+    // instead of forcing the doc-level shuffle-hash shape, which paid
+    // two full exchanges of the rep arrays to attach 192 rows.
+    rawJaccard(psets, cand, adaptive = true)
   }
 
   /** Q54b — passage dedup at near-dup strength (the Lee et al. pipeline
@@ -1233,22 +1281,39 @@ object TextOps {
        |       CAST(sum(near_dup) AS BIGINT) AS n_neardup_rep,
        |       ${croundSql("(sum(exact_dup) + sum(near_dup)) * 1.0e0 / count(*)")} AS dup_ratio
        |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-    val passages = passagesOf(s, dir)
-    val firsts = passages.groupBy("ptext").agg(min(col("okey")).as("first_okey"))
-    val ndReps = passageNearDupPairs(s, dir)
-      .select(col("d2").as("nd_okey")).distinct()
-    passages.join(firsts.hint("shuffle_hash"), "ptext")
-      .join(ndReps, col("okey") === col("nd_okey"), "left")
+    // Round 11 accounting WITHOUT the passages⋈firsts rejoin: okey
+    // encodes its owning doc (okey div 2^20), and each distinct ptext
+    // contributes exactly ONE non-duplicate occurrence — at its first
+    // okey. So per doc: n_exact_dup = n_pass − (#reps whose first_okey
+    // the doc owns), and n_neardup_rep = #near-dup rep okeys the doc
+    // owns. That removes the TWO fat exchanges the ptext equi-join paid
+    // (r10's committed 2.9-3.9× of the DuckDB statement was mostly this
+    // plumbing): the only passage-text exchange left is the
+    // [[passageFirsts]] groupBy itself, the per-doc passage count
+    // collapses map-side (passages arrive doc-contiguous from the
+    // scan), and the remaining joins are doc-sized.
+    // n_pass is a SCALAR of the document — ceil(#words/20) — so the
+    // per-doc passage count needs no explode and no exchange at all
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).as("nw"))
+      .filter(col("nw") > 0)
       .select(col("doc_id"),
-        when(col("okey") =!= col("first_okey"), 1).otherwise(0).as("exact_dup"),
-        when(col("okey") === col("first_okey") && col("nd_okey").isNotNull, 1)
-          .otherwise(0).as("near_dup"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pass"),
-        sum(col("exact_dup")).cast("long").as("n_exact_dup"),
-        sum(col("near_dup")).cast("long").as("n_neardup_rep"),
-        cround((sum(col("exact_dup")) + sum(col("near_dup"))).cast("double")
-          / count(lit(1))).as("dup_ratio"))
+        expr("cast(ceil(nw / 20.0) as bigint)").as("n_pass"))
+    val repPerDoc = passageFirsts(s, dir)
+      .select(expr("first_okey div 1048576").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
+    val ndPerDoc = passageNearDupPairs(s, dir)
+      .select(col("d2").as("nd_okey")).distinct()
+      .select(expr("nd_okey div 1048576").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_nd"))
+    perDoc.join(repPerDoc, Seq("doc_id"), "left")
+      .join(ndPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pass"),
+        (col("n_pass") - coalesce(col("n_rep"), lit(0L))).as("n_exact_dup"),
+        coalesce(col("n_nd"), lit(0L)).as("n_neardup_rep"))
+      .withColumn("dup_ratio",
+        cround((col("n_exact_dup") + col("n_neardup_rep")).cast("double")
+          / col("n_pass")))
       .orderBy("doc_id")
   }
 

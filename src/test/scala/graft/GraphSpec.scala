@@ -179,9 +179,11 @@ class GraphSpec extends SparkSpec {
   }
 
   test("q88 CSR kernel (below-gate default) equals the intersect dataflow") {
-    // round 10: the default below EdgeBroadcastLimit is the broadcast-CSR
-    // kernel; the intersect dataflow is the past-gate production path and
-    // must agree exactly (pure integer counts + the same cround)
+    // round 10: the default below TriangleCsrEdgeLimit (128M edges — q88's
+    // own gate, 16× EdgeBroadcastLimit; budget measured by
+    // tools/ProbeCsrPack) is the broadcast-CSR kernel; the intersect
+    // dataflow is the past-gate production path and must agree exactly
+    // (pure integer counts + the same cround)
     val e = Graph.coPurchaseEdges(spark, dir)
     val kern = Graph.q88_triangles.fn(spark, dir).collect().head
     val flow = Graph.trianglesIntersect(e).collect().head
