@@ -123,6 +123,12 @@ object StreamsAudit {
       got, want, regressions)
   }
 
+  /** True when this JVM recorded outcomes for the whole suite — the
+    * signal StreamsSpec uses to require full baseline coverage (a
+    * filtered `testOnly -z` run records fewer and is exempt). */
+  def fullRun(expectedTests: Int): Boolean =
+    synchronized(outcomes.size >= expectedTests)
+
   /** Builds (and, when a round is inferable, persists) the artifact;
     * returns the JSON so the suite can assert the gate record landed in
     * it (VERDICT r9 item 3's "a test asserts it's present"). */

@@ -81,6 +81,16 @@ class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         throw new AssertionError(
           "streaming throughput regression vs docs/streams_baseline.json:\n  " +
             gate.regressions.mkString("\n  "))
+      // full-run coverage pin (VERDICT r10 item 5): when the whole suite
+      // ran (not a filtered `testOnly -z` subset), every baseline test
+      // must have been measured — a renamed/deleted test would otherwise
+      // silently shrink the gate's denominator until the baseline is
+      // deliberately refreshed alongside the change.
+      if (!gate.skipped && StreamsAudit.fullRun(expectedTests = 24))
+        assert(gate.coveredTests == gate.baselineTests,
+          s"full run covered ${gate.coveredTests} of ${gate.baselineTests} " +
+            "baseline tests — refresh docs/streams_baseline.json with the " +
+            "test-name change that caused this")
     } finally super.afterAll()
   }
 
