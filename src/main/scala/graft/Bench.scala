@@ -288,6 +288,7 @@ object Bench {
     val cpuBaseline =
       if (sfDir == DriverSfDir) baselineCpu()
       else if (sfDir == "/tmp/scaleall10") baselineCpu("docs/BENCH_local_10x.json")
+      else if (sfDir == "/tmp/scaleall30") baselineCpu("docs/BENCH_local_30x.json")
       else Map.empty[String, Double]
     val spark = GraftSession.get()
     val listener = new MetricsListener

@@ -1226,38 +1226,50 @@ object TextOps {
   }
 
   /** Verified near-dup rep pairs (o1 < o2 by okey, jac ≥ [[JaccardTau]])
-    * via MinHash banding over the rep trigram sets + exact verification —
-    * the q26 pattern one level down. */
-  private[graft] def passageNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    // memo-registered persist (NOT a local persist/unpersist pair):
-    // the frame is consumed up to four times inside the one lazy plan
-    // below (band self-join ×2, verify attach ×2), and resetCaches()
-    // owns the lifecycle exactly as for the doc-level shingle sets.
-    val psets = memo("q54b.psets", s, dir)(passageRepSets(s, dir).persist())
-    val banded = bandedOfSets(psets)
-    val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    // adaptive=true: rep-level candidate volume is a runtime quantity
-    // (192 pairs at sf0.1; corpus-dependent at scale) — let AQE pick
-    // broadcast-vs-shuffle from the distinct's actual shuffle stats
-    // instead of forcing the doc-level shuffle-hash shape, which paid
-    // two full exchanges of the rep arrays to attach 192 rows.
-    rawJaccard(psets, cand, adaptive = true)
-  }
+    * via EXACT prefix filtering over the rep trigram sets + exact
+    * verification — the q25 PPJoin pattern one level down. Round 11:
+    * this was MinHash banding (the q26 pattern) until the 30× campaign
+    * caught banding's recall against the exact oracle — 8 bands × 6
+    * rows catches a jac≈τ pair with p ≈ 0.91, and at 30× the replica
+    * perturbation mints enough near-τ rep pairs that some landed in the
+    * missing 9% (n_neardup_rep under-reported on ~150 of 150k docs;
+    * sf0.01/sf0.1 simply never had a marginal pair). q54b's declared
+    * semantics are exact-τ (the oracle brute-forces all pairs), so the
+    * candidate stage must be exact too; prefix filtering is, at any
+    * scale, and stays near-linear (Chaudhuri et al. — q25's own 100 TB
+    * argument). Banding remains the right tool where the semantics are
+    * declared approximate (q26/q30/q60). */
+  private[graft] def passageNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memo("q54b.pairs", s, dir) {
+      // memo-registered persists (NOT local persist/unpersist pairs):
+      // psets is consumed by the prefix build and twice by the verify
+      // attach; the prefix table is self-joined. resetCaches() owns
+      // both lifecycles exactly as for the doc-level shingle frames.
+      val psets = memo("q54b.psets", s, dir)(passageRepSets(s, dir).persist())
+      val sh = psets.select(col("doc_id"), explode(col("gs")).as("g"))
+      val (cand, prefix) = ppjoinCandidates(sh)
+      memo("q54b.prefix", s, dir)(prefix)
+      // adaptive=true: rep-level candidate volume is a runtime quantity
+      // (192 pairs at sf0.1; corpus-dependent at scale) — let AQE pick
+      // broadcast-vs-shuffle from the candidate aggregation's actual
+      // shuffle stats instead of forcing the doc-level shuffle-hash
+      // shape, which paid two full exchanges of the rep arrays to
+      // attach 192 rows.
+      rawJaccard(psets, cand, adaptive = true)
+    }
 
   /** Q54b — passage dedup at near-dup strength (the Lee et al. pipeline
     * shape, fuzzy variant): exact dedup first collapses every repeated
     * passage text onto its first occurrence (q54's accounting), THEN
-    * MinHash+LSH near-dup runs over the surviving representatives only —
-    * a rep is additionally dropped when an earlier rep is jaccard-similar
-    * (word trigrams, τ = [[JaccardTau]]). Composing exact-then-fuzzy is
-    * what keeps this scale-sane: an exact-dup clique of k passages
-    * contributes ONE rep to the LSH join instead of k²/2 band-bucket
-    * pairs, and candidates over reps are bounded by band-bucket sizes
-    * exactly as in q26. Emits per-doc accounting: exact dups, rep
-    * near-dups, combined ratio. */
+    * exact prefix-filtered near-dup (the q25 PPJoin pattern, see
+    * [[passageNearDupPairs]]) runs over the surviving representatives
+    * only — a rep is additionally dropped when an earlier rep is
+    * jaccard-similar (word trigrams, τ = [[JaccardTau]]). Composing
+    * exact-then-fuzzy is what keeps this scale-sane: an exact-dup
+    * clique of k passages contributes ONE rep to the candidate join
+    * instead of k²/2 pairs, and prefix filtering keeps the candidate
+    * volume near-linear (Chaudhuri et al.). Emits per-doc accounting:
+    * exact dups, rep near-dups, combined ratio. */
   val q54b_passage_neardup: Query = Query(
     s"""WITH $passageCtesSql,
        |     reps AS (SELECT f.first_okey AS okey, string_split(f.ptext, ' ') AS w FROM f),

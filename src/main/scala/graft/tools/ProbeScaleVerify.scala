@@ -31,6 +31,9 @@ object ProbeScaleVerify {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaleall10")
+    // label the artifact rows with the fixture actually read (round 11:
+    // the hardcoded "@10x" lied when the 30x replica was supplied)
+    val fix = dir.split('/').last
     val spark = graft.engine.GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
     import graft.queries.VectorOps
@@ -61,7 +64,7 @@ object ProbeScaleVerify {
       val recall = (ann & exactTop).size.toDouble / exactTop.size
       val ok = recall >= floor
       if (!ok) failures += 1
-      println(s"""{"check":"$name@10x","n_vecs":$nVecs,"recall_at_5":$recall,"floor":$floor,"ok":$ok}""")
+      println(s"""{"check":"$name@$fix","n_vecs":$nVecs,"recall_at_5":$recall,"floor":$floor,"ok":$ok}""")
     }
     recallOf("q79_pq_ann", 0.8)
     recallOf("q79b_ivf_pq", 0.7)
@@ -88,7 +91,7 @@ object ProbeScaleVerify {
       }
     }
     if (soundBad.nonEmpty) failures += 1
-    println(s"""{"check":"q62_soundness@10x","n_reported":${sem.length},""" +
+    println(s"""{"check":"q62_soundness@$fix","n_reported":${sem.length},""" +
       s""""n_unsound":${soundBad.length},"ok":${soundBad.isEmpty}}""")
 
     // ── q62 sampled completeness: stride-sample, brute-force, compare ──
@@ -105,7 +108,7 @@ object ProbeScaleVerify {
     val recall = if (hasEarlierDup.isEmpty) 1.0 else found.toDouble / hasEarlierDup.size
     val ok = recall >= 0.5
     if (!ok) failures += 1
-    println(s"""{"check":"q62_completeness@10x","sampled":${sample.length},""" +
+    println(s"""{"check":"q62_completeness@$fix","sampled":${sample.length},""" +
       s""""with_exact_dup":${hasEarlierDup.size},"found_by_q62":$found,""" +
       s""""recall":$recall,"floor":0.5,"ok":$ok}""")
 
@@ -123,7 +126,7 @@ object ProbeScaleVerify {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val graphOk = kernel == shuffled
     if (!graphOk) failures += 1
-    println(s"""{"check":"q85_kernel_vs_shuffle@10x","n_nodes":${kernel.size},"bitwise_equal":$graphOk,"ok":$graphOk}""")
+    println(s"""{"check":"q85_kernel_vs_shuffle@$fix","n_nodes":${kernel.size},"bitwise_equal":$graphOk,"ok":$graphOk}""")
 
     // ── q88 at scale: CSR kernel ≡ intersect dataflow (round 10) ──
     // the 24M-edge replica sits below the TriangleCsrEdgeLimit gate, so
@@ -137,7 +140,7 @@ object ProbeScaleVerify {
       triK.getLong(1) == triF.getLong(1) &&
       triK.getDouble(2) == triF.getDouble(2)
     if (!triOk) failures += 1
-    println(s"""{"check":"q88_kernel_vs_intersect@10x","n_triangles":${triK.getLong(0)},""" +
+    println(s"""{"check":"q88_kernel_vs_intersect@$fix","n_triangles":${triK.getLong(0)},""" +
       s""""n_wedges":${triK.getLong(1)},"bitwise_equal":$triOk,"ok":$triOk}""")
 
     spark.stop()

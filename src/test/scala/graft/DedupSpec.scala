@@ -75,11 +75,14 @@ class DedupSpec extends SparkSpec {
     assert(byLbl(1000L).map(_._1).toSet == (1000L to 1050L).toSet)
   }
 
-  test("q54b banded passage near-dup pairs equal brute-force trigram jaccard, non-vacuously") {
+  test("q54b prefix-filtered passage near-dup pairs equal brute-force trigram jaccard, non-vacuously") {
     import spark.implicits._
     // brute force: ALL rep pairs sharing >= 1 trigram, exact jaccard —
-    // a different plan (shared-shingle join + groupBy, no banding) over
-    // the same rep sets. Banding must lose nothing at tau = 0.8.
+    // a different plan (shared-shingle join + groupBy, no prefix
+    // filtering) over the same rep sets. Round 11: the production path
+    // is exact PPJoin (banding lost marginal jac~tau pairs at 30x), so
+    // this equality is now a THEOREM (prefix filtering is lossless),
+    // and any miss is a bug in the prefix/positional bounds.
     val psets = TextOps.passageRepSets(spark, dir).persist()
     val tg = psets.select(col("doc_id"), explode(col("gs")).as("g"))
     val cnt = psets.select(col("doc_id"), col("n"))
@@ -91,10 +94,10 @@ class DedupSpec extends SparkSpec {
       .join(cnt.select(col("doc_id").as("o2"), col("n").as("n2")), "o2")
       .filter(col("inter") * 1.0 / (col("n1") + col("n2") - col("inter")) >= TextOps.JaccardTau)
       .select("o1", "o2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = TextOps.passageNearDupPairs(spark, dir)
+    val found = TextOps.passageNearDupPairs(spark, dir)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     psets.unpersist()
-    assert(banded == brute)
+    assert(found == brute)
     assert(brute.nonEmpty, "fixture should contain near-dup passage reps")
   }
 
