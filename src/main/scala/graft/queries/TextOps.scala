@@ -1225,51 +1225,89 @@ object TextOps {
       .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
   }
 
+  /** Byte size of one table's parquet (file or Spark-written directory)
+    * — a gate input decidable from filesystem metadata alone, before
+    * any job runs (the q85b parquet-metadata gate pattern). */
+  private def parquetBytes(dir: String, table: String): Long = {
+    def sizeOf(p: java.io.File): Long =
+      if (p.isDirectory) Option(p.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else p.length()
+    sizeOf(new java.io.File(s"$dir/$table.parquet"))
+  }
+
+  /** Gate for q54b's candidate stage: below it the counted shared-
+    * trigram self-join (exact |A∩B| straight from the join — no verify
+    * attach, no df ranking; the DuckDB statement's own plan, 2 + 2
+    * exchanges total); past it the PPJoin prefix filter, whose
+    * near-linear candidate volume is the 100 TB property the counted
+    * join lacks (Σ df(g)² blowup on hot trigrams). 256 MB of documents
+    * parquet ≈ 10× the 30× fixture, where the counted join still runs
+    * in seconds with zero spill; both sides are EXACT, and DedupSpec
+    * equates them on the fixture. */
+  private[graft] val PassageCountJoinGate = 256L * 1024 * 1024
+
   /** Verified near-dup rep pairs (o1 < o2 by okey, jac ≥ [[JaccardTau]])
-    * via EXACT prefix filtering over the rep trigram sets + exact
-    * verification — the q25 PPJoin pattern one level down. Round 11:
-    * this was MinHash banding (the q26 pattern) until the 30× campaign
-    * caught banding's recall against the exact oracle — 8 bands × 6
-    * rows catches a jac≈τ pair with p ≈ 0.91, and at 30× the replica
-    * perturbation mints enough near-τ rep pairs that some landed in the
-    * missing 9% (n_neardup_rep under-reported on ~150 of 150k docs;
-    * sf0.01/sf0.1 simply never had a marginal pair). q54b's declared
-    * semantics are exact-τ (the oracle brute-forces all pairs), so the
-    * candidate stage must be exact too; prefix filtering is, at any
-    * scale, and stays near-linear (Chaudhuri et al. — q25's own 100 TB
-    * argument). Banding remains the right tool where the semantics are
-    * declared approximate (q26/q30/q60). */
-  private[graft] def passageNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    memo("q54b.pairs", s, dir) {
+    * — EXACT at every size, gated between two exact plans by
+    * [[PassageCountJoinGate]]. Round 11: this was MinHash banding (the
+    * q26 pattern) until the 30× campaign caught banding's recall
+    * against the exact oracle — 8 bands × 6 rows catches a jac≈τ pair
+    * with p ≈ 0.91, and at 30× the replica perturbation minted enough
+    * near-τ rep pairs that some landed in the missing 9%
+    * (n_neardup_rep under-reported on ~150 of 150k docs; sf0.01/sf0.1
+    * simply never had a marginal pair). q54b's declared semantics are
+    * exact-τ (the oracle brute-forces all pairs), so the candidate
+    * stage must be exact too. Banding remains the right tool where the
+    * semantics are declared approximate (q26/q30/q60). */
+  private[graft] def passageNearDupPairs(s: SparkSession, dir: String,
+      forcePpjoin: Boolean = false): DataFrame =
+    memo(if (forcePpjoin) "q54b.pairsPp" else "q54b.pairs", s, dir) {
       // memo-registered persists (NOT local persist/unpersist pairs):
       // psets is consumed by the prefix build and twice by the verify
       // attach; the prefix table is self-joined. resetCaches() owns
       // both lifecycles exactly as for the doc-level shingle frames.
       val psets = memo("q54b.psets", s, dir)(passageRepSets(s, dir).persist())
-      val sh = psets.select(col("doc_id"), explode(col("gs")).as("g"))
-      val (cand, prefix) = ppjoinCandidates(sh)
-      memo("q54b.prefix", s, dir)(prefix)
-      // adaptive=true: rep-level candidate volume is a runtime quantity
-      // (192 pairs at sf0.1; corpus-dependent at scale) — let AQE pick
-      // broadcast-vs-shuffle from the candidate aggregation's actual
-      // shuffle stats instead of forcing the doc-level shuffle-hash
-      // shape, which paid two full exchanges of the rep arrays to
-      // attach 192 rows.
-      rawJaccard(psets, cand, adaptive = true)
+      if (!forcePpjoin && parquetBytes(dir, "documents") <= PassageCountJoinGate) {
+        // counted join: gs holds DISTINCT trigram hashes per rep, so the
+        // per-pair row count of the shared-trigram self-join IS |A∩B|;
+        // n rides the exploded rows (no cnt-table rejoin), the size-
+        // ratio prefilter kills mismatched pairs before the aggregation,
+        // and the τ test is exact integer arithmetic (TauNum note).
+        val tg = psets.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
+        tg.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
+          .join(tg.select(col("doc_id").as("d2"), col("n").as("n2"), col("g")), "g")
+          .filter(col("d1") < col("d2"))
+          .filter(lit(TauDen) * col("n1") >= lit(TauNum) * col("n2") &&
+            lit(TauDen) * col("n2") >= lit(TauNum) * col("n1"))
+          .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+          .filter(lit(TauDen) * col("inter") >= lit(TauNum) * (col("n1") + col("n2") - col("inter")))
+          .select(col("d1"), col("d2"),
+            (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      } else {
+        val sh = psets.select(col("doc_id"), explode(col("gs")).as("g"))
+        val (cand, prefix) = ppjoinCandidates(sh)
+        memo("q54b.prefix", s, dir)(prefix)
+        // adaptive=true: rep-level candidate volume is a runtime
+        // quantity — let AQE pick broadcast-vs-shuffle from the
+        // candidate aggregation's actual shuffle stats instead of
+        // forcing the doc-level shuffle-hash shape, which paid two full
+        // exchanges of the rep arrays to attach 192 rows.
+        rawJaccard(psets, cand, adaptive = true)
+      }
     }
 
   /** Q54b — passage dedup at near-dup strength (the Lee et al. pipeline
     * shape, fuzzy variant): exact dedup first collapses every repeated
     * passage text onto its first occurrence (q54's accounting), THEN
-    * exact prefix-filtered near-dup (the q25 PPJoin pattern, see
-    * [[passageNearDupPairs]]) runs over the surviving representatives
-    * only — a rep is additionally dropped when an earlier rep is
+    * EXACT near-dup detection runs over the surviving representatives
+    * only ([[passageNearDupPairs]]: counted shared-trigram join below
+    * [[PassageCountJoinGate]], PPJoin prefix filtering past it — both
+    * exact) — a rep is additionally dropped when an earlier rep is
     * jaccard-similar (word trigrams, τ = [[JaccardTau]]). Composing
     * exact-then-fuzzy is what keeps this scale-sane: an exact-dup
     * clique of k passages contributes ONE rep to the candidate join
-    * instead of k²/2 pairs, and prefix filtering keeps the candidate
-    * volume near-linear (Chaudhuri et al.). Emits per-doc accounting:
-    * exact dups, rep near-dups, combined ratio. */
+    * instead of k²/2 pairs, and past the gate prefix filtering keeps
+    * the candidate volume near-linear (Chaudhuri et al.). Emits
+    * per-doc accounting: exact dups, rep near-dups, combined ratio. */
   val q54b_passage_neardup: Query = Query(
     s"""WITH $passageCtesSql,
        |     reps AS (SELECT f.first_okey AS okey, string_split(f.ptext, ' ') AS w FROM f),
