@@ -250,14 +250,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q54b passage near-dup: hash joins only, no cartesian, no sort of the fat verify stream") {
+    // round 11: BOTH exact gate sides pinned. Below PassageCountJoinGate
+    // the counted trigram self-join carries no arrays at all; past it
+    // the PPJoin path's rep shingle-array attach must stay free of any
+    // sort of the array-carrying stream (the q25 argument: sorting that
+    // stream is the spill risk).
     val df = graft.queries.TextOps.q54b_passage_neardup.fn(spark, dir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the rep shingle-array attach must stay a shuffled hash join (the
-    // q25 argument: sorting the array-carrying stream is the spill risk)
-    assert(p.contains("ShuffledHashJoin"), p)
+    val pp = graft.queries.TextOps.passageNearDupPairs(spark, dir, forcePpjoin = true)
+    pp.collect()
+    val p2 = pp.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==")(0)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    // the verify attach joins carry the gs arrays: they must be hash
+    // joins (broadcast of the skinny cand side under AQE, or shuffled
+    // hash), never a sort-merge that sorts the fat side — at this
+    // fixture no join in the pair pipeline has any business sort-merging
+    assert(!p2.contains("SortMergeJoin"),
+      "no SMJ anywhere in the ppjoin pair pipeline: " + p2)
   }
 
   test("q66 upsert: one full-outer join on the key, no cartesian, filters pushed to both scans") {
