@@ -38,6 +38,17 @@ object GraftSession {
       // abundant at zero spill — for codec-free scans. On a memory-tight
       // cluster this is the first knob to flip back.
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // Below the default bypassMergeThreshold (200) every ≤200-partition
+      // shuffle uses BypassMergeSortShuffleWriter: each MAP task opens
+      // one file+buffer+codec+checksum stream PER reduce partition —
+      // 32×32 = 1024 stream setups per shuffle here, measured at ~5
+      // executor-CPU-s and ~0.2 s wall for a 15k-row groupBy (pure
+      // fixed cost, data-independent; ProbeShuffleConst). Forcing the
+      // sort-based writer (one sorted file + index per map task) cuts
+      // that to ~0.5 CPU-s. This also IS the 100 TB posture: real
+      // clusters run >200-partition shuffles on the sort path anyway,
+      // so local numbers now measure the same writer the cluster uses.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "16")
     master.fold(b)(b.master)
   }
 

@@ -125,7 +125,7 @@ object Graph {
   private val trackedBroadcasts =
     scala.collection.mutable.Buffer.empty[org.apache.spark.broadcast.Broadcast[_]]
 
-  private def track[T](b: org.apache.spark.broadcast.Broadcast[T])
+  private[graft] def track[T](b: org.apache.spark.broadcast.Broadcast[T])
       : org.apache.spark.broadcast.Broadcast[T] =
     trackedBroadcasts.synchronized { trackedBroadcasts += b; b }
 

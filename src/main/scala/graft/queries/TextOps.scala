@@ -1138,9 +1138,12 @@ object TextOps {
     * q54b (near-dup). */
   private[graft] def passagesOf(s: SparkSession, dir: String): DataFrame = {
     val P = 20
+    // no size(a) > 0 guard: split() never yields an empty array (the
+    // oracle's WHERE len(a) > 0 is equally vacuous in DuckDB), and the
+    // pushed-down filter would re-run the regex-normalize+split in the
+    // scan stage just to test a tautology
     docs(s, dir)
       .select(col("doc_id"), split(norm, " ").as("a"))
-      .filter(size(col("a")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(a)/$P.0) as int) - 1)," +
           s" i -> array_join(slice(a, i*$P+1, $P), ' '))")).as(Seq("i", "ptext")))
@@ -1148,18 +1151,15 @@ object TextOps {
   }
 
   /** The exact first-occurrence table (ptext, first_okey) — ONE row per
-    * distinct passage text, its globally-first okey. This is the shared
-    * heart of q54 AND q54b: the per-doc dup accounting joins the fat
-    * passage stream against it, and q54b's near-dup stage runs over
-    * exactly its rows (the exact-clique representatives). Memoized +
-    * persisted per (session, dir) because q54b needs it TWICE in one
-    * run (rep-set build + final accounting join) — round 11: rebuilding
-    * it for the rep stage paid the fat groupBy(ptext) exchange twice
-    * and was most of q54b's 3.8× gap vs its DuckDB statement. The
-    * persisted frame is one row per distinct passage (≤ corpus size,
-    * shrinks with duplication); at 100 TB it is a shuffle output you'd
-    * keep anyway — every downstream stage of the Lee-et-al pipeline
-    * consumes it. */
+    * distinct passage text, its globally-first okey — q54's accounting
+    * frame (the per-doc dup accounting joins the fat passage stream
+    * against it on ptext). q54b no longer reads it (round 12): its rep
+    * frame is [[passageReps]], the same aggregation WITHOUT the ptext
+    * column but WITH the trigram sets, built in one pass. Memoized +
+    * persisted per (session, dir) so a session running q54 repeatedly
+    * pays the fat groupBy(ptext) exchange once; at 100 TB it is a
+    * shuffle output you'd keep anyway — every downstream stage of the
+    * Lee-et-al pipeline consumes it. */
   private[graft] def passageFirsts(s: SparkSession, dir: String): DataFrame =
     memo("passageFirsts", s, dir) {
       // LAZY persist, deliberately: q54b consumes this in one final job
@@ -1203,27 +1203,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Per-rep word-trigram shingle-hash sets for q54b: one representative
-    * (min okey) per DISTINCT passage text, its distinct word-3-gram
-    * xxhash64 set as a sorted array. Word trigrams (not char 5-grams):
-    * a 20-word passage yields ≤18 of them, and cross-text trigram
-    * sharing is sparse enough that both the LSH buckets and the oracle's
-    * shared-shingle join stay near-linear. Passages under 3 words have
-    * no trigram and are exempt from near-dup detection (can't score a
-    * jaccard; both engines skip them identically). */
-  private[graft] def passageRepSets(s: SparkSession, dir: String): DataFrame = {
-    // round 11: the reps ARE [[passageFirsts]]'s rows (one per distinct
-    // ptext, keyed by its first okey) — read the memoized frame instead
-    // of re-paying the fat groupBy(ptext) exchange a second time
-    passageFirsts(s, dir)
-      .select(col("first_okey").as("doc_id"), split(col("ptext"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      // fused codegen trigram hashing (WordNgramHashesSpec pins equality
-      // with the interpreted array_sort(array_distinct(transform(...)))
-      // form this replaced — measured 7.6 s CPU in q54b's rep stage)
-      .select(col("doc_id"), expr("graft_word_ngram_hashes(w, 3)").as("gs"))
-      .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
-  }
+  /** q54b's ONE persisted intermediate: one row per DISTINCT passage
+    * text — (doc_id = its globally-first okey, gs = sorted distinct
+    * word-trigram xxhash64 set, n = |gs|). Word trigrams (not char
+    * 5-grams): a 20-word passage yields ≤18 of them, and cross-text
+    * trigram sharing is sparse enough that both the candidate joins and
+    * the oracle's shared-shingle join stay near-linear. Passages under
+    * 3 words have no trigram (gs = [], n = 0) and are exempt from
+    * near-dup detection (can't score a jaccard; both engines skip them
+    * identically) — they stay IN this frame because the per-doc exact
+    * accounting counts every rep, trigram-bearing or not.
+    *
+    * Round 12: built in ONE pass over the passage stream (groupBy(ptext)
+    * min(okey), then the trigram projection over the ~|distinct| result
+    * rows) instead of the round-11 firsts-persist → repSets-persist
+    * chain — q54b paid two persisted frames and an extra stage boundary
+    * for data this single aggregation already had in hand. q54's
+    * accounting still joins on ptext and keeps its own [[passageFirsts]]
+    * memo (adding the trigram column THERE would tax q54 with hashing
+    * work only q54b needs). */
+  private[graft] def passageReps(s: SparkSession, dir: String): DataFrame =
+    memo("q54b.reps", s, dir) {
+      passagesOf(s, dir)
+        .groupBy("ptext").agg(min(col("okey")).as("doc_id"))
+        // fused codegen trigram hashing (WordNgramHashesSpec pins
+        // equality with the interpreted
+        // array_sort(array_distinct(transform(...))) form this replaced
+        // — measured 7.6 s CPU in q54b's rep stage); <3-word passages
+        // yield [] inside the expression itself, keeping the element
+        // type non-null for the sorted-intersect consumer
+        .select(col("doc_id"),
+          expr("graft_word_ngram_hashes(split(ptext, ' '), 3)").as("gs"))
+        .select(col("doc_id"), col("gs"), size(col("gs")).cast("long").as("n"))
+        .persist()
+    }
+
+  /** The trigram-bearing reps (n ≥ 1) — the near-dup candidate universe.
+    * A filter over the persisted [[passageReps]] blocks, not its own
+    * persist. */
+  private[graft] def passageRepSets(s: SparkSession, dir: String): DataFrame =
+    passageReps(s, dir).filter(col("n") > 0)
 
   /** Byte size of one table's parquet (file or Spark-written directory)
     * — a gate input decidable from filesystem metadata alone, before
@@ -1246,6 +1265,21 @@ object TextOps {
     * equates them on the fixture. */
   private[graft] val PassageCountJoinGate = 256L * 1024 * 1024
 
+  /** Sub-gate inside the counted tier: below it the candidate stage runs
+    * as [[countedPairsKernel]] — the rep trigram lists ride ONE driver
+    * collect + broadcast and the whole intersection count happens in a
+    * single narrow map stage over the cached reps, emitting only the
+    * ~dozens of surviving pairs. The declarative counted join was
+    * measured at 5 executor-CPU-s + a ~1M-row partial-agg exchange at
+    * sf0.1 for output of 192 rows — all of it Spark machinery around
+    * arithmetic the kernel does in <0.2 s. Budget: 2 MB of documents
+    * parquet ≈ 3.5× the sf0.1 fixture; sf0.1 measures 230k exploded
+    * (g, doc, n) rows, so the ceiling is ~800k ≈ 13 MB interleaved
+    * longs — trivial for driver and broadcast alike. Past the gate the
+    * shuffle-counted join takes over (same exact semantics, distributed
+    * end to end), then PPJoin past [[PassageCountJoinGate]]. */
+  private[graft] val PassageBroadcastGate = 2L * 1024 * 1024
+
   /** Verified near-dup rep pairs (o1 < o2 by okey, jac ≥ [[JaccardTau]])
     * — EXACT at every size, gated between two exact plans by
     * [[PassageCountJoinGate]]. Round 11: this was MinHash banding (the
@@ -1258,15 +1292,143 @@ object TextOps {
     * exact-τ (the oracle brute-forces all pairs), so the candidate
     * stage must be exact too. Banding remains the right tool where the
     * semantics are declared approximate (q26/q30/q60). */
+  /** Broadcast-tier exact counted intersection (below
+    * [[PassageBroadcastGate]]): collect the rep trigram lists once
+    * (driver budget in the gate note), broadcast g → interleaved
+    * [d, n, d, n, …] partner lists keyed by a sorted array
+    * (binary-search probes, zero boxing), and count each pair's
+    * |A∩B| in ONE narrow map pass over the cached reps — rep d1's
+    * partition-local accumulator sees every shared trigram exactly once
+    * because gs is distinct, so the count IS the intersection and the
+    * τ test emits final pairs with no join, no aggregation exchange,
+    * and no candidate materialization. Deterministic under stage
+    * retries: output is a pure function of the broadcast and the
+    * partition's rows, emitted in sorted-d2 order per rep. Exactness is
+    * pinned against both distributed tiers (DedupSpec: kernel ≡
+    * shuffle-counted ≡ PPJoin ≡ brute force). */
+  /** g → interleaved [d, n, d, n, …] partner lists over the trigram-
+    * bearing reps, collected once (driver budget: the
+    * [[PassageBroadcastGate]] note) and broadcast keyed by a sorted
+    * array — binary-search probes, zero boxing. Shares the graph
+    * kernels' broadcast lifecycle (released by resetCaches together
+    * with the memoized frames). */
+  private def trigramPartnerIndex(s: SparkSession, psets: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Long]])] = {
+    import s.implicits._
+    val reps = psets.select(col("doc_id"), col("n"), col("gs"))
+      .as[(Long, Long, Array[Long])].collect()
+    val lists = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuilder.ofLong]()
+    reps.foreach { case (d, n, gs) =>
+      gs.foreach { g =>
+        val b = lists.getOrElseUpdate(g, new scala.collection.mutable.ArrayBuilder.ofLong)
+        b += d; b += n
+      }
+    }
+    val keys = lists.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val vals = keys.map(g => lists(g).result())
+    Graph.track(s.sparkContext.broadcast((keys, vals)))
+  }
+
+  private[graft] def countedPairsKernel(s: SparkSession, psets: DataFrame): DataFrame = {
+    import s.implicits._
+    val bc = trigramPartnerIndex(s, psets)
+    psets.select(col("doc_id"), col("n"), col("gs"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val (ks, vs) = bc.value
+        it.flatMap { case (d1, n1, gs) =>
+          // d2 → (n2 << 32) | count; n ≤ 18 trigrams per 20-word
+          // passage, so the packing has ~2^28 headroom
+          val acc = new scala.collection.mutable.LongMap[Long]()
+          var i = 0
+          while (i < gs.length) {
+            val gi = java.util.Arrays.binarySearch(ks, gs(i))
+            if (gi >= 0) {
+              val lst = vs(gi)
+              var j = 0
+              while (j < lst.length) {
+                val d2 = lst(j)
+                if (d2 > d1) {
+                  val cur = acc.getOrElse(d2, 0L)
+                  acc(d2) = if (cur == 0L) (lst(j + 1) << 32) | 1L else cur + 1L
+                }
+                j += 2
+              }
+            }
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          acc.foreach { case (d2, packed) =>
+            val inter = packed & 0xffffffffL
+            val n2 = packed >>> 32
+            if (TauDen * inter >= TauNum * (n1 + n2 - inter))
+              out += ((d1, d2, inter * 1.0 / (n1 + n2 - inter)))
+          }
+          out.sortBy(_._2)
+        }
+      }
+      .toDF("d1", "d2", "jac")
+  }
+
+  /** Broadcast-tier accounting kernel: the near-dup REPS themselves —
+    * every trigram-bearing rep r with an EARLIER τ-similar rep (∃ d < r,
+    * jac(d, r) ≥ τ) — emitted one row per such rep, so the accounting
+    * needs no pair materialization and no DISTINCT: it is
+    * [[countedPairsKernel]]'s loop with the comparison flipped (d < r
+    * instead of d > r), answering q54b's actual question ("is this rep
+    * dominated?") directly. Equality with the pair route is pinned by
+    * DedupSpec (flags ≡ distinct d2 of the pairs frame). */
+  private[graft] def nearDupRepsKernel(s: SparkSession, psets: DataFrame): DataFrame = {
+    import s.implicits._
+    val bc = trigramPartnerIndex(s, psets)
+    psets.select(col("doc_id"), col("n"), col("gs"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val (ks, vs) = bc.value
+        it.flatMap { case (r, n1, gs) =>
+          val acc = new scala.collection.mutable.LongMap[Long]()
+          var i = 0
+          while (i < gs.length) {
+            val gi = java.util.Arrays.binarySearch(ks, gs(i))
+            if (gi >= 0) {
+              val lst = vs(gi)
+              var j = 0
+              while (j < lst.length) {
+                val d = lst(j)
+                if (d < r) {
+                  val cur = acc.getOrElse(d, 0L)
+                  acc(d) = if (cur == 0L) (lst(j + 1) << 32) | 1L else cur + 1L
+                }
+                j += 2
+              }
+            }
+            i += 1
+          }
+          val nd = acc.exists { case (_, packed) =>
+            val inter = packed & 0xffffffffL
+            val n2 = packed >>> 32
+            TauDen * inter >= TauNum * (n1 + n2 - inter)
+          }
+          if (nd) Iterator.single(Tuple1(r)) else Iterator.empty
+        }
+      }
+      .toDF("nd_okey")
+  }
+
   private[graft] def passageNearDupPairs(s: SparkSession, dir: String,
-      forcePpjoin: Boolean = false): DataFrame =
-    memo(if (forcePpjoin) "q54b.pairsPp" else "q54b.pairs", s, dir) {
-      // memo-registered persists (NOT local persist/unpersist pairs):
-      // psets is consumed by the prefix build and twice by the verify
-      // attach; the prefix table is self-joined. resetCaches() owns
-      // both lifecycles exactly as for the doc-level shingle frames.
-      val psets = memo("q54b.psets", s, dir)(passageRepSets(s, dir).persist())
-      if (!forcePpjoin && parquetBytes(dir, "documents") <= PassageCountJoinGate) {
+      forcePpjoin: Boolean = false, forceCountShuffle: Boolean = false): DataFrame =
+    memo(if (forcePpjoin) "q54b.pairsPp"
+         else if (forceCountShuffle) "q54b.pairsCs"
+         else "q54b.pairs", s, dir) {
+      // the rep frame is the memo-registered persist ([[passageReps]]);
+      // psets is a filter over its cached blocks. resetCaches() owns
+      // the lifecycle exactly as for the doc-level shingle frames.
+      val psets = passageRepSets(s, dir)
+      val docBytes = parquetBytes(dir, "documents")
+      if (!forcePpjoin && !forceCountShuffle && docBytes <= PassageBroadcastGate) {
+        countedPairsKernel(s, psets)
+      } else if (!forcePpjoin && docBytes <= PassageCountJoinGate) {
         // counted join: gs holds DISTINCT trigram hashes per rep, so the
         // per-pair row count of the shared-trigram self-join IS |A∩B|;
         // n rides the exploded rows (no cnt-table rejoin), the size-
@@ -1339,28 +1501,49 @@ object TextOps {
     // owns. That removes the TWO fat exchanges the ptext equi-join paid
     // (r10's committed 2.9-3.9× of the DuckDB statement was mostly this
     // plumbing): the only passage-text exchange left is the
-    // [[passageFirsts]] groupBy itself, the per-doc passage count
+    // [[passageReps]] groupBy itself, the per-doc passage count
     // collapses map-side (passages arrive doc-contiguous from the
     // scan), and the remaining joins are doc-sized.
     // n_pass is a SCALAR of the document — ceil(#words/20) — so the
-    // per-doc passage count needs no explode and no exchange at all
+    // per-doc passage count needs no explode and no exchange at all.
+    // Round 12: the three doc-keyed facts (n_pass, rep count, distinct
+    // near-dup rep count) arrive as ONE tagged union into ONE grouped
+    // aggregate instead of two aggregates + two left joins — every doc
+    // with passages owns exactly one n_pass row (max() picks it), the
+    // rep/nd sides contribute count()/count(DISTINCT) rows, and the
+    // whole accounting costs a single doc_id exchange.
+    val nullL = lit(null).cast("long")
+    // the oracle's len(a) > 0 guard is vacuous on BOTH engines
+    // (string_split of "" yields [""], so every doc has ≥1 "word") —
+    // dropping it here saves a second regex-normalize+split pass the
+    // pushed-down filter would otherwise pay in the scan stage
     val perDoc = docs(s, dir)
       .select(col("doc_id"), size(split(norm, " ")).as("nw"))
-      .filter(col("nw") > 0)
       .select(col("doc_id"),
-        expr("cast(ceil(nw / 20.0) as bigint)").as("n_pass"))
-    val repPerDoc = passageFirsts(s, dir)
-      .select(expr("first_okey div 1048576").as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
-    val ndPerDoc = passageNearDupPairs(s, dir)
-      .select(col("d2").as("nd_okey")).distinct()
-      .select(expr("nd_okey div 1048576").as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_nd"))
-    perDoc.join(repPerDoc, Seq("doc_id"), "left")
-      .join(ndPerDoc, Seq("doc_id"), "left")
+        expr("cast(ceil(nw / 20.0) as bigint)").as("n_pass"),
+        nullL.as("rep"), nullL.as("nd_okey"))
+    val repRows = passageReps(s, dir)
+      .select(expr("doc_id div 1048576").as("doc_id"),
+        nullL.as("n_pass"), lit(1L).as("rep"), nullL.as("nd_okey"))
+    // the near-dup rep okeys, already DISTINCT: one flags-kernel row per
+    // dominated rep below the broadcast gate; a 192-row-scale distinct
+    // over the pair frame's d2 past it. Either way the final aggregate
+    // is a plain count — no count(DISTINCT) double-aggregation rewrite
+    // inflating the 20k-row union into an Expand.
+    val ndDistinct =
+      if (parquetBytes(dir, "documents") <= PassageBroadcastGate)
+        nearDupRepsKernel(s, passageRepSets(s, dir))
+      else passageNearDupPairs(s, dir).select(col("d2").as("nd_okey")).distinct()
+    val ndRows = ndDistinct
+      .select(expr("nd_okey div 1048576").as("doc_id"),
+        nullL.as("n_pass"), nullL.as("rep"), lit(1L).as("nd_okey"))
+    perDoc.unionByName(repRows).unionByName(ndRows)
+      .groupBy("doc_id")
+      .agg(max(col("n_pass")).as("n_pass"), count(col("rep")).as("n_rep"),
+        count(col("nd_okey")).as("n_nd"))
       .select(col("doc_id"), col("n_pass"),
-        (col("n_pass") - coalesce(col("n_rep"), lit(0L))).as("n_exact_dup"),
-        coalesce(col("n_nd"), lit(0L)).as("n_neardup_rep"))
+        (col("n_pass") - col("n_rep")).as("n_exact_dup"),
+        col("n_nd").as("n_neardup_rep"))
       .withColumn("dup_ratio",
         cround((col("n_exact_dup") + col("n_neardup_rep")).cast("double")
           / col("n_pass")))

@@ -101,18 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain near-dup passage reps")
   }
 
-  test("q54b counted-join (below-gate default) equals the PPJoin path pair-for-pair") {
-    // round 11: both gate sides are EXACT by construction; this pins
-    // that the counted shared-trigram join (default below
-    // PassageCountJoinGate) and the prefix-filtered path (the 100 TB
-    // shape) agree on the full (d1, d2) pair set, not just the oracle's
-    // per-doc rollup.
-    val counted = TextOps.passageNearDupPairs(spark, dir)
+  test("q54b all three exact tiers agree pair-for-pair: kernel ≡ shuffle-counted ≡ PPJoin") {
+    // round 12: three gate tiers, all EXACT by construction — the
+    // broadcast kernel (default below PassageBroadcastGate), the
+    // shuffle-counted trigram join (below PassageCountJoinGate), and
+    // the prefix-filtered PPJoin (the 100 TB shape) — must agree on
+    // the full (d1, d2) pair set, not just the oracle's per-doc rollup.
+    val kernel = TextOps.passageNearDupPairs(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val counted = TextOps.passageNearDupPairs(spark, dir, forceCountShuffle = true)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pp = TextOps.passageNearDupPairs(spark, dir, forcePpjoin = true)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == counted)
     assert(counted == pp)
-    assert(counted.nonEmpty, "fixture should contain near-dup passage reps")
+    assert(kernel.nonEmpty, "fixture should contain near-dup passage reps")
   }
 
   test("connected components: driver-finish path equals the distributed loop") {
