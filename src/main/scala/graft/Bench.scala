@@ -398,7 +398,12 @@ object Bench {
               case Some(s) =>
                 attemptSecs(name) = Vector(first.secs, s.secs)
                 if (s.secs < first.secs) s else first
-              case None => first
+              case None =>
+                // -1.0 sentinel: the re-attempt ERRORED; without it a
+                // name in `retried` would show a single wall and the
+                // full-history claim the artifact rests on breaks
+                attemptSecs(name) = Vector(first.secs, -1.0)
+                first
             }
           case None => first
         }
@@ -431,9 +436,12 @@ object Bench {
       residual.foreach { case (name, reason) =>
         swept(name) = reason
         selected.get(name).foreach { fn =>
-          reAttempt(name, fn).foreach { again =>
-            attemptSecs(name) = attemptSecs.getOrElse(name, Vector.empty) :+ again.secs
-            if (again.secs < committed(name).secs) committed(name) = again
+          reAttempt(name, fn) match {
+            case Some(again) =>
+              attemptSecs(name) = attemptSecs.getOrElse(name, Vector.empty) :+ again.secs
+              if (again.secs < committed(name).secs) committed(name) = again
+            case None => // errored sweep attempt: keep the wall history honest
+              attemptSecs(name) = attemptSecs.getOrElse(name, Vector.empty) :+ -1.0
           }
         }
       }

@@ -34,34 +34,86 @@ object PlanFingerprints {
     * `Statistics(...)` annotations (embedded AQE query stages of
     * memoized frames carry their executed sizes, which scale with the
     * session's parallelism and data) are stripped — they are
-    * measurements, not shape. */
+    * measurements, not shape; so are per-node numbering `(N)`,
+    * `#exprId` suffixes, object addresses and NamedLambdaVariable's
+    * session-global name counters (lambda x_1 vs lambda x_20).
+    *
+    * Deliberately NOT the operator-details section: physical details
+    * are nondeterministic across sessions (RewriteDistinctAggregates
+    * orders Expand groups by exprId-dependent set iteration), so the
+    * expression-level half of the fingerprint hashes the CANONICALIZED
+    * ANALYZED plan instead — see [[analyzedSection]]. */
   def normalize(formatted: String): String =
     formatted.split("\n\n").headOption.getOrElse("")
       .replaceAll("\\(\\d+\\)", "(n)")
       .replaceAll("#\\d+", "#n")
+      .replaceAll("plan_id=\\d+", "plan_id=n")
+      .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_n")
+      // repartition(cols) resolves spark.sql.shuffle.partitions into the
+      // ANALYZED plan as a literal target (32 in the bench session, 4 in
+      // the test session) — a session constant, not query shape
+      .replaceAll("(Repartition(?:ByExpression)? \\[[^\\]]*\\]), \\d+", "$1, n")
+      .replaceAll("@[0-9a-f]{6,}", "@id")
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
       .replaceAll(",? ?Statistics\\([^)]*\\)", "")
+
+  /** The expression half of the fingerprint: the ANALYZED plan
+    * (pre-optimizer, so no RewriteDistinctAggregates Expand-order
+    * nondeterminism; pre-cache-substitution, so no memo-state
+    * sensitivity), run through the same textual normalization — the
+    * `#exprId → #n` rule already erases id churn, and deliberately NOT
+    * `.canonicalized`, which reorders commutative arguments by child
+    * hashCode and a ScalaUDF's hashCode includes its closure identity
+    * (q79's greatest(udf, lit) flipped order between sessions).
+    * Round 12: this is what makes every query's fingerprint UNIQUE —
+    * the tree section lists node KINDS only, so q01 vs q01b (same
+    * scan+filter+project shape, different predicates) collided.
+    * Predicates, join keys, aggregate lists and literals all live
+    * here. */
+  def analyzedSection(df: DataFrame): String =
+    normalize(df.queryExecution.analyzed.toString())
 
   def fingerprint(df: DataFrame): String = fingerprint(df, None)
 
-  /** Fingerprint of the final plan PLUS, for the gated graph kernels,
-    * the Catalyst plan of the dataflow that feeds the kernel and a
-    * static kernel tag (ADVICE r10: the kernels execute eagerly in RDD
-    * land, so q85/q85b/q90/q98's returned frames are all the trivial
-    * ExistingRDD→agg→sort shape and committed ONE identical hash —
-    * vacuous as a regression gate, and blind to a cross-query mixup).
-    * Hashing the adjacency-build plan restores detection of regressions
-    * in the kernel's Catalyst half; the tag makes each kernel query's
-    * hash distinct. The kernel's OBJECT-land half has no plan to hash —
-    * GraphSpec's bitwise kernel≡dataflow equivalences pin that. */
-  def fingerprint(df: DataFrame, aux: Option[(String, DataFrame)]): String = {
-    val norm = normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted"))) +
+  /** Queries whose heavy lifting runs EAGERLY before a driver-side
+    * collect (graph kernels, clustering, codebook fits, BPE learning):
+    * their returned frames alone would hash trivial post-collect plans,
+    * so each one must contribute an aux feeder plan (VERDICT r11
+    * item 6). PlanFingerprintSpec asserts auxPlan is defined for every
+    * name here. */
+  val EagerQueries: Seq[String] = Seq(
+    "q85_pagerank", "q85b_weighted_pagerank", "q88_triangles", "q90_sssp",
+    "q98_label_prop", "q37_dup_clusters", "q37b_cluster_reps",
+    "q69_bpe_merges", "q72_bpe_encode", "q43_ann_ivf", "q62_semdedup",
+    "q79_pq_ann", "q79b_ivf_pq")
+
+  /** The feeder plan (tag + DataFrame) hashed alongside a query's main
+    * plan — graph kernels, then the text/vector driver-eager stages. */
+  def auxPlan(name: String, s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(String, DataFrame)] =
+    graft.queries.Graph.kernelAuxPlan(name, s, dir)
+      .orElse(graft.queries.TextOps.fingerprintAuxPlan(name, s, dir))
+      .orElse(graft.queries.VectorOps.fingerprintAuxPlan(name, s, dir))
+
+  /** The exact byte string the fingerprint hashes — also what the
+    * GRAFT_FP_DUMP .txt files contain, so a hash change is always
+    * diffable from the dumped plans. Four parts: the main physical tree
+    * (shape), the main analyzed plan (expressions — the uniqueness
+    * half), and — for driver-eager queries (ADVICE r10/VERDICT r11
+    * item 6: their returned frames alone hash trivial post-collect
+    * plans) — the tagged aux feeder plan's same two sections. */
+  def preimage(df: DataFrame, aux: Option[(String, DataFrame)]): String =
+    normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted"))) +
+      "\n-- analyzed --\n" + analyzedSection(df) +
       aux.map { case (tag, a) =>
         "\n-- kernel: " + tag + "\n" +
-          normalize(a.queryExecution.explainString(ExplainMode.fromString("formatted")))
+          normalize(a.queryExecution.explainString(ExplainMode.fromString("formatted"))) +
+          "\n-- kernel analyzed --\n" + analyzedSection(a)
       }.getOrElse("")
+
+  def fingerprint(df: DataFrame, aux: Option[(String, DataFrame)]): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+      .digest(preimage(df, aux).getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** name → fingerprint over the full registered surface. Queries are
     * planned in sorted order — memoized shared frames (shingle sets,
@@ -80,12 +132,14 @@ object PlanFingerprints {
     spark.catalog.clearCache()
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, SfDir)
+      val aux = auxPlan(name, spark, SfDir)
       sys.env.get("GRAFT_FP_DUMP").foreach { d =>
         Files.createDirectories(Paths.get(d))
-        Files.writeString(Paths.get(d, s"$name.txt"),
-          normalize(df.queryExecution.explainString(ExplainMode.fromString("formatted"))))
+        // the dump IS the hash preimage (ADVICE r11): main plan + tag +
+        // aux kernel plan, byte-identical to what fingerprint() hashes
+        Files.writeString(Paths.get(d, s"$name.txt"), preimage(df, aux))
       }
-      name -> fingerprint(df, graft.queries.Graph.kernelAuxPlan(name, spark, SfDir))
+      name -> fingerprint(df, aux)
     }
   }
 

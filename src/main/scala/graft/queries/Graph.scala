@@ -44,7 +44,10 @@ object Graph {
     * adjacency.
     *
     * Driver budget at the ceiling, MEASURED (round 11,
-    * tools/ProbeCsrPack at a synthetic 128M-edge / 1M-node graph):
+    * tools/ProbeCsrPack 128 4 — a synthetic 128M-edge / 4M-node graph,
+    * the probe's documented gate-ceiling invocation; the 8 B-per-
+    * partition-distinct-src term scales with node count, so the node
+    * figure matters):
     * the pack collects primitive-packed per-partition blocks —
     * 4 B/edge of dst indexes + 8 B per partition-distinct src — and
     * retains the CSR at 4.2 B/edge, totaling 10.0 B/edge ≈ 1.28 GB of

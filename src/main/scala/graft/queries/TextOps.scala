@@ -1142,36 +1142,24 @@ object TextOps {
     // oracle's WHERE len(a) > 0 is equally vacuous in DuckDB), and the
     // pushed-down filter would re-run the regex-normalize+split in the
     // scan stage just to test a tautology
-    docs(s, dir)
+    // tiny fixtures arrive as ONE parquet row group, so the scan (and
+    // with it the regex normalize + split + passage build, the query's
+    // single biggest CPU block) would run on ONE core. Below the
+    // broadcast gate the raw text is at most ~2 MB — an exchange of it
+    // is ~free and buys 32-way passage building. Past the gate the
+    // fixture has many row groups and the repartition would only add an
+    // exchange of the full corpus text, so it stays out of the plan.
+    val base = docs(s, dir)
+    val scan =
+      if (parquetBytes(dir, "documents") <= PassageBroadcastGate)
+        base.repartition(col("doc_id")) else base
+    scan
       .select(col("doc_id"), split(norm, " ").as("a"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(a)/$P.0) as int) - 1)," +
           s" i -> array_join(slice(a, i*$P+1, $P), ' '))")).as(Seq("i", "ptext")))
       .withColumn("okey", col("doc_id") * 1048576L + col("i"))
   }
-
-  /** The exact first-occurrence table (ptext, first_okey) — ONE row per
-    * distinct passage text, its globally-first okey — q54's accounting
-    * frame (the per-doc dup accounting joins the fat passage stream
-    * against it on ptext). q54b no longer reads it (round 12): its rep
-    * frame is [[passageReps]], the same aggregation WITHOUT the ptext
-    * column but WITH the trigram sets, built in one pass. Memoized +
-    * persisted per (session, dir) so a session running q54 repeatedly
-    * pays the fat groupBy(ptext) exchange once; at 100 TB it is a
-    * shuffle output you'd keep anyway — every downstream stage of the
-    * Lee-et-al pipeline consumes it. */
-  private[graft] def passageFirsts(s: SparkSession, dir: String): DataFrame =
-    memo("passageFirsts", s, dir) {
-      // LAZY persist, deliberately: q54b consumes this in one final job
-      // (rep sets + accounting join), and an eager count() here would
-      // pay a whole extra job's scheduling for data the final job was
-      // about to compute anyway. Concurrent first-fill by two consumers
-      // in one job at worst double-computes a partition into the cache —
-      // cheap, and correct by idempotence.
-      passagesOf(s, dir)
-        .groupBy("ptext").agg(min(col("okey")).as("first_okey"))
-        .persist()
-    }
 
   /** Shared q54/q54b oracle CTE prefix: passages (p2, with okey and the
     * word array) and the exact first-occurrence table (f). */
@@ -1192,14 +1180,30 @@ object TextOps {
        |SELECT doc_id, count(*) AS n_pass, CAST(sum(dup) AS BIGINT) AS n_dup,
        |       ${croundSql("sum(dup) * 1.0e0 / count(*)")} AS dup_ratio
        |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-    val passages = passagesOf(s, dir)
-    val firsts = passages.groupBy("ptext").agg(min(col("okey")).as("first_okey"))
-    passages.join(firsts.hint("shuffle_hash"), "ptext")
+    // Round 12: the okey arithmetic q54b's accounting proved out — okey
+    // encodes its owning doc (okey div 2^20) and each distinct ptext
+    // contributes exactly ONE non-duplicate passage, at its first okey —
+    // applied to the exact-dup rollup itself: n_dup(doc) = n_pass(doc) −
+    // #(first okeys the doc owns), with n_pass a SCALAR of the document
+    // (ceil(#words/20)). The oracle's fat p2⋈f ptext equi-join (both
+    // engines' dominant cost) disappears entirely; the only corpus-scale
+    // exchange left is the [[passageReps]] groupBy — SHARED with q54b in
+    // any real session, so a pipeline running both pays it once.
+    val nullL = lit(null).cast("long")
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), size(split(norm, " ")).as("nw"))
       .select(col("doc_id"),
-        when(col("okey") === col("first_okey"), 0).otherwise(1).as("dup"))
+        expr("cast(ceil(nw / 20.0) as bigint)").as("n_pass"), nullL.as("rep"))
+    val repRows = passageReps(s, dir)
+      .select(expr("doc_id div 1048576").as("doc_id"),
+        nullL.as("n_pass"), lit(1L).as("rep"))
+    perDoc.unionByName(repRows)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pass"), sum(col("dup")).as("n_dup"),
-        cround(sum(col("dup")).cast("double") / count(lit(1))).as("dup_ratio"))
+      .agg(max(col("n_pass")).as("n_pass"), count(col("rep")).as("n_rep"))
+      .select(col("doc_id"), col("n_pass"),
+        (col("n_pass") - col("n_rep")).as("n_dup"))
+      .withColumn("dup_ratio",
+        cround(col("n_dup").cast("double") / col("n_pass")))
       .orderBy("doc_id")
   }
 
@@ -1218,10 +1222,12 @@ object TextOps {
     * min(okey), then the trigram projection over the ~|distinct| result
     * rows) instead of the round-11 firsts-persist → repSets-persist
     * chain — q54b paid two persisted frames and an extra stage boundary
-    * for data this single aggregation already had in hand. q54's
-    * accounting still joins on ptext and keeps its own [[passageFirsts]]
-    * memo (adding the trigram column THERE would tax q54 with hashing
-    * work only q54b needs). */
+    * for data this single aggregation already had in hand. SHARED with
+    * q54, whose exact-dup rollup needs only the per-doc first-okey
+    * counts (the okey arithmetic): a session running the full Lee-et-al
+    * pipeline pays the one fat groupBy(ptext) exchange once. The
+    * trigram column costs q54 ~0.4 executor-CPU-s at sf0.1 — noise next
+    * to the ptext join it replaced. */
   private[graft] def passageReps(s: SparkSession, dir: String): DataFrame =
     memo("q54b.reps", s, dir) {
       passagesOf(s, dir)
@@ -1313,21 +1319,34 @@ object TextOps {
     * kernels' broadcast lifecycle (released by resetCaches together
     * with the memoized frames). */
   private def trigramPartnerIndex(s: SparkSession, psets: DataFrame)
-      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Long]])] = {
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int], Array[Long])] = {
     import s.implicits._
     val reps = psets.select(col("doc_id"), col("n"), col("gs"))
       .as[(Long, Long, Array[Long])].collect()
-    val lists = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuilder.ofLong]()
+    // CSR layout (keys / offsets / flat interleaved [d, n, …]) instead
+    // of 230k tiny Array[Long] objects: three primitive arrays
+    // serialize in one block, probe with one pointer chase, and cost
+    // the driver zero per-entry headers. Two counting passes beat a
+    // builder-per-key map at this shape.
+    val keyList = new scala.collection.mutable.LongMap[Int]() // g -> slot
+    reps.foreach(r => r._3.foreach(g => keyList.getOrElseUpdate(g, keyList.size)))
+    val keys = keyList.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    val slot = new scala.collection.mutable.LongMap[Int](keys.length)
+    keys.indices.foreach(i => slot(keys(i)) = i)
+    val counts = new Array[Int](keys.length)
+    reps.foreach(r => r._3.foreach(g => counts(slot(g)) += 2))
+    val offsets = new Array[Int](keys.length + 1)
+    keys.indices.foreach(i => offsets(i + 1) = offsets(i) + counts(i))
+    val flat = new Array[Long](offsets(keys.length))
+    val cursor = offsets.clone()
     reps.foreach { case (d, n, gs) =>
       gs.foreach { g =>
-        val b = lists.getOrElseUpdate(g, new scala.collection.mutable.ArrayBuilder.ofLong)
-        b += d; b += n
+        val si = slot(g)
+        flat(cursor(si)) = d; flat(cursor(si) + 1) = n; cursor(si) += 2
       }
     }
-    val keys = lists.keysIterator.toArray
-    java.util.Arrays.sort(keys)
-    val vals = keys.map(g => lists(g).result())
-    Graph.track(s.sparkContext.broadcast((keys, vals)))
+    Graph.track(s.sparkContext.broadcast((keys, offsets, flat)))
   }
 
   private[graft] def countedPairsKernel(s: SparkSession, psets: DataFrame): DataFrame = {
@@ -1336,7 +1355,7 @@ object TextOps {
     psets.select(col("doc_id"), col("n"), col("gs"))
       .as[(Long, Long, Array[Long])]
       .mapPartitions { it =>
-        val (ks, vs) = bc.value
+        val (ks, offs, flat) = bc.value
         it.flatMap { case (d1, n1, gs) =>
           // d2 → (n2 << 32) | count; n ≤ 18 trigrams per 20-word
           // passage, so the packing has ~2^28 headroom
@@ -1345,13 +1364,13 @@ object TextOps {
           while (i < gs.length) {
             val gi = java.util.Arrays.binarySearch(ks, gs(i))
             if (gi >= 0) {
-              val lst = vs(gi)
-              var j = 0
-              while (j < lst.length) {
-                val d2 = lst(j)
+              var j = offs(gi)
+              val end = offs(gi + 1)
+              while (j < end) {
+                val d2 = flat(j)
                 if (d2 > d1) {
                   val cur = acc.getOrElse(d2, 0L)
-                  acc(d2) = if (cur == 0L) (lst(j + 1) << 32) | 1L else cur + 1L
+                  acc(d2) = if (cur == 0L) (flat(j + 1) << 32) | 1L else cur + 1L
                 }
                 j += 2
               }
@@ -1385,20 +1404,20 @@ object TextOps {
     psets.select(col("doc_id"), col("n"), col("gs"))
       .as[(Long, Long, Array[Long])]
       .mapPartitions { it =>
-        val (ks, vs) = bc.value
+        val (ks, offs, flat) = bc.value
         it.flatMap { case (r, n1, gs) =>
           val acc = new scala.collection.mutable.LongMap[Long]()
           var i = 0
           while (i < gs.length) {
             val gi = java.util.Arrays.binarySearch(ks, gs(i))
             if (gi >= 0) {
-              val lst = vs(gi)
-              var j = 0
-              while (j < lst.length) {
-                val d = lst(j)
+              var j = offs(gi)
+              val end = offs(gi + 1)
+              while (j < end) {
+                val d = flat(j)
                 if (d < r) {
                   val cur = acc.getOrElse(d, 0L)
-                  acc(d) = if (cur == 0L) (lst(j + 1) << 32) | 1L else cur + 1L
+                  acc(d) = if (cur == 0L) (flat(j + 1) << 32) | 1L else cur + 1L
                 }
                 j += 2
               }
@@ -1780,6 +1799,37 @@ object TextOps {
     merges.toSeq
   }
 
+  /** BPE's corpus-scale feeder: word frequencies split into symbol
+    * arrays — the ONE distributed pass both the driver-finish and the
+    * Iterate-loop merge learners consume (also the fingerprint aux plan
+    * for q69/q72, whose merge rules are driver-side state). */
+  private[graft] def bpeInitVocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(expr(s"regexp_extract_all($normExpr, '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+
+  /** Fingerprint feeder plans for this file's driver-eager stages
+    * (VERDICT r11 item 6 — a query whose heavy lifting happens before
+    * a driver-side collect would otherwise hash only its trivial
+    * post-collect plan): q37/q37b's clustering runs eagerly over the
+    * verified pair frame (labels return as a LocalRelation below the
+    * driver-finish gate), q69/q72's merge rules are a driver loop over
+    * the collected vocabulary. The object-land halves (union-find,
+    * local merge loop) have no plan to hash — DedupSpec/GoldenSpec
+    * equivalences pin those. */
+  private[graft] def fingerprintAuxPlan(name: String, s: SparkSession,
+      dir: String): Option[(String, DataFrame)] = name match {
+    case "q37_dup_clusters" | "q37b_cluster_reps" =>
+      Some(("connectedComponents over verified q25 jaccard pairs " +
+        "(contracted union-find, driver-finish gate)",
+        jaccardPairs(s, dir).select("d1", "d2")))
+    case "q69_bpe_merges" | "q72_bpe_encode" =>
+      Some(("bpe init vocab (corpus word-freq pass, collect gate)",
+        bpeInitVocab(s, dir)))
+    case _ => None
+  }
+
   private[graft] def bpeMergeRules(s: SparkSession, dir: String,
       maxMerges: Int = 12,
       driverFinishMax: Long = 1L << 20): Seq[(Int, String, String, Long)] = {
@@ -1793,11 +1843,7 @@ object TextOps {
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect().headOption
         .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
-    val init = docs(s, dir)
-      .select(explode(expr(s"regexp_extract_all($normExpr, '[a-z]+', 0)")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("syms"), col("freq"))
-      .persist()
+    val init = bpeInitVocab(s, dir).persist()
     // Size-gated driver finish (the q37 forest gate / IVF-centroid
     // exemption): after the one corpus-scale pass, the state is the
     // VOCABULARY table. When it fits the driver budget (~tens of MB at

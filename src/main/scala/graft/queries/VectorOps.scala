@@ -522,6 +522,33 @@ object VectorOps {
     * deterministic function of exact integers, the q62/q43 oracles
     * replay the full fit with `rounds` unrolled CTE blocks (the q69 BPE
     * unrolled-merge precedent). */
+  /** Fingerprint feeder plans for this file's driver-eager codebook
+    * fits (VERDICT r11 item 6): the kmeans / PQ fits collect a bounded
+    * seed/sample frame and iterate driver-side, so the returned query
+    * frames hash only the post-fit dataflow. These expose the Catalyst
+    * half each fit collects — scan + gridVec quantization (+ the PQ
+    * sample cap) — so a regression in the quantizer expression or the
+    * sample shape lands in the committed fingerprint. The exact-integer
+    * rounds themselves are replayed bit-for-bit by the DuckDB oracles,
+    * which is a stronger pin than any plan hash. */
+  private[graft] def fingerprintAuxPlan(name: String, s: SparkSession,
+      dir: String): Option[(String, DataFrame)] = {
+    def grid = emb(s, dir)
+      .select(col("vec_id"), gridVec(col("embedding")).as("vn"))
+      .orderBy("vec_id")
+    name match {
+      case "q43_ann_ivf" =>
+        Some(("fitKmeansGrid seed/assign sample over embeddings", grid))
+      case "q62_semdedup" =>
+        Some(("fitKmeansGrid shared coarse-quantizer sample", grid))
+      case "q79_pq_ann" =>
+        Some(("fitPq grid sample (vec_id order, 20k cap)", grid.limit(20000)))
+      case "q79b_ivf_pq" =>
+        Some(("fitKmeansGrid + fitPq grid samples", grid.limit(20000)))
+      case _ => None
+    }
+  }
+
   private[graft] def fitKmeansGrid(e: DataFrame, nlist: Int, rounds: Int): Array[Array[Long]] = {
     val q = e.select(col("vec_id"), gridVec(col("embedding")).as("vn"))
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(nlist).collect()

@@ -28,5 +28,24 @@ class PlanFingerprintSpec extends SparkSpec {
       s"plan fingerprints drifted — if intentional, regenerate via " +
         s"`sbt \"runMain graft.PlanFingerprints\"` and commit. " +
         s"missing=${missing.toSeq.sorted} stale=${stale.toSeq.sorted} changed=$changed")
+    // no two queries may share a fingerprint (VERDICT r11 item 6: the
+    // graph kernels once committed ONE identical hash — vacuous as a
+    // regression gate and blind to a cross-query mixup)
+    val dupes = current.groupBy(_._2).filter(_._2.size > 1)
+      .values.map(_.keys.toSeq.sorted).toSeq
+    assert(dupes.isEmpty, s"queries sharing a fingerprint: $dupes")
+  }
+
+  test("every driver-eager query hashes a feeder plan") {
+    // a query whose heavy lifting runs before a driver-side collect
+    // would otherwise hash only its trivial post-collect plan — the
+    // aux mechanism must cover the full eager list
+    val missing = PlanFingerprints.EagerQueries.filterNot(n =>
+      PlanFingerprints.auxPlan(n, spark, PlanFingerprints.SfDir).isDefined)
+    assert(missing.isEmpty, s"eager queries without an aux feeder plan: $missing")
+    // and the list itself must track the registry (a renamed query
+    // would silently drop out of the aux dispatch otherwise)
+    val unknown = PlanFingerprints.EagerQueries.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"EagerQueries names not in the registry: $unknown")
   }
 }

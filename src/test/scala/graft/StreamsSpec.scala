@@ -86,7 +86,11 @@ class StreamsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // must have been measured — a renamed/deleted test would otherwise
       // silently shrink the gate's denominator until the baseline is
       // deliberately refreshed alongside the change.
-      if (!gate.skipped && StreamsAudit.fullRun(expectedTests = 24))
+      // expected count derives from the suite's registered tests, not a
+      // literal (ADVICE r11: a deleted baseline-covered test would drop
+      // outcomes below the literal and silently skip this pin — the
+      // exact case the pin exists to catch)
+      if (!gate.skipped && StreamsAudit.fullRun(expectedTests = testNames.size))
         assert(gate.coveredTests == gate.baselineTests,
           s"full run covered ${gate.coveredTests} of ${gate.baselineTests} " +
             "baseline tests — refresh docs/streams_baseline.json with the " +

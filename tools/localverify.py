@@ -58,12 +58,19 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
             timer = None
+            done = []
             if cap:
-                timer = threading.Timer(cap, lambda: (hit.append(1), con.interrupt()))
+                # the lambda checks `done` so a timer that fires in the
+                # race window between statement completion and cancel()
+                # is a no-op instead of interrupting the NEXT query on
+                # the shared connection (spurious FAIL)
+                timer = threading.Timer(
+                    cap, lambda: None if done else (hit.append(1), con.interrupt()))
                 timer.start()
             try:
                 want = con.sql(oracle[name]).df()
             finally:
+                done.append(1)
                 if timer: timer.cancel()
         except Exception as e:
             if hit:
