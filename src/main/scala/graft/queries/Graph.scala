@@ -436,6 +436,23 @@ object Graph {
     * so the output plan ends in-cluster. A node that received no mail
     * is ABSENT from the oracle's generation (inner join semantics):
     * the kernel marks it NaN and its out-edges go silent next round. */
+  /** Primitive-packed collect of a two-column (Int, Long) frame — ONE
+    * (indexes, values) block per partition instead of n boxed Rows.
+    * The packCsr lesson applied to the per-round kernel merges
+    * (VERDICT r11 item 4, measured by tools/ProbeKernelMerge at the
+    * 4M-node NodeBroadcastLimit ceiling): the boxed Row collect cost
+    * ~505 B/node of transient driver heap (~2.0 GB per round; the
+    * typed Tuple2 collect was worse at ~683 B/node) against the
+    * 12 B/node the payload actually needs. */
+  private[graft] def collectPackedIntLong(df: DataFrame)
+      : Array[(Array[Int], Array[Long])] =
+    df.queryExecution.toRdd.mapPartitions { it =>
+      val is = new scala.collection.mutable.ArrayBuilder.ofInt
+      val vs = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r => is += r.getInt(0); vs += r.getLong(1) }
+      Iterator.single((is.result(), vs.result()))
+    }.collect()
+
   private def kernelRounds(s: SparkSession, ids: Array[Long], n: Long,
       partials: org.apache.spark.broadcast.Broadcast[Array[Double]] => DataFrame): DataFrame = {
     val tele = 0.15 / n
@@ -443,11 +460,16 @@ object Graph {
     var r = Array.fill(ids.length)(1.0 / n)
     for (_ <- 1 until Rounds) {
       val bR = s.sparkContext.broadcast(r)
-      val sums = partials(bR).groupBy("i").agg(sum(col("k")).as("sk")).collect()
+      val blocks = collectPackedIntLong(
+        partials(bR).groupBy("i").agg(sum(col("k")).as("sk")))
       val nr = Array.fill(ids.length)(Double.NaN)
-      sums.foreach { row =>
-        nr(row.getInt(0)) = math.floor(
-          (tele + Damping * (row.getLong(1).toDouble / scaleF)) * scaleF + 0.5) / scaleF
+      blocks.foreach { case (is, vs) =>
+        var j = 0
+        while (j < is.length) {
+          nr(is(j)) = math.floor(
+            (tele + Damping * (vs(j).toDouble / scaleF)) * scaleF + 0.5) / scaleF
+          j += 1
+        }
       }
       bR.destroy()
       r = nr
@@ -1171,10 +1193,16 @@ object Graph {
     var v = Array.tabulate(n)(init)
     for (_ <- 1 until 4) { // rounds 1-3: node-sized driver merges
       val bV = s.sparkContext.broadcast(v)
-      val merged = partials(bV).toDF("i", "v")
-        .groupBy("i").agg(min(col("v")).as("v")).as[(Int, Long)].collect()
+      // primitive-packed merge collect (see [[collectPackedIntLong]] —
+      // the typed Tuple2 collect this replaced measured ~683 B/node of
+      // transient driver heap at the 4M-node gate ceiling)
+      val blocks = collectPackedIntLong(partials(bV).toDF("i", "v")
+        .groupBy("i").agg(min(col("v")).as("v")))
       val nv = Array.fill(n)(Long.MaxValue)
-      merged.foreach { case (i, mv) => nv(i) = mv }
+      blocks.foreach { case (is, vs) =>
+        var j = 0
+        while (j < is.length) { nv(is(j)) = vs(j); j += 1 }
+      }
       bV.destroy()
       v = nv
     }

@@ -1069,11 +1069,16 @@ object Pipeline {
     // propagation subtrees run once
     val ek = trainDocs.join(keepers, "norm").select(col("doc_id"), col("keeper")).persist()
     val keeperIds = ek.filter(col("doc_id") === col("keeper")).select("doc_id")
-    // LSH-banded pair finder, not the PPJoin one: identical verified
-    // pair set (both hash the same oracle), ~10× less shuffle — the
-    // composed pipeline ships only (doc_id, verdict)-sized frames past
-    // the dedup stage instead of re-exchanging (doc_id, g) rows
-    val kEdges = TextOps.lshJaccardPairs(s, dir).select(col("d1"), col("d2"))
+    // EXACT pair finder (round 12): q71's oracle replays the exact
+    // brute-force pair set, and the q54b 30× episode proved 8×6 MinHash
+    // banding loses marginal jac≈τ pairs once the corpus mints them
+    // (p≈0.91 per pair) — so the composed pipeline's near-dup stage
+    // must be exact too. jaccardPairs IS q25's verified PPJoin frame,
+    // memoized: a session running the pipeline after q25/q37 reuses the
+    // already-persisted pairs instead of paying a second finder.
+    // Banding remains in the operators whose semantics are DECLARED
+    // approximate (q26's MinHash demo, q60's incremental dedup).
+    val kEdges = TextOps.jaccardPairs(s, dir).select(col("d1"), col("d2"))
       .join(keeperIds.select(col("doc_id").as("d1")), "d1")
       .join(keeperIds.select(col("doc_id").as("d2")), "d2")
       .select("d1", "d2")

@@ -1662,7 +1662,7 @@ object TextOps {
 
   /** Sources forming the "incoming batch" in q60 (the rest of the corpus
     * is the already-accepted snapshot). */
-  private val incomingSources = Seq("src18", "src19")
+  private[graft] val incomingSources = Seq("src18", "src19")
 
   /** Q60 — incremental near-dup deduplication: dedup an INCOMING batch
     * against an existing corpus snapshot (the crawl-over-crawl pattern —
