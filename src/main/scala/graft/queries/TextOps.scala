@@ -703,6 +703,13 @@ object TextOps {
     * LSH-banded finder is the documented default at that scale anyway. */
   private[graft] val SigBroadcastGate = 1000000L
 
+  /** Doc-count mark above which the LSH path's exact verify runs behind
+    * the BucketCountSig sift instead of the raw array attach — between
+    * the 30× fixture (150k docs, raw verify zero-spill) and the 100×
+    * fixture (500k docs, raw verify spilled 68.6 GB; sift-verified run
+    * in SCALE100X.md). Lossless either side. */
+  private[graft] val LshRawVerifyMax = 200000L
+
   private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // shingles() is memoized AND persisted per (session, dir) — all three
     // consumers here (df ranking, prefix window, verify docSets) plus any
@@ -804,12 +811,22 @@ object TextOps {
     * operator, q25/q37). */
   private[graft] def lshJaccardPairs(s: SparkSession, dir: String): DataFrame =
     memo("lshJaccardPairs", s, dir) {
-      val banded = bandedOfSets(shingleSets(s, dir))
+      val sets = shingleSets(s, dir)
+      val banded = bandedOfSets(sets)
       val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bh"))
         .join(banded.select(col("doc_id").as("d2"), col("band"), col("bh")), Seq("band", "bh"))
         .filter(col("d1") < col("d2"))
         .select("d1", "d2").distinct()
-      val out = rawJaccard(shingleSets(s, dir), cand).persist()
+      // Round 12 (100× campaign): above ~LshRawVerifyMax docs the band
+      // collisions mint enough near-miss candidates that the raw
+      // shingle-array attach spills — measured 68.6 GB at 500k docs,
+      // zero at 150k — while the LOSSLESS BucketCountSig sift kills
+      // them before any array moves (identical pair set by the Σ-min
+      // soundness bound, the q25 machinery). Below the mark the two
+      // extra sift joins are pure overhead on a spill-free plan.
+      val verified = if (sets.count() <= LshRawVerifyMax)
+        rawJaccard(sets, cand) else siftedJaccard(sets, cand)
+      val out = verified.persist()
       out.count()
       out
     }
