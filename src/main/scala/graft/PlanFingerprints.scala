@@ -84,6 +84,7 @@ object PlanFingerprints {
   val EagerQueries: Seq[String] = Seq(
     "q85_pagerank", "q85b_weighted_pagerank", "q88_triangles", "q90_sssp",
     "q98_label_prop", "q37_dup_clusters", "q37b_cluster_reps",
+    "q71_curate_corpus",
     "q69_bpe_merges", "q72_bpe_encode", "q43_ann_ivf", "q62_semdedup",
     "q79_pq_ann", "q79b_ivf_pq")
 

@@ -1837,7 +1837,11 @@ object TextOps {
     * equivalences pin those. */
   private[graft] def fingerprintAuxPlan(name: String, s: SparkSession,
       dir: String): Option[(String, DataFrame)] = name match {
-    case "q37_dup_clusters" | "q37b_cluster_reps" =>
+    case "q37_dup_clusters" | "q37b_cluster_reps" | "q71_curate_corpus" =>
+      // q71 joined the list in round 12: its near-dup stage (exact pair
+      // frame + connectedComponents) executes eagerly during plan
+      // construction, so the labels enter q71's own plan as a
+      // LocalRelation and the finder was invisible to the fingerprint
       Some(("connectedComponents over verified q25 jaccard pairs " +
         "(contracted union-find, driver-finish gate)",
         jaccardPairs(s, dir).select("d1", "d2")))
