@@ -202,8 +202,13 @@ object Bench {
     * query incremental over the frames the warmer builds. Accounting
     * (BASELINE.md): q37/q37b ride q25's pair pipeline (q25's own number
     * IS the pipeline's full cost — a session's memo makes the second
-    * consumer free, which is exactly how a user pays); q71 rides q26's
-    * LSH pair finder the same way; q85/q90/q98 ride the memoized
+    * consumer free, which is exactly how a user pays); q71 rides the
+    * SAME exact pair frame (round 13: its near-dup stage switched from
+    * the LSH finder to q25's exact jaccardPairs in round 12, but the
+    * prewarm still built the orphaned LSH frame — so the timed q71 paid
+    * the full exact pair build ON TOP of an unused LSH build; at 100×
+    * that mis-accounting was 316.8 s of q71's 353.3 s wall, all of it
+    * q25's own declared cost); q85/q90/q98 ride the memoized
     * co-purchase edge frame whose full build cost is carried by
     * q88 — the designated carrier, which does NOT prewarm and pays the
     * build standalone (round 9; its DuckDB counterpart also rebuilds
@@ -215,7 +220,7 @@ object Bench {
   private val prewarm: Map[String, (SparkSession, String) => Unit] = Map(
     "q37_dup_clusters" -> ((s, d) => { graft.queries.TextOps.jaccardPairs(s, d); () }),
     "q37b_cluster_reps" -> ((s, d) => { graft.queries.TextOps.jaccardPairs(s, d); () }),
-    "q71_curate_corpus" -> ((s, d) => { graft.queries.TextOps.lshJaccardPairs(s, d); () }),
+    "q71_curate_corpus" -> ((s, d) => { graft.queries.TextOps.jaccardPairs(s, d); () }),
     // round 9: q88 is the graph family's designated COST CARRIER — its
     // number includes the shared co-purchase edge-frame build (and its
     // DuckDB counterpart likewise rebuilds the edges in-statement, so
@@ -225,6 +230,20 @@ object Bench {
     "q85_pagerank" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }),
     "q90_sssp" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }),
     "q98_label_prop" -> ((s, d) => { graft.queries.Graph.coPurchaseEdges(s, d); () }))
+
+  /** Which timed query CARRIES the shared frame each incremental query
+    * rides (emitted as `cost_carriers` in the artifact): an incremental
+    * query's COMPOSED-COLD wall — what a session running it alone would
+    * pay — is bounded by its own wall + its carrier's wall, computable
+    * in place by any artifact reader instead of via prose in
+    * BASELINE.md. */
+  private val carrier: Map[String, String] = Map(
+    "q37_dup_clusters" -> "q25_jaccard_neardup",
+    "q37b_cluster_reps" -> "q25_jaccard_neardup",
+    "q71_curate_corpus" -> "q25_jaccard_neardup",
+    "q85_pagerank" -> "q88_triangles",
+    "q90_sssp" -> "q88_triangles",
+    "q98_label_prop" -> "q88_triangles")
 
   private[graft] final case class Timed(name: String, secs: Double, spill: Long,
     shuffle: Long, peakMem: Long, cpuSec: Double, gcSec: Double, load: Double,
@@ -399,8 +418,9 @@ object Bench {
                 attemptSecs(name) = Vector(first.secs, s.secs)
                 if (s.secs < first.secs) s else first
               case None =>
-                // -1.0 sentinel: the re-attempt ERRORED; without it a
-                // name in `retried` would show a single wall and the
+                // -1.0 marks an ERRORED re-attempt in the in-memory
+                // history (serialized as JSON null); without it a name
+                // in `retried` would show a single wall and the
                 // full-history claim the artifact rests on breaks
                 attemptSecs(name) = Vector(first.secs, -1.0)
                 first
@@ -467,6 +487,12 @@ object Bench {
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val incr = prewarm.keys.filter(selected.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val carriers = carrier.view.filterKeys(selected.contains)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    // an errored attempt is JSON null, not a -1.0 sentinel a downstream
+    // min/mean over the wall history would silently absorb (ADVICE r12)
+    def walls(v: Vector[Double]): String =
+      v.map(x => if (x < 0) "null" else x.toString).mkString("[", ",", "]")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.size},""" +
       s""""queries":${obj(_.secs)},"spill_bytes":${obj(_.spill)},""" +
       s""""shuffle_bytes":${obj(_.shuffle)},"peak_mem_bytes":${obj(_.peakMem)},""" +
@@ -481,9 +507,10 @@ object Bench {
       s""""cpu_inflation":${obj(r => r3(r.cpuInflation))},""" +
       s""""jvm_degraded":${obj(_.jvmDegraded)},""" +
       s""""n_jvm_degraded":${results.count(_.jvmDegraded)},"incremental":$incr,""" +
+      s""""cost_carriers":$carriers,""" +
       s""""retried":${retried.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")},""" +
       s""""attempt_secs":${attemptSecs.collect { case (k, v) if v.size > 1 =>
-        s""""$k":${v.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")},""" +
+        s""""$k":${walls(v)}""" }.mkString("{", ",", "}")},""" +
       s""""n_retried":${retried.size},""" +
       s""""swept":${swept.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")},""" +
       s""""n_swept":${swept.size},""" +

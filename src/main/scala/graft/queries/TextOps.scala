@@ -148,7 +148,7 @@ object TextOps {
     * avg_tok_len, stop_ratio, all unrounded) — the single source of truth
     * for q22 scoring and q63 curation, so the two can't drift. Pure
     * per-row maps, no shuffle. */
-  private def qualitySignals(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def qualitySignals(s: SparkSession, dir: String): DataFrame = {
     val p = docs(s, dir).select(col("doc_id"), col("source"), norm.as("norm"),
       concat(lit(" "), norm, lit(" ")).as("padded"))
     val stopHits = expr(Seq("the", "a", "of", "and").map(hitsExpr).mkString(" + "))
@@ -162,7 +162,7 @@ object TextOps {
 
   /** Composite quality in [0,1] over [[qualitySignals]] columns,
     * canonically rounded so rank ties are engine-stable. */
-  private def qualityCol: Column =
+  private[graft] def qualityCol: Column =
     cround(lit(0.4) * least(lit(1.0), col("n_tok") / 100.0)
       + lit(0.3) * least(lit(1.0), col("avg_tok_len") / 8.0)
       + lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0))
@@ -355,6 +355,9 @@ object TextOps {
       rddCache.values.foreach(_.unpersist(blocking = false))
       rddCache.clear()
     }
+    // forget the q54b partner-index broadcast handle; its DESTRUCTION
+    // rides destroyTrackedBroadcasts below (it is Graph.track'd)
+    partnerIdxCache.synchronized(partnerIdxCache.clear())
     // the graph kernels' node/edge-sized broadcasts share the memo
     // lifecycle (ADVICE r10: a long-lived session otherwise accumulates
     // them until ContextCleaner GC)
@@ -1166,7 +1169,13 @@ object TextOps {
     // is ~free and buys 32-way passage building. Past the gate the
     // fixture has many row groups and the repartition would only add an
     // exchange of the full corpus text, so it stays out of the plan.
-    val base = docs(s, dir)
+    // text IS NOT NULL: a null-text doc has no passages on either engine
+    // (the oracle's inner join from p2 omits it), but without the guard
+    // the per-doc accounting frames in q54/q54b would emit it with null
+    // n_pass — a row-count divergence. The filter is on the RAW column
+    // (parquet-pushable null check, no regex re-run); fixtures happen to
+    // never mint null text, so this is belt-and-braces for real corpora.
+    val base = docs(s, dir).filter(col("text").isNotNull)
     val scan =
       if (parquetBytes(dir, "documents") <= PassageBroadcastGate)
         base.repartition(col("doc_id")) else base
@@ -1207,7 +1216,10 @@ object TextOps {
     // exchange left is the [[passageReps]] groupBy — SHARED with q54b in
     // any real session, so a pipeline running both pays it once.
     val nullL = lit(null).cast("long")
-    val perDoc = docs(s, dir)
+    // text IS NOT NULL mirrors passagesOf's guard: the oracle's inner
+    // join omits null-text docs entirely, so the scalar n_pass side
+    // must too (raw-column null check, no regex re-run)
+    val perDoc = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), size(split(norm, " ")).as("nw"))
       .select(col("doc_id"),
         expr("cast(ceil(nw / 20.0) as bigint)").as("n_pass"), nullL.as("rep"))
@@ -1335,7 +1347,21 @@ object TextOps {
     * array — binary-search probes, zero boxing. Shares the graph
     * kernels' broadcast lifecycle (released by resetCaches together
     * with the memoized frames). */
-  private def trigramPartnerIndex(s: SparkSession, psets: DataFrame)
+  private val partnerIdxCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int], Array[Long])]]
+
+  /** Memoized per (session, dir) like the q54b.reps frame it derives
+    * from (ADVICE r12: the eager collect + broadcast ran on EVERY q54b
+    * plan construction, accumulating tracked broadcasts until
+    * resetCaches); destruction rides the tracked-broadcast lifecycle,
+    * the map is forgotten in the same [[resetCaches]] call. */
+  private def trigramPartnerIndex(s: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int], Array[Long])] =
+    partnerIdxCache.synchronized(partnerIdxCache.getOrElseUpdate((s, dir),
+      buildTrigramPartnerIndex(s, passageRepSets(s, dir))))
+
+  private def buildTrigramPartnerIndex(s: SparkSession, psets: DataFrame)
       : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Int], Array[Long])] = {
     import s.implicits._
     val reps = psets.select(col("doc_id"), col("n"), col("gs"))
@@ -1366,9 +1392,10 @@ object TextOps {
     Graph.track(s.sparkContext.broadcast((keys, offsets, flat)))
   }
 
-  private[graft] def countedPairsKernel(s: SparkSession, psets: DataFrame): DataFrame = {
+  private[graft] def countedPairsKernel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = trigramPartnerIndex(s, psets)
+    val psets = passageRepSets(s, dir)
+    val bc = trigramPartnerIndex(s, dir)
     psets.select(col("doc_id"), col("n"), col("gs"))
       .as[(Long, Long, Array[Long])]
       .mapPartitions { it =>
@@ -1415,9 +1442,10 @@ object TextOps {
     * instead of d > r), answering q54b's actual question ("is this rep
     * dominated?") directly. Equality with the pair route is pinned by
     * DedupSpec (flags ≡ distinct d2 of the pairs frame). */
-  private[graft] def nearDupRepsKernel(s: SparkSession, psets: DataFrame): DataFrame = {
+  private[graft] def nearDupRepsKernel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = trigramPartnerIndex(s, psets)
+    val psets = passageRepSets(s, dir)
+    val bc = trigramPartnerIndex(s, dir)
     psets.select(col("doc_id"), col("n"), col("gs"))
       .as[(Long, Long, Array[Long])]
       .mapPartitions { it =>
@@ -1463,7 +1491,7 @@ object TextOps {
       val psets = passageRepSets(s, dir)
       val docBytes = parquetBytes(dir, "documents")
       if (!forcePpjoin && !forceCountShuffle && docBytes <= PassageBroadcastGate) {
-        countedPairsKernel(s, psets)
+        countedPairsKernel(s, dir)
       } else if (!forcePpjoin && docBytes <= PassageCountJoinGate) {
         // counted join: gs holds DISTINCT trigram hashes per rep, so the
         // per-pair row count of the shared-trigram self-join IS |A∩B|;
@@ -1552,8 +1580,9 @@ object TextOps {
     // the oracle's len(a) > 0 guard is vacuous on BOTH engines
     // (string_split of "" yields [""], so every doc has ≥1 "word") —
     // dropping it here saves a second regex-normalize+split pass the
-    // pushed-down filter would otherwise pay in the scan stage
-    val perDoc = docs(s, dir)
+    // pushed-down filter would otherwise pay in the scan stage. The
+    // text IS NOT NULL guard is NOT vacuous (q54's note) and stays.
+    val perDoc = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), size(split(norm, " ")).as("nw"))
       .select(col("doc_id"),
         expr("cast(ceil(nw / 20.0) as bigint)").as("n_pass"),
@@ -1568,7 +1597,7 @@ object TextOps {
     // inflating the 20k-row union into an Expand.
     val ndDistinct =
       if (parquetBytes(dir, "documents") <= PassageBroadcastGate)
-        nearDupRepsKernel(s, passageRepSets(s, dir))
+        nearDupRepsKernel(s, dir)
       else passageNearDupPairs(s, dir).select(col("d2").as("nd_okey")).distinct()
     val ndRows = ndDistinct
       .select(expr("nd_okey div 1048576").as("doc_id"),

@@ -44,10 +44,10 @@ object ProbeQ54bParts {
           .select(expr("doc_id div 1048576").as("doc_id")))
       }
       timed("ndKernel_hot") {
-        noop(TextOps.nearDupRepsKernel(spark, TextOps.passageRepSets(spark, dir)))
+        noop(TextOps.nearDupRepsKernel(spark, dir))
       }
       timed("pairsKernel_hot") {
-        noop(TextOps.countedPairsKernel(spark, TextOps.passageRepSets(spark, dir)))
+        noop(TextOps.countedPairsKernel(spark, dir))
       }
       timed("full_hotcache") { noop(TextOps.q54b_passage_neardup.fn(spark, dir)) }
       timed("full_again") { noop(TextOps.q54b_passage_neardup.fn(spark, dir)) }

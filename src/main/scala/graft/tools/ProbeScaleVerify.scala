@@ -29,6 +29,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object ProbeScaleVerify {
 
+  /** Stride-sampled exact truth for q46's completeness side: sampled
+    * vec_ids that HAVE an earlier τ-neighbor (so must appear in the
+    * exact drop list). Independent broadcast-join plan, ~200 probes. */
+  private def hasEarlierDup46(e: org.apache.spark.sql.DataFrame,
+      dot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      tau: Double): Set[Long] = {
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val stride = math.max(1, ids.length / 200)
+    val sample = ids.indices.by(stride).map(ids).toArray
+    val sDf = e.filter(col("vec_id").isin(sample: _*))
+      .select(col("vec_id").as("sid"), col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+    e.join(broadcast(sDf), col("vec_id") < col("sid"))
+      .select(col("sid"), (dot(col("embedding"), col("s_emb")) / (col("nrm") * col("s_nrm"))).as("cos"))
+      .filter(col("cos") >= tau).select("sid").distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaleall10")
     // label the artifact rows with the fixture actually read (round 11:
@@ -68,6 +85,12 @@ object ProbeScaleVerify {
     }
     recallOf("q79_pq_ann", 0.8)
     recallOf("q79b_ivf_pq", 0.7)
+    // round 13 (VERDICT r12 item 4): q30 was the last ANN statement with
+    // no at-scale recall row — same exact-top-5 ground truth, DedupSpec's
+    // sf0.01 floor (the 30×/100× replicas' near-copy neighbors sit at
+    // cos≈1 where sign-LSH selectivity is far better than the fixture's
+    // 0.27-0.39 design point, so the measured value should exceed it)
+    recallOf("q30_ann_lsh", 0.78)
 
     // ── q62 soundness: brute-force every reported dup row ──
     val tau = VectorOps.EmbedDupTau
@@ -111,6 +134,40 @@ object ProbeScaleVerify {
     println(s"""{"check":"q62_completeness@$fix","sampled":${sample.length},""" +
       s""""with_exact_dup":${hasEarlierDup.size},"found_by_q62":$found,""" +
       s""""recall":$recall,"floor":0.5,"ok":$ok}""")
+
+    // ── q46 at scale: EXACT drop-list, soundness + sampled completeness ──
+    // (round 13: q46's 30×/100× vector counts sit on the brute-force
+    // side of BruteForceBroadcastLimit, so unlike q62 the semantics here
+    // are exact — both floors are hard: zero unsound rows, sampled
+    // completeness 1.0. Recompute uses the independent broadcast-join
+    // plan, not the gated cosinePairs generator under test.)
+    {
+      val tau46 = VectorOps.EmbedDupTau
+      val rep46 = graft.SparkEntry.queries("q46_embed_dedup")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val ids46 = rep46.map(_._1)
+      val set46 = ids46.toSet
+      val repDf = e.filter(col("vec_id").isin(ids46: _*))
+        .select(col("vec_id").as("rid"), col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
+      val prof46 = e.join(broadcast(repDf), col("vec_id") < col("rid"))
+        .select(col("rid"), (dot(col("embedding"), col("r_emb")) / (col("nrm") * col("r_nrm"))).as("cos"))
+        .filter(col("cos") >= tau46)
+        .groupBy("rid").agg(count(lit(1)).as("n_exact"), max(col("cos")).as("best_exact"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val bad46 = rep46.filter { case (id, nDups, bestCos) =>
+        prof46.get(id) match {
+          case None => true
+          case Some((nExact, bestExact)) =>
+            nDups != nExact ||
+              math.abs(bestCos - math.floor(bestExact * 10000 + 0.5) / 10000) > 1e-9
+        }
+      }
+      val missing46 = hasEarlierDup46(e, dot, tau46) -- set46
+      val ok46 = bad46.isEmpty && missing46.isEmpty
+      if (!ok46) failures += 1
+      println(s"""{"check":"q46_exact_sound_complete@$fix","n_reported":${rep46.length},""" +
+        s""""n_unsound":${bad46.length},"sampled_missing":${missing46.size},"ok":$ok46}""")
+    }
 
     // ── q85 at scale: kernel ≡ rank-shuffle dataflow, bitwise ──
     // (GraphSpec pins this at sf0.001; this is the same equivalence on
@@ -160,6 +217,33 @@ object ProbeScaleVerify {
     println(s"""{"check":"q37_gate_vs_loop@$fix","n_pairs":$nPairs,""" +
       s""""n_labeled":${gateMap.size},"gate_rounds":$gateRounds,"ok":$ccOk}""")
 
+    // ── q37b at scale: rep selection ≡ independent recompute ──
+    // (round 13: labels from the DISTRIBUTED loop — not the gated
+    // driver finish under test above — and the representative choice
+    // via a groupBy max(struct) argmax instead of the production
+    // window row_number; quality is the same q22 signal both engines
+    // hash-matched at 30×. Any gate/window/tie-break slip diverges.)
+    {
+      val (loopLabels, _) = TextOps.connectedComponents(pairs, driverFinishMax = 0L)
+      val quality = TextOps.qualitySignals(spark, dir)
+        .select(col("doc_id"), TextOps.qualityCol.as("quality"))
+      val truth37b = loopLabels
+        .select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
+        .join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("quality"), (-col("doc_id")).as("ng"))).as("top"))
+        .select(col("cluster_id"), (-col("top.ng")).as("rep_doc"),
+          col("top.quality").as("rep_quality"), col("n_docs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val got37b = graft.SparkEntry.queries("q37b_cluster_reps")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val ok37b = got37b == truth37b && got37b.nonEmpty
+      if (!ok37b) failures += 1
+      println(s"""{"check":"q37b_reps_vs_recompute@$fix","n_clusters":${got37b.size},""" +
+        s""""equal":${got37b == truth37b},"ok":$ok37b}""")
+    }
+
     // ── banded finder recall vs the exact PPJoin frame (q26's floor; ──
     // q71 consumes the exact frame since round 12, so a miss here costs
     // only the declared-approximate MinHash demo)
@@ -176,6 +260,45 @@ object ProbeScaleVerify {
     println(s"""{"check":"q26_band_recall@$fix","n_exact":${exactPairs.size},""" +
       s""""n_missed":${missed.size},"n_extra":${extras.size},""" +
       s""""recall":$bandRecall,"floor":0.9,"ok":$bandOk}""")
+
+    // ── q27 at scale: chunk-join completeness + hamming soundness ──
+    // (round 13: q27's candidates come from the 4×16-bit chunk banding,
+    // pigeonhole-EXACT for hamming ≤ 3 given the signatures — so both
+    // floors are hard: every reported pair's hamming re-derived from
+    // the signature XOR, and a stride-sampled brute-force sweep finds
+    // NO pair the chunk join missed. The signature expression itself is
+    // pinned bitwise by SimHashSpec against the DuckDB bit-by-bit
+    // oracle at sf0.01/sf0.1; at scale the risk is the banding join,
+    // which is what this probes.)
+    {
+      val sigs = TextOps.simhashSignatures(spark, dir)
+      val rep27 = graft.SparkEntry.queries("q27_simhash")(spark, dir).persist()
+      val nRep27 = rep27.count()
+      val nBadHam = rep27
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+        .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) =!= col("hamming")
+          || col("hamming") > 3)
+        .count()
+      val sigIds = sigs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      val stride27 = math.max(1, sigIds.length / 200)
+      val sample27 = sigIds.indices.by(stride27).map(sigIds).toArray
+      val sDf = sigs.filter(col("doc_id").isin(sample27: _*))
+        .select(col("doc_id").as("sid"), col("sig").as("s_sig"))
+      val truth27 = sigs.join(broadcast(sDf), col("doc_id") =!= col("sid"))
+        .filter(bit_count(col("sig").bitwiseXOR(col("s_sig"))) <= 3)
+        .select(least(col("doc_id"), col("sid")).as("d1"),
+          greatest(col("doc_id"), col("sid")).as("d2"))
+        .distinct()
+      val nTruth27 = truth27.count()
+      val nMissed27 = truth27.join(rep27, Seq("d1", "d2"), "left_anti").count()
+      rep27.unpersist()
+      val ok27 = nBadHam == 0 && nMissed27 == 0
+      if (!ok27) failures += 1
+      println(s"""{"check":"q27_sound_complete@$fix","n_pairs":$nRep27,""" +
+        s""""n_bad_hamming":$nBadHam,"sample_true_pairs":$nTruth27,""" +
+        s""""n_missed":$nMissed27,"ok":$ok27}""")
+    }
 
     // ── q60 at scale: dropped-doc soundness (exact) + completeness ──
     // soundness: every incoming doc q60 DROPPED must have a valid

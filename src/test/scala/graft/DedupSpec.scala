@@ -101,6 +101,24 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain near-dup passage reps")
   }
 
+  test("q54b flags kernel equals the distinct d2 of the pair frame, non-vacuously") {
+    // nearDupRepsKernel answers q54b's accounting question DIRECTLY
+    // ("is this rep dominated by an earlier one?") without ever
+    // materializing pairs — so a wrong flag set that happened to
+    // preserve per-doc counts would slip past the q54b oracle rollup.
+    // Pin the flag set itself against the pair route (ADVICE r12: the
+    // kernel's scaladoc claimed this test existed; now it does).
+    // forceCountShuffle: the comparison pair frame must NOT share the
+    // kernel's broadcast partner index, or a bug in the index itself
+    // would cancel out of the equality
+    val flags = TextOps.nearDupRepsKernel(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val viaPairs = TextOps.passageNearDupPairs(spark, dir, forceCountShuffle = true)
+      .select("d2").distinct().collect().map(_.getLong(0)).toSet
+    assert(flags == viaPairs)
+    assert(flags.nonEmpty, "fixture should contain dominated passage reps")
+  }
+
   test("q54b all three exact tiers agree pair-for-pair: kernel ≡ shuffle-counted ≡ PPJoin") {
     // round 12: three gate tiers, all EXACT by construction — the
     // broadcast kernel (default below PassageBroadcastGate), the

@@ -57,21 +57,24 @@ def main():
         hit = []
         try:
             got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            # per-oracle CURSOR (own connection, shared catalog): a timer
+            # that fires in the race window after statement completion
+            # interrupts only this abandoned cursor, never the next
+            # statement — the done-flag alone narrowed but could not
+            # close that window (ADVICE r12)
+            cur = con.cursor()
             timer = None
             done = []
             if cap:
-                # the lambda checks `done` so a timer that fires in the
-                # race window between statement completion and cancel()
-                # is a no-op instead of interrupting the NEXT query on
-                # the shared connection (spurious FAIL)
                 timer = threading.Timer(
-                    cap, lambda: None if done else (hit.append(1), con.interrupt()))
+                    cap, lambda: None if done else (hit.append(1), cur.interrupt()))
                 timer.start()
             try:
-                want = con.sql(oracle[name]).df()
+                want = cur.sql(oracle[name]).df()
             finally:
                 done.append(1)
                 if timer: timer.cancel()
+                cur.close()
         except Exception as e:
             if hit:
                 print(f"TIMEOUT {name}: oracle exceeded {cap:.0f}s (not comparable)")
