@@ -55,8 +55,17 @@ object Relational {
        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
+    // spreadScan: the per-row decimal casts + 7-way partial aggregation
+    // dominate this query (measured: scan 0.19 s, dsum agg 1.51 s serial
+    // vs 0.70 s spread at sf0.1 — ProbeDsum); on a one-split file they
+    // all run on one core. Exact decimal sums are partition-invariant,
+    // so the spread cannot move a bit of the result.
+    spreadScan(s, dir, "lineitem",
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"),
+      col("l_extendedprice"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -253,7 +262,13 @@ object Relational {
        |FROM lineitem
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""") { (s, dir) =>
-    t(s, dir, "lineitem")
+    // spreadScan: the rollup's 3-way Expand + decimal partial aggregation
+    // run in the scan stage — serial on a one-split file (q02's measured
+    // dsum cost ×3 expansion); exact sums/counts are partition-invariant.
+    spreadScan(s, dir, "lineitem",
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+      col("l_extendedprice"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_price"),

@@ -71,7 +71,15 @@ object Relational2 {
        |FROM lineitem
        |GROUP BY CUBE(l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""") { (s, dir) =>
-    t(s, dir, "lineitem")
+    // spreadScan: the cube's 4-way Expand + decimal partial aggregation
+    // run in the scan stage — serial on a one-split file (q11's note);
+    // exact sums/counts are partition-invariant. The near-unique price
+    // rides along as the spread key only (l_quantity has ~50 distinct
+    // values — hashing on it would leave partitions empty, guide §2.5).
+    spreadScan(s, dir, "lineitem",
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+      col("l_extendedprice"))
       .cube("l_returnflag", "l_linestatus")
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(

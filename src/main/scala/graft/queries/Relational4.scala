@@ -87,7 +87,13 @@ object Relational4 {
        |FROM lineitem
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
        |ORDER BY returnflag, linestatus""") { (s, dir) =>
-    t(s, dir, "lineitem")
+    // spreadScan: the grouping-sets Expand + decimal partial aggregation
+    // run in the scan stage — serial on a one-split file (q11's note);
+    // exact sums/counts are partition-invariant.
+    spreadScan(s, dir, "lineitem",
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+      col("l_extendedprice"))
       .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"),
@@ -162,8 +168,16 @@ object Relational4 {
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, measure""") { (s, dir) =>
-    t(s, dir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+    // spreadScan: the unpivot Expand triples the rows INSIDE the scan
+    // stage, and on a one-split file one task then sorts/ships 3n rows
+    // into the range exchange; spreading the pre-Expand rows parallelizes
+    // both. Row-multiplying ops, not aggregates — the total ORDER BY on
+    // the unique (orderkey, linenumber, measure) key pins the output
+    // regardless of partitioning.
+    spreadScan(s, dir, "lineitem",
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+      col("l_orderkey"))
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),

@@ -59,4 +59,39 @@ package object queries {
 
   def davgSql(expr: String, scale: Int = 2): String =
     croundSql(s"CAST(sum(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE) / count(*)")
+
+  /** Byte size of one table's parquet (file or directory) — a gate
+    * input decidable from filesystem metadata alone, before any job
+    * runs (shared by [[spreadScan]]; same pattern as TextOps' private
+    * copy and the q85b parquet-metadata gate). */
+  private[queries] def tableBytes(dir: String, table: String): Long = {
+    def sizeOf(p: java.io.File): Long =
+      if (p.isDirectory) Option(p.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else p.length()
+    sizeOf(new java.io.File(s"$dir/$table.parquet"))
+  }
+
+  /** Spread a narrow projection across the cluster when the source scan
+    * cannot (optimization guide §2.5, "input skew: one huge unsplittable
+    * file — repartition immediately after the read"): parquet cannot
+    * split a row group, so a table whose whole file fits in ONE scan
+    * split (bytes ≤ spark.sql.files.maxPartitionBytes) serializes every
+    * downstream per-row cost — Expand, decimal casts, partial
+    * aggregation — onto one core. Below that gate, hash-repartition the
+    * (already filtered + projected) rows on a near-unique column: one
+    * narrow exchange buys full-width parallelism for the expensive
+    * per-row work. Past the gate — the 100 TB shape, where the scan
+    * yields many splits — the plan is UNCHANGED: the gate reads file
+    * metadata only, so production never pays the exchange. Hash, not
+    * round-robin: no sort-before-repartition pass, and the row→partition
+    * map is deterministic under task retry (guide §2.5's SPARK-38388
+    * caveat). Callers must only aggregate partition-order-invariant
+    * measures above it (exact decimal sums, counts, min/max) — never
+    * raw double sums. */
+  private[queries] def spreadScan(s: SparkSession, dir: String, table: String,
+      df: DataFrame, key: Column): DataFrame = {
+    val oneSplit = tableBytes(dir, table) <=
+      s.sessionState.conf.filesMaxPartitionBytes
+    if (oneSplit) df.repartition(s.sparkContext.defaultParallelism, key) else df
+  }
 }
