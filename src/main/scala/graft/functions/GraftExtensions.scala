@@ -125,5 +125,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_sorted_intersect expects exactly 2 arguments, got ${children.length}")
         SortedLongIntersect(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc_dot"),
+      new ExpressionInfo(classOf[AdcDot].getName, "graft_adc_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_adc_dot expects exactly 3 arguments, got ${children.length}")
+        AdcDot(children.head, children(1), children(2))
+      }))
   }
 }

@@ -287,7 +287,7 @@ object VectorOps {
     val nlist = 16
     val nprobe = 2
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cents = fitKmeansGrid(e, nlist, rounds = 3)
+    val cents = fitKmeansGrid(e, nlist, rounds = 3, tableBytes(dir, "embeddings"))
     // symmetric multi-probe: each vector indexes under its nprobe nearest
     // cells, so a borderline pair straddling a Voronoi boundary still
     // shares a cell — 2× the index rows, ~4× the candidate volume, still
@@ -549,8 +549,20 @@ object VectorOps {
     }
   }
 
-  private[graft] def fitKmeansGrid(e: DataFrame, nlist: Int, rounds: Int): Array[Array[Long]] = {
+  /** Parquet-bytes gate for [[fitKmeansGrid]]'s driver-side Lloyd rounds:
+    * below it the grid vectors collect ONCE (~64 MB parquet ≈ 220k
+    * 64-dim vectors ≈ 120 MB of longs on the driver — model-fit scale,
+    * the fitPq/FAISS posture) and the rounds run in driver threads; past
+    * it the distributed rounds stand unchanged. The driver path removes
+    * 3 rounds × (assign + posexplode + groupBy + collect) of sequential
+    * stage barriers from q43/q62/q79b's wall (measured ~0.3 s/round of
+    * pure scheduling at sf0.1 against ~2 ms of arithmetic). */
+  private[graft] val KmeansDriverFitGate = 64L << 20
+
+  private[graft] def fitKmeansGrid(e: DataFrame, nlist: Int, rounds: Int,
+      embBytes: Long = Long.MaxValue): Array[Array[Long]] = {
     val q = e.select(col("vec_id"), gridVec(col("embedding")).as("vn"))
+    if (embBytes <= KmeansDriverFitGate) return fitKmeansGridDriver(q, nlist, rounds)
     var cents: Array[Array[Long]] = q.orderBy("vec_id").limit(nlist).collect()
       .sortBy(_.getLong(0))
       .map(r => gridNormalize(r.getSeq[Long](1).toArray))
@@ -568,6 +580,99 @@ object VectorOps {
         // the double division is a deterministic function of exact ints
         rows.foreach(r => mu(r.getInt(1)) = rndAway(r.getLong(2).toDouble / r.getLong(3)))
         next(cell) = gridNormalize(mu)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** The below-gate driver fit: ONE collect of the grid vectors, then
+    * the same Lloyd rounds in driver threads. Bitwise the distributed
+    * fit (VectorDriverFitSpec pins it on the fixture): the assignment
+    * replicates [[graft.functions.NearestCellsGrid]] k=1 term for term
+    * (exact long dot / deterministic centroid norm, -1e308 zero-norm
+    * sentinel, ties to the lower cell), the per-(cell, pos) sums and
+    * counts are exact longs whose chunk-merge is addition (associative
+    * + commutative ⇒ any chunking equals the distributed groupBy), and
+    * the mean/normalize steps reuse the very same rndAway/gridNormalize
+    * calls. Empty cells keep their previous centroid, exactly as the
+    * distributed form's absent groups do. */
+  private def fitKmeansGridDriver(q: DataFrame, nlist: Int, rounds: Int): Array[Array[Long]] = {
+    val rows = q.collect()
+    val data: Array[(Long, Array[Long])] =
+      rows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var cents: Array[Array[Long]] = data.sortBy(_._1).take(nlist)
+      .map(p => gridNormalize(p._2.clone()))
+    // empty corpus: no seeds, and the distributed rounds would be no-op
+    // jobs over zero rows — return the empty centroid set they would
+    if (cents.isEmpty) return cents
+    for (_ <- 0 until rounds) {
+      // NearestCellsGrid's model-state norms, recomputed per round like
+      // the expression's @transient lazy val is per (plan, centroids)
+      val norms: Array[Double] = cents.map { ct =>
+        var s = 0L; var i = 0
+        while (i < ct.length) { s += ct(i) * ct(i); i += 1 }
+        math.sqrt(s.toDouble)
+      }
+      def cellOf(vn: Array[Long]): Int = {
+        var best = 0; var bd = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val ct = cents(c); val m = math.min(vn.length, ct.length)
+          var d = 0L; var i = 0
+          while (i < m) { d += ct(i) * vn(i); i += 1 }
+          val score = if (norms(c) == 0) -1e308 else d.toDouble / norms(c)
+          if (score > bd) { bd = score; best = c }
+          c += 1
+        }
+        best
+      }
+      // a corpus smaller than nlist seeds fewer cells — size by the
+      // actual centroid count, exactly the ids the distributed
+      // assignment could emit
+      val nc = cents.length
+      val chunks = data.grouped(math.max(1,
+        data.length / Runtime.getRuntime.availableProcessors())).toArray
+      val partials = chunks.par.map { chunk =>
+        val sums = Array.tabulate(nc)(c => new Array[Long](cents(c).length))
+        val counts = Array.tabulate(nc)(c => new Array[Long](cents(c).length))
+        chunk.foreach { case (_, vn) =>
+          val cell = cellOf(vn)
+          var i = 0
+          while (i < vn.length) {
+            sums(cell)(i) += vn(i); counts(cell)(i) += 1; i += 1
+          }
+        }
+        (sums, counts)
+      }.toArray
+      val sums = Array.tabulate(nc)(c => new Array[Long](cents(c).length))
+      val counts = Array.tabulate(nc)(c => new Array[Long](cents(c).length))
+      partials.foreach { case (ps, pc) =>
+        var c = 0
+        while (c < nc) {
+          var i = 0
+          while (i < ps(c).length) {
+            sums(c)(i) += ps(c)(i); counts(c)(i) += pc(c)(i); i += 1
+          }
+          c += 1
+        }
+      }
+      val next = cents.clone()
+      var c = 0
+      while (c < nc) {
+        // a cell with no assigned vectors has no (cell, pos) groups in
+        // the distributed form — keep its centroid
+        if (counts(c).exists(_ > 0)) {
+          val mu = new Array[Long](cents(c).length)
+          var i = 0
+          while (i < mu.length) {
+            if (counts(c)(i) > 0)
+              mu(i) = rndAway(sums(c)(i).toDouble / counts(c)(i))
+            i += 1
+          }
+          next(c) = gridNormalize(mu)
+        }
+        c += 1
       }
       cents = next
     }
@@ -777,7 +882,7 @@ object VectorOps {
     val nlist = 16
     val nprobe = 4
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cents = fitKmeansGrid(e, nlist, rounds = 3)
+    val cents = fitKmeansGrid(e, nlist, rounds = 3, tableBytes(dir, "embeddings"))
     val index = e.withColumn("cell", assignCellGrid(gridVec(col("embedding")), cents))
     val probes = index.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
@@ -981,6 +1086,14 @@ object VectorOps {
     * formulation would allocate per element. */
   private[graft] def encodePqUdf(cb: Array[Array[Array[Long]]]) = udf { (v: Seq[Float]) =>
     val m = cb.length; val dsub = cb(0)(0).length
+    // round 13: quantize ONCE per row into a primitive array — the old
+    // form re-ran rndAway(v(…)) inside the per-centroid loop (m·ksub
+    // redundant re-quantizations through boxed Seq.apply: measured
+    // ~0.5 ms/row, ~1 s of the q79 encode stage at sf0.1). Same grid
+    // values, so every distance and argmin below is bitwise unchanged.
+    val vn = new Array[Long](v.length)
+    var x = 0
+    while (x < v.length) { vn(x) = rndAway(v(x).toDouble * 1e6); x += 1 }
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -989,7 +1102,7 @@ object VectorOps {
       while (k < cb(j).length) {
         val ct = cb(j)(k); var d = 0L; var i = 0
         while (i < dsub) {
-          val diff = rndAway(v(j * dsub + i).toDouble * 1e6) - ct(i); d += diff * diff; i += 1
+          val diff = vn(j * dsub + i) - ct(i); d += diff * diff; i += 1
         }
         if (d < bestD) { bestD = d; best = k }
         k += 1
@@ -1102,10 +1215,14 @@ object VectorOps {
     // norm is CONSTANT within its partition-by-probe ranking window, so
     // dividing by it never changed the shortlist — dropping it keeps
     // the expression a pure function of exact grid integers (the
-    // oracle's form).
+    // oracle's form). graft_adc_dot (round 13) replaces the scoring UDF:
+    // same exact-long sum, but indexing the LUT ArrayData in place
+    // instead of copying 16 KB into a boxed Seq per candidate row
+    // (AdcDotSpec pins bitwise equality).
     val scored = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        (adcDotUdf(ksub)(col("lut"), col("codes")).cast("double") / col("rnrm")).as("adc"))
+        (graft.functions.AdcDot.adcDot(col("lut"), col("codes"), ksub)
+          .cast("double") / col("rnrm")).as("adc"))
     adcShortlistRerank(e, scored, shortlist)
   }
 
@@ -1132,7 +1249,7 @@ object VectorOps {
           |          ON ck.probe_id = l.probe_id AND ck.cand_id = codes.vec_id""".stripMargin)}""") { (s, dir) =>
     val m = 8; val ksub = 256; val shortlist = 40; val nlist = 16; val nprobe = 4
     val e = emb(s, dir).select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val cents = fitKmeansGrid(e, nlist, rounds = 3)
+    val cents = fitKmeansGrid(e, nlist, rounds = 3, tableBytes(dir, "embeddings"))
     val cb = fitPq(e, m, ksub, rounds = 3)
     val codes = e
       .withColumn("cell", assignCellGrid(gridVec(col("embedding")), cents))
@@ -1148,7 +1265,8 @@ object VectorOps {
     val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        (adcDotUdf(ksub)(col("lut"), col("codes")).cast("double") / col("rnrm")).as("adc"))
+        (graft.functions.AdcDot.adcDot(col("lut"), col("codes"), ksub)
+          .cast("double") / col("rnrm")).as("adc"))
     adcShortlistRerank(e, scored, shortlist)
   }
 

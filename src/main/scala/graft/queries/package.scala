@@ -64,7 +64,7 @@ package object queries {
     * input decidable from filesystem metadata alone, before any job
     * runs (shared by [[spreadScan]]; same pattern as TextOps' private
     * copy and the q85b parquet-metadata gate). */
-  private[queries] def tableBytes(dir: String, table: String): Long = {
+  private[graft] def tableBytes(dir: String, table: String): Long = {
     def sizeOf(p: java.io.File): Long =
       if (p.isDirectory) Option(p.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
       else p.length()
@@ -88,7 +88,7 @@ package object queries {
     * caveat). Callers must only aggregate partition-order-invariant
     * measures above it (exact decimal sums, counts, min/max) — never
     * raw double sums. */
-  private[queries] def spreadScan(s: SparkSession, dir: String, table: String,
+  private[graft] def spreadScan(s: SparkSession, dir: String, table: String,
       df: DataFrame, key: Column): DataFrame = {
     val oneSplit = tableBytes(dir, table) <=
       s.sessionState.conf.filesMaxPartitionBytes
