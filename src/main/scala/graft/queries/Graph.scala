@@ -189,7 +189,7 @@ object Graph {
     *   1. by l_orderkey — (order, part) dedup + the pair self-join;
     *   2. by src — the (src, dst) dedup/weight-count + degree window +
     *      the persist layout every iteration's rank join banks on. */
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val op = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       .repartition(col("l_orderkey"))
       .dropDuplicates("l_orderkey", "l_partkey")

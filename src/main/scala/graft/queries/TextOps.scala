@@ -2078,6 +2078,11 @@ object TextOps {
        |       ${croundSql("coalesce(n_dup_tok, 0) * 1e0 / n")} AS dup_frac
        |FROM t LEFT JOIN cnt USING (doc_id)
        |ORDER BY doc_id""") { (s, dir) =>
+    // spreadScan examined and REJECTED here (round 13, ProbeQ73AB):
+    // unlike the q02-family numeric spreads, the exchange must move the
+    // full text column, and min-of-4 CPU went 1.67 s plain -> 11.0 s
+    // spread (wall 1.98 -> 4.33 s) — the exchange + 32-way partial agg
+    // costs more than the serial scan it parallelizes.
     substringDedupOf(docs(s, dir))
   }
 
