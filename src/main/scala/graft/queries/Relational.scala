@@ -127,7 +127,14 @@ object Relational {
       .select("o_orderkey", "o_custkey")
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "n_name")
-    t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    // spreadScan: with the dimension chain broadcast (AQE), the join
+    // probe + decimal partial aggregation run inside the scan stage —
+    // serialized on one core on a one-split file, exactly the q02 shape
+    // (r13: the exchange is 3 narrow columns; the aggregated measures
+    // are an exact decimal sum + count, partition-order invariant).
+    spreadScan(s, dir, "lineitem",
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      col("l_orderkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(

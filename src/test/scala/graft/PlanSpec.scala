@@ -210,7 +210,10 @@ class PlanSpec extends SparkSpec {
       // (multi-split input, the cluster shape) the exchange vanishes
       // and the counts return to 2/1.
       "q02_pricing_summary" -> (3, 0),
-      "q04_revenue_by_nation" -> (2, 4),
+      // q04 (+1 exchange, round 13): the same spreadScan gate — with all
+      // four dims broadcast the join probe + decimal partial agg sit in
+      // the one-split lineitem scan stage, serialized on one core.
+      "q04_revenue_by_nation" -> (3, 4),
       "q08_order_windows" -> (2, 0),
       "q19_tumbling_hour" -> (2, 0),
       "q44b_unpivot_lineitem" -> (2, 0),
